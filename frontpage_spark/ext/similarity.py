@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+- ``cosine_topk``    exact brute-force top-k — the correctness baseline.
+  Dot products are computed with per-term decimal accumulation so the
+  result is bit-deterministic regardless of partitioning (and matches
+  the DuckDB oracle exactly): float32 inputs make each pairwise product
+  exact in double; casting the product to DECIMAL(38,25) then summing
+  decimals removes float reassociation entirely.
+- ``lsh_topk``       scale path: random-hyperplane LSH bucketing. The
+  hyperplanes are derived deterministically from md5, so the operator
+  needs no stored model state; candidates are only compared within a
+  bucket (shuffle key = signature), then exact-scored.
+
+Scale notes (100 TB): brute force is O(Q×N) — fine for small Q (it is
+a broadcast of Q against a scan of N, no shuffle of the corpus).
+``lsh_topk`` shuffles the corpus once on the signature; probing with
+multi-probe (flipping one bit) trades recall for fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DOT_DECIMAL = "DECIMAL(38,25)"
+
+
+def _dot_dec(a: str, b: str) -> Column:
+    """Exact-deterministic dot product of two float-array columns.
+    The merge re-casts because decimal addition widens precision and the
+    fold requires a stable accumulator type."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {DOT_DECIMAL})), "
+        f"CAST(0 AS {DOT_DECIMAL}), (acc, v) -> CAST(acc + v AS {DOT_DECIMAL}))"
+    )
+
+
+def _norm2_dec(a: str) -> Column:
+    return F.expr(
+        f"aggregate(transform({a}, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {DOT_DECIMAL})), "
+        f"CAST(0 AS {DOT_DECIMAL}), (acc, v) -> CAST(acc + v AS {DOT_DECIMAL}))"
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must be small (it is broadcast); the corpus is scanned
+    once, scored per (query, candidate), and ranked with a per-query
+    window — the only shuffle is on qid for the top-k ranking.
+    Output: (qid, cid, cosine, rank).
+    """
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            _dot_dec("qe", "ce").cast("double")
+            / (
+                F.sqrt(_norm2_dec("qe").cast("double"))
+                * F.sqrt(_norm2_dec("ce").cast("double"))
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
+def lsh_signature(vec_col: str, planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane signature: bit p = sign(v · h_p) where h_p[i] is
+    ±1 from the parity of md5('p:i') — deterministic, no stored model.
+    Computed as a per-row array fold; no shuffle."""
+    bits = []
+    for p in range(planes):
+        # h_p[i] = +1 if first hex nibble of md5('{p}:{i}') is odd else -1
+        terms = F.expr(
+            f"aggregate(zip_with({vec_col}, __planes[{p}], (x, h) -> CAST(x AS DOUBLE) * h), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(terms > 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
+    return F.concat(*bits)
+
+
+def _plane_literals(planes: int, dim: int) -> Column:
+    """array<array<double>> literal of deterministic ±1 hyperplanes."""
+    import hashlib
+
+    rows = []
+    for p in range(planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 else -1.0)
+        rows.append(row)
+    return F.array(*[F.array(*[F.lit(v) for v in row]) for row in rows])
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane
+    signature, exact-score only within matching buckets.
+
+    Recall is traded for a ~2^planes reduction in comparisons; the
+    corpus-side shuffle key is the signature (uniform for random data).
+    Output: (qid, cid, cosine, rank) — rank within retrieved candidates.
+    """
+    planes_lit = _plane_literals(planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+    ).withColumn("__planes", planes_lit).withColumn(
+        "sig", lsh_signature("ce", planes, dim)
+    ).drop("__planes")
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    ).withColumn("__planes", planes_lit).withColumn(
+        "sig", lsh_signature("qe", planes, dim)
+    ).drop("__planes")
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            _dot_dec("qe", "ce").cast("double")
+            / (
+                F.sqrt(_norm2_dec("qe").cast("double"))
+                * F.sqrt(_norm2_dec("ce").cast("double"))
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )

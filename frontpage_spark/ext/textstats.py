@@ -1,0 +1,106 @@
+"""Text analysis operators for a training-data pipeline: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+Everything is built-in column expressions (JVM-side, codegen'd); the
+only aggregations are keyed groupBys. Float aggregates go through
+decimal accumulation so results are partition-order-deterministic
+(and oracle-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Real corpora would broadcast a larger lexicon table.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def ws_token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(c, " "))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: runs of letters, runs of digits, and single
+    other non-space chars — a cheap proxy for subword token counts."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0))
+
+
+def distinct_ratio(text: Column | str) -> Column:
+    """Distinct-token ratio — a repetition/quality signal. Single integer
+    division → exact double, no accumulation nondeterminism."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+
+
+def avg_token_len(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(c), " ")
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def lang_id_heuristic(text: Column | str) -> Column:
+    """Pick the language whose marker-hit count is highest (ties resolved
+    by language code order). Pure array math, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(c), " ")
+    scored = None
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        entry = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        scored = entry if scored is None else F.when(entry["hits"] > scored["hits"], entry).otherwise(scored)
+    return scored["lang"]
+
+
+def doc_fingerprint(text: Column | str, k: int = 5) -> Column:
+    """Min-k document fingerprint: md5 of the k lexicographically smallest
+    token hashes — a compact content signature robust to token order
+    (the winnowing idea with a global window)."""
+    c = F.col(text) if isinstance(text, str) else text
+    hashes = F.transform(F.array_distinct(F.split(c, " ")), F.md5)
+    return F.md5(F.concat_ws("", F.slice(F.array_sort(hashes), 1, k)))
+
+
+def quality_profile(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Per-group quality rollup. Ratio means use decimal-sum / count so
+    they are exact and partition-order-independent."""
+    per_doc = df.select(
+        F.col(group_col),
+        ws_token_count(text_col).alias("n_tokens"),
+        F.col(text_col),
+    ).withColumn("dr", distinct_ratio(text_col).cast("decimal(18,9)"))
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("dr").alias("_dr_sum"),
+        )
+        .withColumn(
+            "avg_distinct_ratio", F.col("_dr_sum").cast("double") / F.col("n_docs")
+        )
+        .drop("_dr_sum")
+    )

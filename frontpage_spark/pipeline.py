@@ -1,0 +1,97 @@
+"""Raw→clean pipeline (SURVEY.md §3 EP2): the reference's per-row
+`clean_data` loop (etl_process.py:203-224) + dimension enrichment
+(etl_process.py:320-323) + dedup-write (scraper.py:211-218), as one
+declarative Catalyst plan.
+
+Plan shape: scan(raw) → pandas-UDF HTML extraction (one stage) →
+native column exprs → broadcast join (dim) → anti-join against sink
+keys → append. The only wide operation is the sink anti-join; the
+dimension join is a broadcast (≤479-row class table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import functions as FF, html
+
+
+def clean_projection(raw: DataFrame) -> DataFrame:
+    """P1 — 13-field projection of a raw ad DataFrame with columns
+    (uniq_id, ad: struct(scrape_date, code, url, read, uniq_id)).
+
+    Matches etl_process.py:203-224 field-for-field; NULL where the
+    reference produced '' (apply ``to_compat`` for exact parity).
+    """
+    url = F.col("ad.url")
+    read = F.col("ad.read")
+    body = html.post_body(read)
+    return raw.select(
+        F.col("uniq_id"),
+        FF.ad_id_from_url(url).alias("ad_id"),
+        url.alias("ad_url"),
+        FF.category_from_url(url).alias("category"),
+        html.locations(read).alias("locations"),
+        F.split(html.other_ads(read), ";").alias("other_ads"),
+        FF.phone_candidates(body).alias("phone"),
+        body.alias("post_body"),
+        FF.parse_verbose_date(html.post_date_raw(read)).alias("post_date"),
+        html.poster_age(read).alias("poster_age"),
+        html.post_title(read).alias("post_title"),
+        F.to_timestamp(F.col("ad.scrape_date")).alias("scrape_date"),
+        FF.site_id_from_url(url).alias("site_id"),
+    )
+
+
+def enrich(clean: DataFrame, site_map: DataFrame, strict: bool = True) -> DataFrame:
+    """J2 — broadcast dimension join on site_id.
+
+    The reference KeyErrors on unknown site_ids (etl_process.py:320-323)
+    — inner-join semantics. strict=True keeps that (rows with unknown
+    sites drop out and belong in the dead-letter channel); strict=False
+    left-joins with NULL enrichment.
+    """
+    how = "inner" if strict else "left"
+    dim = F.broadcast(site_map.select("site_id", "city", "state", "region", "division"))
+    return clean.join(dim, "site_id", how)
+
+
+def to_compat(df: DataFrame) -> DataFrame:
+    """Reference-compatibility boundary (SURVEY.md §1.4): arrays become
+    ';'-joined strings, NULL strings become ''. Timestamps stay typed."""
+    out = df
+    for c, t in df.dtypes:
+        if t.startswith("array"):
+            out = out.withColumn(c, FF.compat_join_array(c))
+        elif t == "string":
+            out = out.withColumn(c, FF.empty_on_null(c))
+    return out
+
+
+def dedup_new_keys(batch: DataFrame, existing: DataFrame, key: str = "uniq_id") -> DataFrame:
+    """S4/A6 — insert-if-absent semantics of the UNIQUE(uniq_id) index:
+    in-batch dedup + anti-join against keys already in the sink."""
+    deduped = batch.dropDuplicates([key])
+    return deduped.join(existing.select(key), key, "left_anti")
+
+
+def write_append(df: DataFrame, path: str) -> None:
+    """S7 — typed warehouse sink. Parquet append, partitioned by nothing
+    here (testdata-scale); at 100 TB partition by a date column."""
+    df.write.mode("append").parquet(path)
+
+
+def run_batch(
+    raw: DataFrame,
+    site_map: DataFrame,
+    existing_keys: DataFrame,
+    quarantine_keys: DataFrame | None = None,
+) -> DataFrame:
+    """One ETL micro-batch (EP2 body): dead-letter exclusion (P2) →
+    projection (P1) → enrichment (J2) → dedup against sink (S4)."""
+    batch = raw
+    if quarantine_keys is not None:
+        batch = batch.join(quarantine_keys.select("uniq_id"), "uniq_id", "left_anti")
+    cleaned = clean_projection(batch)
+    enriched = enrich(cleaned, site_map, strict=True)
+    return dedup_new_keys(enriched, existing_keys)

@@ -1,0 +1,1082 @@
+"""Harness queries (SURVEY.md §2 coverage) + DuckDB oracle SQL.
+
+Every operator in the SURVEY.md §2 inventory that is ANSI-SQL
+expressible gets a (Spark query, oracle SQL) pair here; the driver
+runs both at sf0.01 and compares row count + schema + order-insensitive
+value hash. Conventions that make the hashes exact:
+
+- every computed column is aliased identically on both sides;
+- integer outputs are BIGINT on both sides (DuckDB SUM(int)→HUGEINT is
+  always cast back);
+- float aggregations accumulate in DECIMAL (exact, order-independent)
+  and convert to DOUBLE once at the end; single-expression float math
+  (one division, one product chain) is left raw — IEEE-deterministic;
+- md5 is the only hash (identical in both engines);
+- timestamps cross the boundary as formatted strings where they are
+  derived; raw parquet timestamp columns pass through unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import functions as FF
+from .ext import dedup, similarity, textstats
+from .session import tune
+from .sources import load_table
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Shared oracle fragments (kept in lockstep with functions.py)
+# --------------------------------------------------------------------------
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+PUNCT_SQL = _sq(FF.PUNCT_NO_DOLLAR)
+
+
+def phone_norm_sql(e: str) -> str:
+    x = f"replace(translate(lower({e}), '{PUNCT_SQL}', ''), ' ', '')"
+    for w, d in FF.WORD_DIGITS:
+        x = f"replace({x}, '{w}', '{d}')"
+    return x
+
+
+def phone_cand_sql(e: str) -> str:
+    return (
+        f"list_sort(list_distinct(list_filter(regexp_extract_all({phone_norm_sql(e)}, '\\d+'), "
+        f"x -> length(x) BETWEEN {FF.PHONE_MIN_LEN} AND {FF.PHONE_MAX_LEN})))"
+    )
+
+
+# corpus used by the flagship query: name + cents (int-derived, so the
+# string form is engine-independent) + segment, with '$' kept adjacent.
+CORPUS_SQL = (
+    "c_name || ' $' || CAST(CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS VARCHAR) || ' ' || c_mktsegment"
+)
+
+
+def _corpus_col() -> F.Column:
+    return F.concat(
+        F.col("c_name"),
+        F.lit(" $"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").cast("string"),
+        F.lit(" "),
+        F.col("c_mktsegment"),
+    )
+
+
+# DuckDB 3-gram shingle list over t = string_split(text, ' ')
+SHINGLES_SQL = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) "
+    "ELSE [text] END"
+)
+
+
+# ==========================================================================
+# Reference-parity queries (SURVEY.md §2)
+# ==========================================================================
+
+# ---- F6 flagship: phone mining over an enriched corpus -------------------
+@register(
+    "phone_mine_segments",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_phones,
+           COUNT(DISTINCT phone) AS n_distinct_phones,
+           MIN(phone) AS min_phone
+    FROM (
+      SELECT c_mktsegment, UNNEST({phone_cand_sql('corpus')}) AS phone
+      FROM (SELECT c_mktsegment, {CORPUS_SQL} AS corpus FROM customer)
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def phone_mine_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (etl_process.py:79-126) as a native column chain → explode → agg."""
+    cust = _t(spark, sf_dir, "customer")
+    mined = cust.select(
+        "c_mktsegment", F.explode(FF.phone_candidates(_corpus_col())).alias("phone")
+    )
+    return mined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_phones"),
+        F.count_distinct("phone").alias("n_distinct_phones"),
+        F.min("phone").alias("min_phone"),
+    )
+
+
+# ---- F6 edge cases on a literal corpus -----------------------------------
+_PHONE_ROWS = [
+    (1, "Call 555-123-4567 now"),
+    (2, "five five five 123 four five 67"),
+    (3, "$200 5551234567 $300"),
+    (4, "123456 too short"),
+    (5, "123456789012 too long"),
+    (6, "call me at 555.123.4567 or 555 123 4567"),
+    (7, "no numbers here"),
+    (8, "zero one two three four five six seven eight nine"),
+    (9, "phone words like one-derful stay literal"),
+]
+_PHONE_VALUES_SQL = ", ".join(f"({i}, '{_sq(s)}')" for i, s in _PHONE_ROWS)
+
+
+@register(
+    "phone_extract_literals",
+    f"""
+    SELECT id, COALESCE(array_to_string({phone_cand_sql('s')}, ';'), '') AS phone
+    FROM (VALUES {_PHONE_VALUES_SQL}) t(id, s)
+    """,
+)
+def phone_extract_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 golden edge cases: spelled-out digits, $ separation, 7..11 length
+    bounds, dedup, zero-match rows (etl_process.py:84-121)."""
+    tune(spark)
+    df = spark.createDataFrame(_PHONE_ROWS, ["id", "s"])
+    return df.select(
+        F.col("id").cast("long").alias("id"), FF.phone_extract("s").alias("phone")
+    )
+
+
+# ---- F1-F3: URL token extraction -----------------------------------------
+URL_SQL = (
+    "'http://' || lower(replace(n_name, ' ', '')) || '.example.com/' || "
+    "lower(c_mktsegment) || '/' || CAST(c_custkey AS VARCHAR) || '/x'"
+)
+
+
+@register(
+    "url_parse_tokens",
+    f"""
+    SELECT site_id, category,
+           COUNT(*) AS n_ads,
+           MIN(ad_id) AS min_ad_id,
+           MAX(ad_id) AS max_ad_id
+    FROM (
+      SELECT split_part(url, '/', 6) AS ad_id,
+             split_part(url, '/', 4) AS category,
+             split_part(split_part(url, '/', 3), '.', 1) AS site_id
+      FROM (
+        SELECT {URL_SQL} AS url
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+      )
+    )
+    GROUP BY site_id, category
+    """,
+)
+def url_parse_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3 (etl_process.py:42-65) over synthesized ad URLs."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    url = F.concat(
+        F.lit("http://"),
+        F.lower(F.regexp_replace("n_name", " ", "")),
+        F.lit(".example.com/"),
+        F.lower(F.col("c_mktsegment")),
+        F.lit("/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("/x"),
+    )
+    urls = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).select(url.alias("url"))
+    parsed = urls.select(
+        FF.ad_id_from_url("url").alias("ad_id"),
+        FF.category_from_url("url").alias("category"),
+        FF.site_id_from_url("url").alias("site_id"),
+    )
+    return parsed.groupBy("site_id", "category").agg(
+        F.count("*").alias("n_ads"),
+        F.min("ad_id").alias("min_ad_id"),
+        F.max("ad_id").alias("max_ad_id"),
+    )
+
+
+# ---- F12: composite unique key -------------------------------------------
+@register(
+    "composite_uniq_id",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT uid) AS n_distinct,
+           MIN(uid) AS min_uid
+    FROM (
+      SELECT concat_ws('-', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                       CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                       o_orderstatus) AS uid
+      FROM orders
+    )
+    """,
+)
+def composite_uniq_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 (scraper.py:105-119): concat_ws composite key + uniqueness profile."""
+    orders = _t(spark, sf_dir, "orders")
+    uid = FF.uniq_id(
+        FF.format_ts("o_orderdate"),
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    return orders.select(uid.alias("uid")).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("uid").alias("n_distinct"),
+        F.min("uid").alias("min_uid"),
+    )
+
+
+# ---- F4: verbose timestamp parse/format round trip -----------------------
+@register(
+    "ts_roundtrip_verbose",
+    """
+    SELECT event_id, v,
+           strftime(strptime(v, '%A, %B %-d, %Y %-I:%M %p'), '%Y-%m-%d %H:%M:%S') AS reparsed
+    FROM (
+      SELECT event_id, strftime(ts, '%A, %B %-d, %Y %-I:%M %p') AS v
+      FROM events
+    )
+    """,
+)
+def ts_roundtrip_verbose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (etl_process.py:28-39): '%A, %B %d, %Y %I:%M %p' parse →
+    '%Y-%m-%d %H:%M:%S' reformat, round-tripped through formatting."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.date_format("ts", FF.VERBOSE_DATE_FMT_SPARK)
+    out = ev.select("event_id", v.alias("v"))
+    return out.select(
+        "event_id", "v", FF.format_ts(FF.parse_verbose_date("v")).alias("reparsed")
+    )
+
+
+# ---- F16: JSON schema-on-read --------------------------------------------
+@register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k FROM events)
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 (etl_process.py:305): JSONB-style dynamic field access."""
+    ev = _t(spark, sf_dir, "events")
+    k = FF.json_get("props", "k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+# ---- J1: cross join -------------------------------------------------------
+@register(
+    "cities_x_categories",
+    """
+    SELECT r_name, n_name,
+           'http://site/' || lower(r_name) || '/' || lower(replace(n_name,' ','')) AS landing
+    FROM region CROSS JOIN nation
+    """,
+)
+def cities_x_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (scraper.py:163-166): the cities × categories crawl matrix."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        F.concat(
+            F.lit("http://site/"),
+            F.lower(F.col("r_name")),
+            F.lit("/"),
+            F.lower(F.regexp_replace("n_name", " ", "")),
+        ).alias("landing"),
+    )
+
+
+# ---- J2: broadcast enrichment join ---------------------------------------
+@register(
+    "enrich_broadcast",
+    """
+    SELECT r_name,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT n_name) AS n_nations,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (etl_process.py:320-323): small-dimension broadcast enrichment —
+    the site_map lookup as an inner broadcast hash join."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    reg = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count_distinct("n_name").alias("n_nations"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double") / 100.0).alias(
+                "total_acctbal"
+            ),
+        )
+    )
+
+
+# ---- J3: anti join --------------------------------------------------------
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (etl_process.py:297-301): NULL-safe left_anti in place of NOT IN."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---- J5: semi join --------------------------------------------------------
+@register(
+    "customers_with_orders_semi",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: rows already loaded — the complement of the delta scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---- J4: referential conformance -----------------------------------------
+@register(
+    "conform_referential",
+    """
+    SELECT COUNT(*) AS n_lineitem,
+           COUNT(o.o_orderkey) AS n_matched,
+           COUNT(*) - COUNT(o.o_orderkey) AS n_orphan
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def conform_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (etl_process.py:238-241): clean↔raw referential profile."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+    return joined.agg(
+        F.count("*").alias("n_lineitem"),
+        F.count("o_orderkey").alias("n_matched"),
+        (F.count("*") - F.count("o_orderkey")).alias("n_orphan"),
+    )
+
+
+# ---- P3: scalar-subquery temporal filter ---------------------------------
+@register(
+    "conform_temporal",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE ts >= (SELECT MIN(ts) FROM events WHERE event_type = 'signup')
+    GROUP BY event_type
+    """,
+)
+def conform_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (etl_process.py:230-235): global-min scalar subquery as a
+    broadcast of one row."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.filter(F.col("event_type") == "signup").agg(F.min("ts").alias("__m"))
+    return (
+        ev.crossJoin(F.broadcast(m))
+        .filter(F.col("ts") >= F.col("__m"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---- A1: global min/max ---------------------------------------------------
+@register(
+    "global_minmax",
+    """
+    SELECT COUNT(*) AS n,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    """,
+)
+def global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (etl_process.py:234-235): global aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n"),
+        FF.format_ts(F.min("ts")).alias("min_ts"),
+        FF.format_ts(F.max("ts")).alias("max_ts"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# ---- A4: grouped aggregation (TPC-H Q1 shape) ----------------------------
+@register(
+    "group_counts_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(qty_i) AS DOUBLE) AS sum_qty,
+           CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(SUM(qty_i) AS DOUBLE) / COUNT(*) AS avg_qty,
+           (CAST(SUM(disc_c) AS DOUBLE) / 100.0) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity) AS BIGINT) AS qty_i,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+      FROM lineitem
+    )
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def group_counts_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: the reference's per-group counting (scraper.py:181) grown into
+    the canonical TPC-H Q1 aggregation.
+
+    Money math happens in integer cents: the source doubles are
+    2-decimal-valued, so round(x*100) recovers the exact cents and every
+    product/sum is exact int64 arithmetic — bit-identical across
+    partitionings AND engines (double→DECIMAL casts are not portable:
+    Java rounds the shortest decimal repr, DuckDB multiplies-and-rounds,
+    and 4-decimal products routinely land on the midpoints where those
+    two disagree)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pre = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity").cast("long").alias("qty_i"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+    )
+    return pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty_i").cast("double").alias("sum_qty"),
+        (F.sum("price_c").cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum(F.col("price_c") * (100 - F.col("disc_c"))).cast("double") / 10000.0).alias(
+            "sum_disc_price"
+        ),
+        (
+            F.sum(F.col("price_c") * (100 - F.col("disc_c")) * (100 + F.col("tax_c"))).cast(
+                "double"
+            )
+            / 1000000.0
+        ).alias("sum_charge"),
+        (F.sum("qty_i").cast("double") / F.count("*")).alias("avg_qty"),
+        ((F.sum("disc_c").cast("double") / 100.0) / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---- A5: deterministic top-k ---------------------------------------------
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (etl_process.py:301): LIMIT, made deterministic with a total
+    order (unique-key tiebreak). Spark executes as TakeOrdered — no full
+    sort shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---- A2: distinct ---------------------------------------------------------
+@register(
+    "distinct_flag_status",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (scraper.py:159-160): relational distinct."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---- F14/S6: param normalization -----------------------------------------
+@register(
+    "param_normalize",
+    """
+    SELECT DISTINCT lower(trim(p_type)) AS param FROM part
+    """,
+)
+def param_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/S6 (scraper.py:159-160): set(line.lower().strip())."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(FF.normalize_param("p_type").alias("param"))
+        .distinct()
+    )
+
+
+# ---- S8: incremental delta scan ------------------------------------------
+@register(
+    "incremental_delta_scan",
+    """
+    SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events c WHERE c.event_id % 3 <> 0 AND c.event_id = e.event_id
+    )
+      AND event_type <> 'error'
+    ORDER BY event_id
+    LIMIT 50
+    """,
+)
+def incremental_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 + P2 (etl_process.py:297-308): anti-join delta detection with a
+    dead-letter exclusion and a bounded, deterministic batch. 'Loaded'
+    rows are simulated as event_id % 3 <> 0."""
+    from .incremental import delta_scan
+
+    ev = _t(spark, sf_dir, "events")
+    processed = ev.filter(F.col("event_id") % 3 != 0).select(F.col("event_id"))
+    batch = delta_scan(ev, processed, key="event_id", batch_size=None)
+    batch = batch.filter(F.col("event_type") != "error")
+    return (
+        batch.orderBy("event_id")
+        .limit(50)
+        .select("event_id", "event_type", FF.format_ts("ts").alias("ts_s"))
+    )
+
+
+# ---- P1: clean projection over synthesized URLs --------------------------
+@register(
+    "clean_projection_urls",
+    f"""
+    SELECT split_part(url, '/', 6) AS ad_id,
+           url AS ad_url,
+           split_part(url, '/', 4) AS category,
+           split_part(split_part(url, '/', 3), '.', 1) AS site_id,
+           concat_ws('-', '2024-01-01 00:00:00', split_part(url, '/', 6),
+                     split_part(split_part(url, '/', 3), '.', 1),
+                     split_part(url, '/', 4)) AS uniq_id,
+           COALESCE(array_to_string({phone_cand_sql('c_name')}, ';'), '') AS phone,
+           '' AS poster_age
+    FROM (
+      SELECT c_name, {URL_SQL} AS url
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    """,
+)
+def clean_projection_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (etl_process.py:203-224): the clean-record projection, URL-derived
+    subset, with the NULL→'' compat boundary on a failing extractor."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    url = F.concat(
+        F.lit("http://"),
+        F.lower(F.regexp_replace("n_name", " ", "")),
+        F.lit(".example.com/"),
+        F.lower(F.col("c_mktsegment")),
+        F.lit("/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("/x"),
+    )
+    base = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "c_name", url.alias("url")
+    )
+    ad_id = FF.ad_id_from_url("url")
+    category = FF.category_from_url("url")
+    site_id = FF.site_id_from_url("url")
+    return base.select(
+        ad_id.alias("ad_id"),
+        F.col("url").alias("ad_url"),
+        category.alias("category"),
+        site_id.alias("site_id"),
+        FF.uniq_id(F.lit("2024-01-01 00:00:00"), ad_id, site_id, category).alias("uniq_id"),
+        FF.phone_extract("c_name").alias("phone"),
+        FF.empty_on_null(FF.format_ts(FF.parse_verbose_date("c_name"))).alias("poster_age"),
+    )
+
+
+# ==========================================================================
+# Extension queries: training-data pipeline operators
+# ==========================================================================
+
+# ---- exact dedup ----------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (hash) dedup profile per source."""
+    return dedup.exact_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---- MinHash + LSH banding -----------------------------------------------
+_MINHASH_SIGS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, list_min(list_transform(shingles, s -> md5('b{b}:' || s))) AS minhash FROM sh"
+    for b in range(dedup.DEFAULT_BANDS)
+)
+
+@register(
+    "minhash_lsh_candidates",
+    f"""
+    WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM docs),
+    sigs AS ({_MINHASH_SIGS_SQL}),
+    ok AS (
+      SELECT band, minhash FROM sigs GROUP BY band, minhash
+      HAVING COUNT(*) <= {dedup.DEFAULT_MAX_BUCKET}
+    ),
+    bounded AS (SELECT sigs.* FROM sigs JOIN ok USING (band, minhash)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bounded a JOIN bounded b USING (band, minhash)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT COUNT(*) AS n_candidate_pairs,
+           COUNT(DISTINCT a) AS n_left_docs,
+           COUNT(DISTINCT b) AS n_right_docs
+    FROM pairs
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (md5-keyed, band=4, r=1) + LSH bucket join with a bucket-size
+    cap — the scale path for near-dup detection."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    return pairs.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.count_distinct("a").alias("n_left_docs"),
+        F.count_distinct("b").alias("n_right_docs"),
+    )
+
+
+# ---- SimHash --------------------------------------------------------------
+@register(
+    "simhash_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, tok, j,
+             ascii(substr(md5(tok || ':' || CAST(j AS VARCHAR)), 1, 1)) % 2 AS bit
+      FROM toks CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS j)
+    ),
+    maj AS (
+      SELECT doc_id, j, CASE WHEN SUM(bit * 2 - 1) > 0 THEN 1 ELSE 0 END AS m
+      FROM bits GROUP BY doc_id, j
+    ),
+    sigs AS (
+      SELECT doc_id, CAST(SUM(m * (1 << j)) AS BIGINT) AS simhash FROM maj GROUP BY doc_id
+    )
+    SELECT simhash, COUNT(*) AS n_docs FROM sigs GROUP BY simhash
+    """,
+)
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash bucket histogram over documents."""
+    sigs = dedup.simhash16(_t(spark, sf_dir, "documents"))
+    return sigs.groupBy("simhash").agg(F.count("*").alias("n_docs"))
+
+
+# ---- exact n-gram Jaccard -------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sample_docs AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 = 0
+    ),
+    sh AS (SELECT doc_id, UNNEST({SHINGLES_SQL}) AS shingle FROM sample_docs),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a, b,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on a 1-in-50 doc sample (inverted-index join).
+    Exact double division — no float accumulation."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return dedup.jaccard_pairs(docs, threshold=0.2)
+
+
+# ---- embedding similarity: brute-force top-k ------------------------------
+_DOT_SQL = (
+    "list_sum([CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,25)) "
+    "for i in generate_series(1, len(qe))])"
+)
+_QNORM_SQL = (
+    "list_sum([CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(38,25)) "
+    "for i in generate_series(1, len(qe))])"
+)
+_CNORM_SQL = (
+    "list_sum([CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,25)) "
+    "for i in generate_series(1, len(ce))])"
+)
+
+@register(
+    "embedding_topk_cosine",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    scored AS (
+      SELECT qid, cid,
+             CAST({_DOT_SQL} AS DOUBLE) /
+             (sqrt(CAST({_QNORM_SQL} AS DOUBLE)) * sqrt(CAST({_CNORM_SQL} AS DOUBLE))) AS cosine
+      FROM c CROSS JOIN q
+      WHERE cid <> qid
+    ),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, round(cosine, 12) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 3 query vectors. Decimal-accumulated
+    dot products → partition-order-deterministic; the final sqrt/divide
+    is engine-dependent in the last ULP, so the OUTPUT cosine is rounded
+    to 12 decimals (rank is computed on the unrounded value)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+    return out.select(
+        "qid", "cid", F.round("cosine", 12).alias("cosine"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---- text quality ---------------------------------------------------------
+@register(
+    "text_quality_by_lang",
+    """
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS DECIMAL(18,9)) AS dr
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(dr) AS DOUBLE) / COUNT(*) AS avg_distinct_ratio
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring rollup per language (repetition ratio, lengths)."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = textstats.quality_profile(docs)
+    return prof.select(
+        "lang",
+        "n_docs",
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        F.col("min_tokens").cast("long").alias("min_tokens"),
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+        "avg_distinct_ratio",
+    )
+
+
+# ---- token counting -------------------------------------------------------
+@register(
+    "token_counts_by_source",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(textstats.ws_token_count("text")).alias("sum_ws_tokens"),
+        F.sum(textstats.bpe_ish_token_count("text")).alias("sum_bpe_tokens"),
+    )
+
+
+# ---- document fingerprint -------------------------------------------------
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(array_to_string(
+             list_sort(list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)))[1:5],
+             '')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-k (k=5) content fingerprints for every document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---- sessionization -------------------------------------------------------
+@register(
+    "sessionize_users",
+    """
+    WITH evts AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT)) > 1800
+                  THEN 1 ELSE 0 END AS is_new,
+             ts
+      FROM evts
+    ),
+    sessioned AS (
+      SELECT user_id, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_idx, COUNT(*) AS session_len
+      FROM sessioned GROUP BY user_id, session_idx
+    )
+    SELECT user_id,
+           CAST(MAX(session_idx) AS BIGINT) AS n_sessions,
+           CAST(MAX(session_len) AS BIGINT) AS max_session_len,
+           CAST(SUM(session_len) AS BIGINT) AS n_events
+    FROM per_session
+    GROUP BY user_id
+    """,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) per user: lag + running sum."""
+    from .incremental import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_seconds=1800)
+    per_session = s.groupBy("user_id", "session_idx").agg(F.count("*").alias("session_len"))
+    return per_session.groupBy("user_id").agg(
+        F.max("session_idx").cast("long").alias("n_sessions"),
+        F.max("session_len").alias("max_session_len"),
+        F.sum("session_len").alias("n_events"),
+    )
+
+
+# ---- tumbling windows -----------------------------------------------------
+@register(
+    "tumbling_window_counts",
+    """
+    SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS window_id,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: 10-minute tumbling-window aggregation (epoch-aligned window id
+    so the result is engine-portable; the streaming form uses
+    incremental.windowed_counts with window()/watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr("unix_timestamp(ts) div 600").alias("window_id"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+# ---- rollup ---------------------------------------------------------------
+@register(
+    "rollup_returns",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets extension: ROLLUP totals (not in the reference — free
+    from Catalyst)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# ==========================================================================
+# Rows-only queries (not SQL-expressible → driver's weaker check)
+# ==========================================================================
+
+_AD_HTML = (
+    '<html><div class="adInfo"> Posted: Tuesday, May 2, 2017 11:28 PM </div>'
+    '<div id="postingTitle"><h1>{title} Report Ad</h1></div>'
+    '<div class="postingBody">{body}</div>'
+    '<p class="metaInfoDisplay">Poster\'s age: {age}</p>'
+    "<div>Location: midtown, uptown</div>"
+    '<div id="OtherAdsByThisUser"><div class="cat"><a href="/o/{i}/1"></a></div>'
+    '<div class="cat"><a href="/o/{i}/2"></a></div></div></html>'
+)
+
+
+def _ads_fixture(spark: SparkSession, n: int = 200):
+    rows = []
+    for i in range(n):
+        html_doc = _AD_HTML.format(
+            title=f"title {i}", body=f"call 555-000-{1000 + i} or 555 111 2222", age=20 + i % 30, i=i
+        )
+        url = f"http://site{i % 7}.example.com/cat{i % 3}/{100000 + i}/x"
+        rows.append(
+            (
+                i,
+                f"2017-05-02 23:28:00-{100000 + i}-site{i % 7}-cat{i % 3}",
+                ("2017-05-03 10:00:00", 200, url, html_doc, None),
+            )
+        )
+    from .schemas import RAW_SCHEMA
+
+    return spark.createDataFrame(rows, RAW_SCHEMA)
+
+
+@register("html_clean_projection")  # rows-only: HTML extraction is UDF-land
+def html_clean_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 + F4/F5/F7-F11: full clean projection over a synthetic raw-ad
+    fixture (FIXTURES.md §A1), pandas-UDF HTML extraction inside."""
+    from .pipeline import clean_projection, to_compat
+
+    tune(spark)
+    raw = _ads_fixture(spark)
+    return to_compat(clean_projection(raw))
+
+
+@register("embedding_knn_lsh")  # rows-only: approximate operator
+def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucketing + in-bucket exact
+    scoring. Approximate by construction → rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=10, planes=4)
+
+
+@register("multimodal_decode")  # rows-only: stubbed codec, real plumbing
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → Arrow-batched decode
+    (stub codec) → typed metadata."""
+    from .ext import multimodal
+
+    docs = _t(spark, sf_dir, "documents").limit(500)
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    return multimodal.decode_media(media)
+
+
+@register("lang_id_heuristic")  # rows-only: heuristic classifier
+def lang_id_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID guess vs the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", textstats.lang_id_heuristic("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )

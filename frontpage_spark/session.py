@@ -1,0 +1,69 @@
+"""SparkSession factory + runtime tuning.
+
+Defaults target the test harness (local[$SPARK_GRAFT_CPUS]) but every
+setting is the one we would ship on a large multi-executor cluster:
+AQE on (runtime join re-planning, skew-join splitting, partition
+coalescing), shuffle partitions sized to the parallelism, Arrow for
+the rare pandas-UDF path, UTC session time zone for deterministic
+timestamp arithmetic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that can be applied to an already-running session (runtime-settable).
+RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Dimension tables here are tiny (region/nation class); the threshold
+    # mostly matters for AQE's runtime broadcast decisions.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def default_parallelism() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally-provided session.
+
+    The driver harness hands us its own SparkSession; shuffle-partition
+    count and AQE flags are runtime-settable, so queries get the tuned
+    plan either way.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on some builds — keep going
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "frontpage_spark", master: str | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    builder = (
+        builder.config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    return builder.getOrCreate()

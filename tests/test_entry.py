@@ -1,0 +1,26 @@
+"""Driver-contract smoke tests: entry() returns rows; every oracle key
+has a query; queries run at sf0.001."""
+
+import __spark_entry__ as entry_mod
+
+
+def test_contract_shape():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 25
+    assert set(oracles) <= set(qs)
+    # the rows-only set is intentional and small
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "html_clean_projection",
+        "embedding_knn_lsh",
+        "multimodal_decode",
+        "lang_id_heuristic",
+    }
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"c_mktsegment", "n_phones", "n_distinct_phones", "min_phone"} == set(df.columns)

@@ -1,0 +1,113 @@
+"""Extension operator tests: dedup, similarity, textstats, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontpage_spark.ext import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    far = "completely different words in this one nothing shared at all here now"
+    rows = [(0, base), (1, near), (2, far), (3, base)]  # 3 is exact dup of 0
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = df.select(dedup.shingles_col("text").alias("s")).first()["s"]
+    assert got == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    assert short.select(dedup.shingles_col("text").alias("s")).first()["s"] == ["a b"]
+
+
+def test_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (0, 3) in pairs  # exact dup always collides on every band
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup shares most shingles
+    assert (0, 2) not in pairs and (1, 2) not in pairs  # unrelated doc
+
+
+def test_simhash_dups_equal(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(docs).collect()}
+    assert sigs[0] == sigs[3]
+    assert 0 <= sigs[0] < 2**16
+    # near-dup within small hamming distance
+    assert bin(int(sigs[0]) ^ int(sigs[1])).count("1") <= 4
+    assert bin(int(sigs[0]) ^ int(sigs[2])).count("1") >= 4
+
+
+def test_jaccard_pairs(spark, docs):
+    got = {(r["a"], r["b"]): r["jaccard"] for r in dedup.jaccard_pairs(docs, threshold=0.2).collect()}
+    assert got[(0, 3)] == 1.0
+    assert 0.5 < got[(0, 1)] < 1.0
+    assert (0, 2) not in got
+
+
+def test_exact_dup_stats(spark, docs):
+    stats = dedup.exact_dup_stats(docs.withColumn("source", F.lit("s")), "text", "source").first()
+    assert stats["n_docs"] == 4 and stats["n_distinct_texts"] == 3 and stats["n_dup_docs"] == 1
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(20):
+        v = [math.sin(i * 7 + d) for d in range(8)]
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, rows[5][1]))  # exact duplicate of vec 5
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_cosine_topk_exact_dup_first(spark, vectors):
+    out = similarity.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 5), k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["cid"] == 100 and abs(rows[0]["cosine"] - 1.0) < 1e-9
+    assert len(rows) == 3 and all(r["qid"] == 5 for r in rows)
+
+
+def test_lsh_topk_recalls_exact_dup(spark, vectors):
+    out = similarity.lsh_topk(vectors, vectors.filter(F.col("vec_id") == 5), k=3, planes=4, dim=8)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows and rows[0]["cid"] == 100  # same bucket guaranteed for identical vector
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame([(1, "a a b c")], ["id", "text"])
+    r = df.select(
+        textstats.ws_token_count("text").alias("n"),
+        textstats.distinct_ratio("text").alias("dr"),
+        textstats.bpe_ish_token_count("text").alias("bpe"),
+        textstats.doc_fingerprint("text").alias("fp"),
+    ).first()
+    assert r["n"] == 4 and r["dr"] == 0.75 and r["bpe"] == 4
+    assert len(r["fp"]) == 32
+    # fingerprint is token-order robust
+    df2 = spark.createDataFrame([(1, "c b a a")], ["id", "text"])
+    assert df2.select(textstats.doc_fingerprint("text").alias("fp")).first()["fp"] == r["fp"]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"), (2, "der hund und die katze ist da")],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["g"] for r in df.select("id", textstats.lang_id_heuristic("text").alias("g")).collect()}
+    assert got[1] == "en" and got[2] == "de"
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "abc")], ["doc_id", "text"])
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    decoded = multimodal.decode_media(media)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert rows[1]["n_bytes"] == 11 and len(rows[1]["checksum"]) == 32
+    assert set(decoded.columns) == {"media_id", "kind", "n_bytes", "width", "height", "checksum"}
+    frames = multimodal.frame_sample(media, every_n_bytes=4)
+    assert frames.filter(F.col("media_id") == 1).count() == 3  # offsets 0,4,8

@@ -1,0 +1,82 @@
+"""Unit tests for the scalar library (SURVEY.md §2.5) against golden
+pairs derived from the reference semantics (etl_process.py:28-126,
+scraper.py:105-119)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontpage_spark import functions as FF
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        # plain punctuated number
+        ("Call 555-123-4567 now", ["5551234567"]),
+        # spelled-out digits collapse into the run (etl_process.py:97-111)
+        ("five five five 123 four five 67", ["5551234567"]),
+        # $ kept as separator: trailing price does not fuse (etl_process.py:84-85)
+        ("5551234567 $300", ["5551234567"]),
+        # but a LEADING price fuses once spaces are removed ("$2005551234567"
+        # → 13-digit run → length filter drops it) — reference behavior
+        ("$200 5551234567", []),
+        # bounds: 6 too short, 12 too long (etl_process.py:117)
+        ("123456 too short", []),
+        ("123456789012 too long", []),
+        # dedupe across formats
+        ("call me at 555.123.4567 or 555 123 4567", ["5551234567"]),
+        ("no numbers here", []),
+        # all ten words → one 10-digit run
+        ("zero one two three four five six seven eight nine", ["0123456789"]),
+        # 7 and 11 inclusive bounds
+        ("1234567", ["1234567"]),
+        ("12345678901", ["12345678901"]),
+    ],
+)
+def test_phone_candidates(spark, text, expected):
+    got = one(spark, FF.phone_candidates(F.lit(text)))
+    assert got == expected
+
+
+def test_phone_extract_compat_join(spark):
+    got = one(spark, FF.phone_extract(F.lit("a 1234567 b 7654321")))
+    assert got == "1234567;7654321"  # sorted, ';'-joined
+
+
+def test_url_tokens(spark):
+    url = F.lit("http://sitex.example.com/catz/slug-here/12345")
+    assert one(spark, FF.ad_id_from_url(url)) == "12345"
+    assert one(spark, FF.category_from_url(url)) == "catz"
+    assert one(spark, FF.site_id_from_url(url)) == "sitex"
+
+
+def test_uniq_id(spark):
+    got = one(
+        spark,
+        FF.uniq_id(F.lit("2017-05-02 23:28:00"), F.lit("123"), F.lit("nyc"), F.lit("cats")),
+    )
+    assert got == "2017-05-02 23:28:00-123-nyc-cats"
+
+
+def test_parse_verbose_date(spark):
+    got = one(spark, FF.format_ts(FF.parse_verbose_date(F.lit("Tuesday, May 2, 2017 11:28 PM"))))
+    assert got == "2017-05-02 23:28:00"
+    # malformed → NULL (reference: except → '')
+    assert one(spark, FF.parse_verbose_date(F.lit("not a date"))) is None
+    assert one(spark, FF.empty_on_null(FF.parse_verbose_date(F.lit("nope")).cast("string"))) == ""
+
+
+def test_ascii_sanitize(spark):
+    assert one(spark, FF.ascii_sanitize(F.lit("héllo wörld"))) == "hllo wrld"
+
+
+def test_normalize_param(spark):
+    assert one(spark, FF.normalize_param(F.lit("  New York \n"))) == "new york"
+
+
+def test_json_get(spark):
+    assert one(spark, FF.json_get(F.lit('{"k": 87}'), "k")) == "87"

@@ -1,0 +1,82 @@
+"""Incremental + streaming semantics (SURVEY.md §2.6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontpage_spark.incremental import (
+    delta_scan,
+    exclude_dead_letter,
+    sessionize,
+    stream_pipeline,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    rows = [(i, f"k{i}", f"payload{i}") for i in range(10)]
+    return spark.createDataFrame(rows, ["id", "uniq_id", "payload"])
+
+
+def test_delta_scan_incrementality(spark, raw):
+    processed = spark.createDataFrame([(f"k{i}",) for i in range(5)], ["uniq_id"])
+    batch = delta_scan(raw, processed, batch_size=3, order_col="id")
+    assert [r["uniq_id"] for r in batch.collect()] == ["k5", "k6", "k7"]
+    # second cycle after loading that batch sees only the remainder
+    processed2 = processed.union(batch.select("uniq_id"))
+    batch2 = delta_scan(raw, processed2, batch_size=50, order_col="id")
+    assert [r["uniq_id"] for r in batch2.collect()] == ["k8", "k9"]
+
+
+def test_dead_letter_exclusion(spark, raw):
+    q = spark.createDataFrame([("k1",), ("k3",)], ["uniq_id"])
+    got = exclude_dead_letter(raw, q)
+    assert got.count() == 8 and not {"k1", "k3"} & {r["uniq_id"] for r in got.collect()}
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, 10, "2024-01-01 00:00:00"),
+        (2, 10, "2024-01-01 00:10:00"),  # same session (gap 600 < 1800)
+        (3, 10, "2024-01-01 01:00:00"),  # new session (gap 3000)
+        (4, 20, "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"]).select(
+        "event_id", "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    got = {r["event_id"]: r["session_idx"] for r in sessionize(ev).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_windowed_counts_batch(spark):
+    rows = [(1, "a", "2024-01-01 00:01:00", 1.0), (2, "a", "2024-01-01 00:09:00", 2.0),
+            (3, "a", "2024-01-01 00:11:00", 3.0)]
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"]).select(
+        "event_id", "event_type", F.to_timestamp("ts").alias("ts"), "value"
+    )
+    got = windowed_counts(ev, window="10 minutes")
+    rows = sorted(got.collect(), key=lambda r: r["w"]["start"])
+    assert [r["n"] for r in rows] == [2, 1]
+
+
+def test_stream_pipeline_foreachbatch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    df = spark.createDataFrame([(i, f"k{i}") for i in range(20)], ["id", "uniq_id"])
+    df.coalesce(1).write.parquet(src)
+
+    seen = []
+
+    def batch_fn(bdf, epoch_id):
+        seen.append(bdf.count())
+
+    q = stream_pipeline(
+        spark, src, chk, batch_fn, schema=df.schema, available_now=True
+    )
+    q.awaitTermination(60)
+    assert sum(seen) == 20
+    # restart with same checkpoint: nothing re-read (exactly-once offsets)
+    seen.clear()
+    q2 = stream_pipeline(spark, src, chk, batch_fn, schema=df.schema, available_now=True)
+    q2.awaitTermination(60)
+    assert sum(seen) == 0
