@@ -51,22 +51,35 @@ def main() -> None:
     # not first-call classloading
     QUERIES["global_minmax"](spark, sf_dir).collect()
 
+    def run(name: str) -> float:
+        # noop sink: materializes EVERY output column (count() would let
+        # Catalyst prune the expensive projections right out of the plan)
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # Pass 1 (cold): includes each plan's one-time whole-stage-codegen
+    # compile — a per-plan constant that amortizes to zero at real data
+    # scale. Pass 2 (warm): steady-state execution, the number that is
+    # comparable across engines and scales with the data.
+    cold_query: dict[str, float] = {}
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        dt = time.time() - t0
+        cold_query[name] = round(run(name), 3)
+    for name in HEADLINE:
+        dt = run(name)
         per_query[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.2f}s (cold {cold_query[name]:.2f}s)", file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "cold_value": round(sum(cold_query.values()), 3),
+        "cold_queries": cold_query,
         "sf": sf_dir,
     }
 

@@ -22,23 +22,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-DOT_DECIMAL = "DECIMAL(38,25)"
+def _dot(a: str, b: str) -> Column:
+    """Dot product of two float-array columns in double.
 
-
-def _dot_dec(a: str, b: str) -> Column:
-    """Exact-deterministic dot product of two float-array columns.
-    The merge re-casts because decimal addition widens precision and the
-    fold requires a stable accumulator type."""
+    Element order inside an array is fixed, so the sequential fold is
+    bit-deterministic for a given pair regardless of partitioning; the
+    remaining cross-engine slop (summation strategy, sqrt ULP) is
+    absorbed by rounding the *output* cosine."""
     return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {DOT_DECIMAL})), "
-        f"CAST(0 AS {DOT_DECIMAL}), (acc, v) -> CAST(acc + v AS {DOT_DECIMAL}))"
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
-def _norm2_dec(a: str) -> Column:
+def _norm2(a: str) -> Column:
     return F.expr(
-        f"aggregate(transform({a}, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {DOT_DECIMAL})), "
-        f"CAST(0 AS {DOT_DECIMAL}), (acc, v) -> CAST(acc + v AS {DOT_DECIMAL}))"
+        f"aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
     )
 
 
@@ -52,23 +51,22 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` must be small (it is broadcast); the corpus is scanned
-    once, scored per (query, candidate), and ranked with a per-query
-    window — the only shuffle is on qid for the top-k ranking.
+    once. Norms are computed ONCE per vector on each join input — the
+    join boundary stops Catalyst's project-collapsing from re-inlining
+    them per pair — so scoring a pair costs one dot product plus two
+    cached lookups. The only shuffle is on qid for the top-k ranking.
     Output: (qid, cid, cosine, rank).
     """
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), _norm2(vec_col).alias("qn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"), _norm2(vec_col).alias("cn")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cid") != F.col("qid"))
-        .withColumn(
-            "cosine",
-            _dot_dec("qe", "ce").cast("double")
-            / (
-                F.sqrt(_norm2_dec("qe").cast("double"))
-                * F.sqrt(_norm2_dec("ce").cast("double"))
-            ),
-        )
+        .withColumn("cosine", _dot("qe", "ce") / (F.sqrt("qn") * F.sqrt("cn")))
     )
     from pyspark.sql.window import Window
 
@@ -77,6 +75,31 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "cosine", "rank")
+    )
+
+
+def cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All a<b embedding pairs with their cosine — the exact base for
+    embedding-cosine near-dup detection. O(N²): use directly on samples
+    or LSH-blocked candidates; at corpus scale run ``lsh_topk``-style
+    bucketing first and this as the verify stage. Norms precomputed once
+    per side (join barrier prevents re-inlining per pair).
+    Output: (a, b, cosine)."""
+    x = corpus.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("ea"), _norm2(vec_col).alias("na")
+    )
+    y = corpus.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("eb"), _norm2(vec_col).alias("nb")
+    )
+    return (
+        x.crossJoin(y)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", _dot("ea", "eb") / (F.sqrt("na") * F.sqrt("nb")))
+        .select("a", "b", "cosine")
     )
 
 
@@ -139,14 +162,7 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("cid") != F.col("qid"))
-        .withColumn(
-            "cosine",
-            _dot_dec("qe", "ce").cast("double")
-            / (
-                F.sqrt(_norm2_dec("qe").cast("double"))
-                * F.sqrt(_norm2_dec("ce").cast("double"))
-            ),
-        )
+        .withColumn("cosine", _dot("qe", "ce") / (F.sqrt(_norm2("qe")) * F.sqrt(_norm2("ce"))))
     )
     from pyspark.sql.window import Window
 

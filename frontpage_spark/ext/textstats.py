@@ -80,6 +80,39 @@ def doc_fingerprint(text: Column | str, k: int = 5) -> Column:
     return F.md5(F.concat_ws("", F.slice(F.array_sort(hashes), 1, k)))
 
 
+# Karp-Rabin rolling-hash parameters, shared with the DuckDB oracle.
+RH_BASE = 1000003
+RH_MOD = (1 << 31) - 1
+RH_WINDOW = 4
+
+
+def _token_hash(tok: Column) -> Column:
+    """Portable token→int hash: first 8 hex chars of md5 as a bigint, mod
+    RH_MOD. (DuckDB side: CAST('0x'||substr(md5(t),1,8) AS BIGINT).)"""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % RH_MOD
+
+
+def rolling_hash_fingerprint(text: Column | str) -> Column:
+    """Karp-Rabin document fingerprint: polynomial rolling hash over every
+    RH_WINDOW-token window, fingerprint = min window hash.
+
+    The window hashes are built by chaining zip_with over shifted slices
+    of the per-token hash array — all long arithmetic stays < 2^52 so
+    it is exact in both engines. Docs shorter than the window fall back
+    to the whole-text hash. Catalyst's project collapsing re-inlines the
+    token-hash array into each of the 4 slices (md5 ×4 per token) —
+    acceptable: the arrays are per-row and the md5s stay codegen'd.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    th = F.transform(F.split(c, " "), _token_hash)
+    n = F.size(th)
+    w = [F.slice(th, i + 1, n - (RH_WINDOW - 1)) for i in range(RH_WINDOW)]
+    r = w[0]
+    for i in range(1, RH_WINDOW):
+        r = F.zip_with(r, w[i], lambda a, b: (a * RH_BASE + b) % RH_MOD)
+    return F.when(n >= RH_WINDOW, F.array_min(r)).otherwise(_token_hash(c))
+
+
 def quality_profile(
     df: DataFrame, text_col: str = "text", group_col: str = "lang"
 ) -> DataFrame:

@@ -719,30 +719,29 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- SimHash --------------------------------------------------------------
+_SIMHASH_SUMS_SQL = ", ".join(
+    f"SUM((ascii(substr(h, {j + 1}, 1)) % 2) * 2 - 1) AS s{j}" for j in range(16)
+)
+_SIMHASH_PACK_SQL = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(16)
+)
+
 @register(
     "simhash_buckets",
-    """
+    f"""
     WITH toks AS (
       SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
       FROM documents
     ),
-    bits AS (
-      SELECT doc_id, tok, j,
-             ascii(substr(md5(tok || ':' || CAST(j AS VARCHAR)), 1, 1)) % 2 AS bit
-      FROM toks CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS j)
-    ),
-    maj AS (
-      SELECT doc_id, j, CASE WHEN SUM(bit * 2 - 1) > 0 THEN 1 ELSE 0 END AS m
-      FROM bits GROUP BY doc_id, j
-    ),
-    sigs AS (
-      SELECT doc_id, CAST(SUM(m * (1 << j)) AS BIGINT) AS simhash FROM maj GROUP BY doc_id
-    )
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    maj AS (SELECT doc_id, {_SIMHASH_SUMS_SQL} FROM hashed GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {_SIMHASH_PACK_SQL} AS simhash FROM maj)
     SELECT simhash, COUNT(*) AS n_docs FROM sigs GROUP BY simhash
     """,
 )
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash bucket histogram over documents."""
+    """16-bit SimHash bucket histogram over documents (one md5 per token;
+    bit j = majority of hex-nibble-j parity)."""
     sigs = dedup.simhash16(_t(spark, sf_dir, "documents"))
     return sigs.groupBy("simhash").agg(F.count("*").alias("n_docs"))
 
@@ -779,15 +778,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- embedding similarity: brute-force top-k ------------------------------
 _DOT_SQL = (
-    "list_sum([CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,25)) "
+    "list_sum([CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) "
     "for i in generate_series(1, len(qe))])"
 )
 _QNORM_SQL = (
-    "list_sum([CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(38,25)) "
+    "list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) "
     "for i in generate_series(1, len(qe))])"
 )
 _CNORM_SQL = (
-    "list_sum([CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,25)) "
+    "list_sum([CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) "
     "for i in generate_series(1, len(ce))])"
 )
 
@@ -798,8 +797,7 @@ _CNORM_SQL = (
     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
     scored AS (
       SELECT qid, cid,
-             CAST({_DOT_SQL} AS DOUBLE) /
-             (sqrt(CAST({_QNORM_SQL} AS DOUBLE)) * sqrt(CAST({_CNORM_SQL} AS DOUBLE))) AS cosine
+             {_DOT_SQL} / (sqrt({_QNORM_SQL}) * sqrt({_CNORM_SQL})) AS cosine
       FROM c CROSS JOIN q
       WHERE cid <> qid
     ),
@@ -822,6 +820,149 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "qid", "cid", F.round("cosine", 12).alias("cosine"), F.col("rank").cast("long").alias("rank")
     )
+
+
+# ---- embedding-cosine near-dup --------------------------------------------
+_PAIR_DOT_SQL = (
+    "list_sum([CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) "
+    "for i in generate_series(1, len(ea))])"
+)
+_NA_SQL = (
+    "list_sum([CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE) "
+    "for i in generate_series(1, len(ea))])"
+)
+_NB_SQL = (
+    "list_sum([CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) "
+    "for i in generate_series(1, len(eb))])"
+)
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH x AS (SELECT vec_id AS a, embedding AS ea FROM embeddings),
+    y AS (SELECT vec_id AS b, embedding AS eb FROM embeddings),
+    scored AS (
+      SELECT a, b, {_PAIR_DOT_SQL} / (sqrt({_NA_SQL}) * sqrt({_NB_SQL})) AS cosine
+      FROM x JOIN y ON a < b
+    )
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN cosine >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_05,
+           CAST(SUM(CASE WHEN cosine >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_08,
+           MAX(round(cosine, 12)) AS max_cosine
+    FROM scored
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup profile: exact all-pairs cosine with
+    threshold counts (the verify stage of near-dup dedup; LSH blocks
+    candidates at corpus scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs(emb)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("cosine") >= 0.5, 1).otherwise(0)).alias("n_ge_05"),
+        F.sum(F.when(F.col("cosine") >= 0.8, 1).otherwise(0)).alias("n_ge_08"),
+        F.max(F.round("cosine", 12)).alias("max_cosine"),
+    )
+
+
+# ---- rolling-hash fingerprint ---------------------------------------------
+_RH_TH_SQL = (
+    "list_transform(string_split(text, ' '), "
+    f"tok -> CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {textstats.RH_MOD})"
+)
+_RH_WIN_SQL = (
+    f"[((((((th[i] * {textstats.RH_BASE} + th[i+1]) % {textstats.RH_MOD}) * {textstats.RH_BASE}"
+    f" + th[i+2]) % {textstats.RH_MOD}) * {textstats.RH_BASE} + th[i+3]) % {textstats.RH_MOD})"
+    f" for i in generate_series(1, len(th) - {textstats.RH_WINDOW - 1})]"
+)
+
+@register(
+    "rolling_hash_fingerprints",
+    f"""
+    WITH th_t AS (SELECT doc_id, text, {_RH_TH_SQL} AS th FROM documents),
+    fp AS (
+      SELECT doc_id,
+             CASE WHEN len(th) >= {textstats.RH_WINDOW} THEN list_min({_RH_WIN_SQL})
+                  ELSE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % {textstats.RH_MOD}
+             END AS fingerprint
+      FROM th_t
+    )
+    SELECT fingerprint, COUNT(*) AS n_docs FROM fp GROUP BY fingerprint
+    """,
+)
+def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash fingerprint histogram (min window hash per
+    doc) — content-defined fingerprinting for shift-robust dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", textstats.rolling_hash_fingerprint("text").alias("fingerprint")
+    )
+    return fp.groupBy("fingerprint").agg(F.count("*").alias("n_docs"))
+
+
+# ---- window functions: top-n per group ------------------------------------
+@register(
+    "topn_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rn <= 3
+    """,
+)
+def topn_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function extension: top-3 orders per market segment
+    (partitioned row_number with a deterministic tiebreak)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# ---- set operations --------------------------------------------------------
+@register(
+    "set_ops_customers",
+    """
+    SELECT 'both' AS cohort, COUNT(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'f_only' AS cohort, COUNT(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation extension: INTERSECT / EXCEPT cohorts of customers
+    by order status."""
+    orders = _t(spark, sf_dir, "orders")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f_keys.intersect(o_keys).agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("cohort"), "n"
+    )
+    f_only = f_keys.exceptAll(o_keys).agg(F.count("*").alias("n")).select(
+        F.lit("f_only").alias("cohort"), "n"
+    )
+    return both.unionAll(f_only)
 
 
 # ---- text quality ---------------------------------------------------------

@@ -111,3 +111,34 @@ def test_multimodal_plumbing(spark):
     assert set(decoded.columns) == {"media_id", "kind", "n_bytes", "width", "height", "checksum"}
     frames = multimodal.frame_sample(media, every_n_bytes=4)
     assert frames.filter(F.col("media_id") == 1).count() == 3  # offsets 0,4,8
+
+
+def test_rolling_hash_fingerprint(spark):
+    from frontpage_spark.ext import textstats as ts
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "short doc"), (4, "x a b c d e y")],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r["fp"]
+        for r in df.select("id", ts.rolling_hash_fingerprint("text").alias("fp")).collect()
+    }
+    assert rows[1] == rows[2]  # identical docs → identical fingerprint
+    assert rows[1] is not None and 0 <= rows[3] < ts.RH_MOD
+    # shift-robust: doc 4 contains doc 1's windows → its min can only be <=
+    assert rows[4] <= rows[1]
+
+
+def test_cosine_pairs(spark):
+    from frontpage_spark.ext import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {(r["a"], r["b"]): r["cosine"] for r in similarity.cosine_pairs(df).collect()}
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}  # a<b only, all pairs
+    assert abs(got[(1, 2)] - 1.0) < 1e-12
+    assert abs(got[(1, 3)]) < 1e-12
