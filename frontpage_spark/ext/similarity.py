@@ -103,6 +103,67 @@ def cosine_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into Voronoi
+    cells around ``n_centroids`` centroid vectors, probe each query's
+    ``nprobe`` nearest cells, exact-score only within probed cells.
+
+    Centroids are a deterministic corpus sample (the first n_centroids
+    ids) — a stand-in for a k-means codebook, which would be trained
+    offline and broadcast the same way. Plan shape: one broadcast of the
+    centroids, one narrow argmin pass per side, then an equi-join on
+    cell id — the corpus shuffles once on its cell assignment, exactly
+    how a 100 TB IVF index would be bucketed/bucketed-written.
+    Output: (qid, cid, cosine, rank) — approximate (recall < 1).
+    """
+    from pyspark.sql.window import Window
+
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent"), _norm2(vec_col).alias("cent_n"))
+    )
+
+    def assign(df: DataFrame, idc: str, vc: str, out: str, probes: int) -> DataFrame:
+        scored = (
+            df.select(F.col(idc), F.col(vc), _norm2(vc).alias("__n"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("__sim", _dot(vc, "cent") / (F.sqrt("__n") * F.sqrt("cent_n")))
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("__sim").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= probes)
+            .select(F.col(idc), F.col(vc), F.col("cent_id").alias(out))
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")), "cid", "ce", "cell", 1
+    )
+    q = assign(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")), "qid", "qe", "cell", nprobe
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cosine", _dot("qe", "ce") / (F.sqrt(_norm2("qe")) * F.sqrt(_norm2("ce"))))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
 def lsh_signature(vec_col: str, planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane signature: bit p = sign(v · h_p) where h_p[i] is
     ±1 from the parity of md5('p:i') — deterministic, no stored model.

@@ -98,6 +98,62 @@ def windowed_counts(events: DataFrame, window: str = "10 minutes", watermark: st
     )
 
 
+def stateful_user_counts(stream: DataFrame, timeout_minutes: int | None = None) -> DataFrame:
+    """ST-extension — custom stateful streaming operator via
+    applyInPandasWithState: a per-user running event count + max-ts
+    watermark that survives across micro-batches (the kind of state the
+    reference kept in its in-memory dead-letter set, made durable and
+    partitioned).
+
+    State is keyed by user_id (shuffle key), one row of state per user;
+    Arrow-batched on both sides. Works only on streaming DataFrames.
+
+    ``timeout_minutes`` enables ProcessingTimeTimeout state eviction;
+    default None = NoTimeout (this pyspark build's worker crashes on
+    setTimeoutDuration — state then lives for the query lifetime, which
+    is fine for bounded keyspaces; at an unbounded 100 TB keyspace use
+    the timeout or a TTL'd state store).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_ts", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("max_ts", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, max_ts = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                max_ts = max(max_ts, int(pdf["ts_long"].max()))
+        state.update((n, max_ts))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_ts": [max_ts]})
+
+    prepared = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp("ts").alias("ts_long"),
+    )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout_conf
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Session assignment (batch): a new session starts when the gap to
     the previous event of the same user exceeds ``gap_seconds``.

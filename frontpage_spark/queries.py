@@ -1022,6 +1022,50 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- sentiment lexicon join -----------------------------------------------
+_LEX_VALUES_SQL = ", ".join(
+    f"('{w}', {v})" for w, v in sorted(textstats.SENTIMENT_LEXICON.items())
+)
+
+@register(
+    "sentiment_by_source",
+    f"""
+    WITH lex(word, weight) AS (VALUES {_LEX_VALUES_SQL}),
+    toks AS (
+      SELECT doc_id, source, UNNEST(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, CAST(SUM(weight) AS BIGINT) AS sentiment
+      FROM toks t JOIN lex USING (word) GROUP BY t.doc_id
+    ),
+    per_doc AS (
+      SELECT d.source, COALESCE(h.sentiment, 0) AS sentiment
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(sentiment) AS BIGINT) AS total_sentiment,
+           CAST(MIN(sentiment) AS BIGINT) AS min_sentiment,
+           CAST(MAX(sentiment) AS BIGINT) AS max_sentiment
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-join sentiment scoring rolled up per source (broadcast
+    dimension join, the reference's site_map shape applied to text)."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = textstats.sentiment_scores(docs, spark)
+    per_doc = docs.select("doc_id", "source").join(scores, "doc_id", "left")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("sentiment").alias("total_sentiment"),
+        F.min("sentiment").alias("min_sentiment"),
+        F.max("sentiment").alias("max_sentiment"),
+    )
+
+
 # ---- document fingerprint -------------------------------------------------
 @register(
     "doc_fingerprints",
@@ -1199,6 +1243,14 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring. Approximate by construction → rows-only check."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=10, planes=4)
+
+
+@register("embedding_knn_ivf")  # rows-only: approximate operator
+def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: Voronoi-cell partitioning around sampled centroids,
+    nprobe-cell probing, in-cell exact scoring. Approximate → rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
 
 
 @register("multimodal_decode")  # rows-only: stubbed codec, real plumbing

@@ -14,6 +14,7 @@ def test_contract_shape():
     assert rows_only == {
         "html_clean_projection",
         "embedding_knn_lsh",
+        "embedding_knn_ivf",
         "multimodal_decode",
         "lang_id_heuristic",
     }

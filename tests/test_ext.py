@@ -142,3 +142,29 @@ def test_cosine_pairs(spark):
     assert set(got) == {(1, 2), (1, 3), (2, 3)}  # a<b only, all pairs
     assert abs(got[(1, 2)] - 1.0) < 1e-12
     assert abs(got[(1, 3)]) < 1e-12
+
+
+def test_sentiment_scores(spark):
+    from frontpage_spark.ext import textstats as ts
+
+    df = spark.createDataFrame(
+        [(1, "a good great day"), (2, "terrible awful stuff"), (3, "neutral words only")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["sentiment"] for r in ts.sentiment_scores(df, spark).collect()}
+    assert got == {1: 5, 2: -7, 3: 0}  # good(2)+great(3); terrible(-3)+awful(-4); no hits
+
+
+def test_ivf_topk_finds_exact_dup(spark):
+    from frontpage_spark.ext import similarity
+
+    # 40 vectors in 2 obvious clusters; vec 30 duplicates vec 35
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0]
+        rows.append((i, [v + 0.001 * i * (j + 1) for j, v in enumerate(base)]))
+    rows[35] = (35, rows[30][1])
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.ivf_topk(df, df.filter("vec_id = 30"), k=3, n_centroids=4, nprobe=2)
+    got = [r["cid"] for r in out.orderBy("rank").collect()]
+    assert got[0] == 35  # the exact duplicate ranks first

@@ -80,3 +80,51 @@ def test_stream_pipeline_foreachbatch(spark, tmp_path):
     q2 = stream_pipeline(spark, src, chk, batch_fn, schema=df.schema, available_now=True)
     q2.awaitTermination(60)
     assert sum(seen) == 0
+
+
+def test_stateful_user_counts(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from frontpage_spark.incremental import stateful_user_counts
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:05:00"), (2, "2024-01-01 00:01:00")],
+        ["user_id", "ts_s"],
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    base.write.parquet(src)
+
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    out = stateful_user_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_counts")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r["n_events"] for r in spark.sql("select * from stateful_counts").collect()}
+    assert rows == {1: 2, 2: 1}
+
+    # second batch: state survives the restart via the checkpoint (the
+    # memory sink can't recover from a checkpoint → use foreachBatch)
+    base.limit(1).select(F.col("user_id"), F.col("ts") + F.expr("INTERVAL 10 MINUTES")).toDF(
+        "user_id", "ts"
+    ).write.mode("append").parquet(src)
+    seen: list = []
+    stream2 = spark.readStream.schema(base.schema).parquet(src)
+    q2 = (
+        stateful_user_counts(stream2)
+        .writeStream.foreachBatch(lambda df, _eid: seen.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows2 = {r["user_id"]: r["n_events"] for r in seen}
+    assert rows2[1] == 3  # 2 from prior state + 1 new
