@@ -103,8 +103,41 @@ def _extract(html: str | None, field: str) -> str | None:
     return None
 
 
+FIELDS = ("post_date_raw", "post_title", "post_body", "poster_age", "locations", "other_ads")
+
+_extract_all_udf = None  # built lazily: pandas_udf with a DDL schema
+# string needs an active SparkSession, which module import (esp. on
+# executors unpickling this module) must not assume
+
+
+def _get_extract_all():
+    global _extract_all_udf
+    if _extract_all_udf is None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType([StructField(f, StringType()) for f in FIELDS])
+
+        @pandas_udf(schema)
+        def _extract_all(html: pd.Series) -> pd.DataFrame:
+            # all six HTML fields in ONE Arrow round trip — the HTML
+            # column (by far the widest) crosses to Python once per
+            # batch, not once per field
+            return pd.DataFrame({f: html.map(lambda h: _extract(h, f)) for f in FIELDS})
+
+        _extract_all_udf = _extract_all
+    return _extract_all_udf
+
+
+def extract_fields(html: Column | str) -> Column:
+    """struct(post_date_raw, post_title, post_body, poster_age,
+    locations, other_ads) extracted from an HTML column."""
+    return _get_extract_all()(F.col(html) if isinstance(html, str) else html)
+
+
 def make_extractor(field: str):
-    """Build a pandas UDF extracting one field from an HTML column."""
+    """Build a pandas UDF extracting one field from an HTML column.
+    (Single-field convenience; multi-field consumers should use
+    ``extract_fields`` — one Arrow pass for all six.)"""
 
     @pandas_udf("string")
     def extract(html: pd.Series) -> pd.Series:

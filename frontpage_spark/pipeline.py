@@ -24,21 +24,30 @@ def clean_projection(raw: DataFrame) -> DataFrame:
     reference produced '' (apply ``to_compat`` for exact parity).
     """
     url = F.col("ad.url")
-    read = F.col("ad.read")
-    body = html.post_body(read)
-    return raw.select(
+    # one Arrow round trip extracts all six HTML fields (struct column);
+    # everything downstream is native Catalyst expressions
+    with_h = raw.select(
+        F.col("uniq_id"),
+        url.alias("__url"),
+        F.col("ad.scrape_date").alias("__scrape_date"),
+        html.extract_fields(F.col("ad.read")).alias("__h"),
+    )
+    h = F.col("__h")
+    url = F.col("__url")
+    body = h["post_body"]
+    return with_h.select(
         F.col("uniq_id"),
         FF.ad_id_from_url(url).alias("ad_id"),
         url.alias("ad_url"),
         FF.category_from_url(url).alias("category"),
-        html.locations(read).alias("locations"),
-        F.split(html.other_ads(read), ";").alias("other_ads"),
+        h["locations"].alias("locations"),
+        F.split(h["other_ads"], ";").alias("other_ads"),
         FF.phone_candidates(body).alias("phone"),
         body.alias("post_body"),
-        FF.parse_verbose_date(html.post_date_raw(read)).alias("post_date"),
-        html.poster_age(read).alias("poster_age"),
-        html.post_title(read).alias("post_title"),
-        F.to_timestamp(F.col("ad.scrape_date")).alias("scrape_date"),
+        FF.parse_verbose_date(h["post_date_raw"]).alias("post_date"),
+        h["poster_age"].alias("poster_age"),
+        h["post_title"].alias("post_title"),
+        F.to_timestamp(F.col("__scrape_date")).alias("scrape_date"),
         FF.site_id_from_url(url).alias("site_id"),
     )
 

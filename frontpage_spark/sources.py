@@ -63,9 +63,11 @@ def csv_dimension(spark: SparkSession, path: str, column_map: dict[str, str] | N
 def text_params(spark: SparkSession, path: str) -> DataFrame:
     """S6 — newline param file → normalized distinct one-column DataFrame
     (reference: set(line.lower().strip()), scraper.py:159-160)."""
+    from .functions import normalize_param
+
     return (
         spark.read.text(path)
-        .select(F.lower(F.trim(F.col("value"))).alias("value"))
+        .select(normalize_param(F.col("value")).alias("value"))
         .filter(F.col("value") != "")
         .distinct()
     )
