@@ -34,6 +34,12 @@ HEADLINE = [
     "sessionize_users",
     "tumbling_window_counts",
     "incremental_delta_scan",
+    "sentiment_by_source",
+    "rolling_hash_fingerprints",
+    "topn_per_segment",
+    "set_ops_customers",
+    "lang_id_heuristic",
+    "salted_skew_join",
 ]
 
 

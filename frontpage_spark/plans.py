@@ -1,0 +1,80 @@
+"""Physical-plan utilities for the 100 TB path: skew mitigation and
+shuffle elimination.
+
+AQE's skew-join splitting handles most skew at runtime; these are for
+the cases it can't see (pre-aggregated monster keys, deliberate
+co-location across many jobs):
+
+- ``salted_join``     static key salting: the skewed side fans a key
+  out over n sub-keys, the other side is replicated n×. Turns one
+  monster partition into n even ones at the cost of replicating the
+  (small) build side.
+- ``write_bucketed`` / ``bucketed_table``   hash-bucketed tables on the
+  join/agg key: every subsequent join or aggregation on that key runs
+  shuffle-FREE (verified in tests by asserting no Exchange in the
+  plan). This is how a 100 TB fact table amortizes its one shuffle
+  across every downstream query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed``'s hot keys are spread over ``n_salt``
+    sub-partitions and ``other`` is replicated once per salt value.
+
+    The salt is a deterministic hash of the whole skewed row (xxhash64),
+    so repeated runs produce identical partition assignments. Valid for
+    inner/left joins keyed on ``key``; the replicated side should be the
+    smaller one (its shuffle volume grows n_salt×).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salt))
+    left = skewed.withColumn(SALT_COL, salt)
+    right = other.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn(SALT_COL, F.col(SALT_COL).cast("bigint"))
+    return left.join(right, [key, SALT_COL], how).drop(SALT_COL)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) on ``key``.
+
+    Joins/aggregations between tables bucketed identically on the join
+    key need no Exchange — the bucketing IS the shuffle, paid once at
+    write time. (Bucket pruning also applies to key-equality filters.)
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes in the executed plan — the unit
+    tests' scalability assertion."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
+    )

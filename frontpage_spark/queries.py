@@ -965,6 +965,36 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionAll(f_only)
 
 
+# ---- salted skew join ------------------------------------------------------
+@register(
+    "salted_skew_join",
+    """
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-salting demonstration (plans.salted_join): the skewed side
+    fans each key over 8 salts, the dimension is replicated 8x. The
+    oracle is the PLAIN join — salting must be result-invariant."""
+    from .plans import salted_join
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    joined = salted_join(cust, nat, "c_nationkey", n_salt=8)
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double") / 100.0).alias(
+            "total_acctbal"
+        ),
+    )
+
+
 # ---- text quality ---------------------------------------------------------
 @register(
     "text_quality_by_lang",
@@ -1264,9 +1294,33 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(media)
 
 
-@register("lang_id_heuristic")  # rows-only: heuristic classifier
+_LANGS = sorted(textstats.LANG_MARKERS)
+_LANG_HITS_SQL = ", ".join(
+    "len(list_filter(string_split(lower(text), ' '), x -> list_contains(["
+    + ", ".join(f"'{m}'" for m in textstats.LANG_MARKERS[lang])
+    + f"], x))) AS h_{lang}"
+    for lang in _LANGS
+)
+_LANG_GREATEST_SQL = "greatest(" + ", ".join(f"h_{lang}" for lang in _LANGS) + ")"
+_LANG_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN h_{lang} = hmax THEN '{lang}'" for lang in _LANGS)
+    + " END"
+)
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH scored AS (SELECT lang, {_LANG_HITS_SQL} FROM documents),
+    g AS (SELECT lang, {_LANG_GREATEST_SQL} AS hmax, * FROM scored),
+    guessed AS (SELECT lang, {_LANG_CASE_SQL} AS guess FROM g)
+    SELECT lang, guess, COUNT(*) AS n FROM guessed GROUP BY lang, guess
+    """,
+)
 def lang_id_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-lexicon language-ID guess vs the labeled lang column."""
+    """Marker-lexicon language-ID guess vs the labeled lang column. The
+    argmax fold keeps the earliest language (in code order) among ties,
+    which the oracle mirrors with greatest() + an ordered CASE."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.select("lang", textstats.lang_id_heuristic("text").alias("guess"))

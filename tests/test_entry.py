@@ -16,7 +16,6 @@ def test_contract_shape():
         "embedding_knn_lsh",
         "embedding_knn_ivf",
         "multimodal_decode",
-        "lang_id_heuristic",
     }
 
 

@@ -1,0 +1,52 @@
+"""Physical-plan assertions: salting correctness, bucketed joins run
+shuffle-free."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontpage_spark.plans import bucketed_table, count_exchanges, salted_join, write_bucketed
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one monster key (0) + a uniform tail
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1000, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame([(0, "hot"), (1500, "cold")], ["k", "tag"])
+    plain = left.join(right, "k").select("k", "v", "tag")
+    salted = salted_join(left, right, "k", n_salt=4).select("k", "v", "tag")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    left = spark.range(0, 1000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    right = spark.createDataFrame([(0, "x")], ["k", "tag"])
+    out = salted_join(left, right, "k", n_salt=8)
+    # the single hot key now occupies several distinct salt partitions
+    from frontpage_spark.plans import SALT_COL
+
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in ["k", "v"]]), F.lit(8))
+    n_salts = left.withColumn(SALT_COL, salt).select(SALT_COL).distinct().count()
+    assert n_salts >= 4
+    assert out.count() == 1000
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+        b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+        write_bucketed(a, "bkt_a", "k", n_buckets=4)
+        write_bucketed(b, "bkt_b", "k", n_buckets=4)
+        joined = bucketed_table(spark, "bkt_a").join(bucketed_table(spark, "bkt_b"), "k")
+        assert joined.count() == 1000
+        assert count_exchanges(joined) == 0  # bucketing replaced the shuffle
+        # same key aggregation is also exchange-free
+        agg = bucketed_table(spark, "bkt_a").groupBy("k").agg(F.sum("a").alias("s"))
+        agg.collect()
+        assert count_exchanges(agg) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
