@@ -59,16 +59,23 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
 
 def lang_id_heuristic(text: Column | str) -> Column:
     """Pick the language whose marker-hit count is highest (ties resolved
-    by language code order). Pure array math, no shuffle."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.lower(c), " ")
-    scored = None
-    for lang in sorted(LANG_MARKERS):
-        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
-        entry = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
-        scored = entry if scored is None else F.when(entry["hits"] > scored["hits"], entry).otherwise(scored)
-    return scored["lang"]
+    by language code order). One codegen'd token-anchored regexp_count
+    per marker — zero shuffle, no interpreted lambdas."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    entries = []
+    for i, lang in enumerate(sorted(LANG_MARKERS)):
+        hits = None
+        for m in LANG_MARKERS[lang]:
+            h = F.regexp_count(c, F.lit(r"(?<![^ ])" + m + r"(?![^ ])"))
+            hits = h if hits is None else hits + h
+        # argmax via array_max over (hits, -rank, lang) structs: every
+        # hit-count subtree appears exactly ONCE. (A when()-chain fold
+        # here duplicates each branch into condition+else at every
+        # level — exponential re-evaluation of the regex counts.)
+        entries.append(
+            F.struct(hits.alias("hits"), F.lit(-i).alias("nr"), F.lit(lang).alias("lang"))
+        )
+    return F.array_max(F.array(*entries))["lang"]
 
 
 def doc_fingerprint(text: Column | str, k: int = 5) -> Column:
@@ -97,13 +104,28 @@ def sentiment_lexicon_df(spark) -> DataFrame:
     )
 
 
+def sentiment_col(text: Column | str) -> Column:
+    """Per-row sentiment for a SMALL lexicon: one codegen'd regexp_count
+    per lexicon word (token-boundary anchored), weighted sum. Zero
+    shuffle, zero Python — the fast path when the lexicon fits in the
+    expression tree (≲ a few hundred words)."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    total = F.lit(0).cast("long")
+    for w, v in sorted(SENTIMENT_LEXICON.items()):
+        pat = r"(?<![^ ])" + w + r"(?![^ ])"
+        total = total + F.lit(v) * F.regexp_count(c, F.lit(pat))
+    return total
+
+
 def sentiment_scores(
     df: DataFrame, spark, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-doc sentiment: explode tokens → broadcast-join the lexicon →
     sum weights. Map-side partial aggregation keeps the shuffle at one
     row per (doc, partition); docs with no lexicon hits score 0 via the
-    left join + coalesce.
+    left join + coalesce. This is the shape that scales to a large
+    (table-sized) lexicon; ``sentiment_col`` is the shuffle-free fast
+    path for literal-sized lexicons.
     Output: (id, sentiment)."""
     lex = F.broadcast(sentiment_lexicon_df(spark))
     toks = df.select(
@@ -133,21 +155,33 @@ def rolling_hash_fingerprint(text: Column | str) -> Column:
     """Karp-Rabin document fingerprint: polynomial rolling hash over every
     RH_WINDOW-token window, fingerprint = min window hash.
 
-    The window hashes are built by chaining zip_with over shifted slices
-    of the per-token hash array — all long arithmetic stays < 2^52 so
-    it is exact in both engines. Docs shorter than the window fall back
-    to the whole-text hash. Catalyst's project collapsing re-inlines the
-    token-hash array into each of the 4 slices (md5 ×4 per token) —
-    acceptable: the arrays are per-row and the md5s stay codegen'd.
-    """
+    All long arithmetic stays < 2^52 so it is exact in both engines.
+    Docs shorter than the window fall back to the whole-text hash.
+
+    Plan note: the token-hash array is bound ONCE as a lambda variable
+    of a single-element transform (the ``element_at(transform(array(th),
+    ...), 1)`` idiom) — without that binding, Catalyst's project
+    collapsing would re-inline the md5 pass into every reference, and
+    chained zip_withs would triple the (expensive, interpreted) lambda
+    evaluations. One interpreted pass per window is the floor for this
+    expression shape."""
     c = F.col(text) if isinstance(text, str) else text
-    th = F.transform(F.split(c, " "), _token_hash)
-    n = F.size(th)
-    w = [F.slice(th, i + 1, n - (RH_WINDOW - 1)) for i in range(RH_WINDOW)]
-    r = w[0]
-    for i in range(1, RH_WINDOW):
-        r = F.zip_with(r, w[i], lambda a, b: (a * RH_BASE + b) % RH_MOD)
-    return F.when(n >= RH_WINDOW, F.array_min(r)).otherwise(_token_hash(c))
+    th_once = F.transform(F.split(c, " "), _token_hash)
+
+    def min_window_hash(th: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(th) - (RH_WINDOW - 1))
+
+        def whash(i: Column) -> Column:
+            acc = F.element_at(th, i)
+            for j in range(1, RH_WINDOW):
+                acc = (acc * RH_BASE + F.element_at(th, i + F.lit(j))) % RH_MOD
+            return acc
+
+        return F.array_min(F.transform(idx, whash))
+
+    fp = F.element_at(F.transform(F.array(th_once), min_window_hash), 1)
+    n_toks = F.size(F.split(c, " "))
+    return F.when(n_toks >= RH_WINDOW, fp).otherwise(_token_hash(c))
 
 
 def quality_profile(

@@ -1083,11 +1083,13 @@ _LEX_VALUES_SQL = ", ".join(
     """,
 )
 def sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexicon-join sentiment scoring rolled up per source (broadcast
-    dimension join, the reference's site_map shape applied to text)."""
+    """Lexicon sentiment scoring rolled up per source. Uses the
+    shuffle-free literal-lexicon path (textstats.sentiment_col: one
+    codegen'd regexp_count per word); textstats.sentiment_scores is the
+    broadcast-join shape for table-sized lexicons — both produce the
+    same scores (the oracle uses the join formulation)."""
     docs = _t(spark, sf_dir, "documents")
-    scores = textstats.sentiment_scores(docs, spark)
-    per_doc = docs.select("doc_id", "source").join(scores, "doc_id", "left")
+    per_doc = docs.select("source", textstats.sentiment_col("text").alias("sentiment"))
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("sentiment").alias("total_sentiment"),
