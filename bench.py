@@ -40,6 +40,9 @@ HEADLINE = [
     "set_ops_customers",
     "lang_id_heuristic",
     "salted_skew_join",
+    "asof_click_purchase",
+    "percentiles_by_status",
+    "pivot_status_by_year",
 ]
 
 

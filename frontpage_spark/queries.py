@@ -1115,6 +1115,101 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", textstats.doc_fingerprint("text").alias("fingerprint"))
 
 
+# ---- as-of join ------------------------------------------------------------
+@register(
+    "asof_click_purchase",
+    """
+    WITH r AS (
+      SELECT user_id, ts,
+             MAX(CAST(round(value * 100) AS BIGINT)) AS pv
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT l.event_id,
+           l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           r.pv AS pv_asof,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS rts_asof
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click gets the most recent prior purchase's
+    value (cents). Spark has no ASOF JOIN — the union+last(ignorenulls)
+    window form is one shuffle on the key (ext/temporal.py); the oracle
+    is DuckDB's native ASOF LEFT JOIN."""
+    from .ext.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("pv"))
+    )
+    out = asof_join(left, right, on="user_id", ts="ts", payload=["pv"])
+    return out.select(
+        "event_id",
+        "user_id",
+        FF.format_ts("ts").alias("ts_s"),
+        F.col("pv_asof"),
+        FF.format_ts("ts_asof").alias("rts_asof"),
+    )
+
+
+# ---- exact percentiles ------------------------------------------------------
+@register(
+    "percentiles_by_status",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p50,
+           round(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group; rounded to 6
+    decimals to absorb cross-engine interpolation ULPs."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+# ---- pivot -------------------------------------------------------------------
+@register(
+    "pivot_status_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per (year × status), statuses as columns.
+    Fixed pivot-value list keeps the schema deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.select(F.year("o_orderdate").cast("long").alias("order_year"), "o_orderstatus")
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "order_year",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
 # ---- sessionization -------------------------------------------------------
 @register(
     "sessionize_users",

@@ -168,3 +168,22 @@ def test_ivf_topk_finds_exact_dup(spark):
     out = similarity.ivf_topk(df, df.filter("vec_id = 30"), k=3, n_centroids=4, nprobe=2)
     got = [r["cid"] for r in out.orderBy("rank").collect()]
     assert got[0] == 35  # the exact duplicate ranks first
+
+
+def test_asof_join(spark):
+    from frontpage_spark.ext.temporal import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "early"), (2, 15, "c")],
+        ["k", "t", "name"],
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 200), (2, 99, 300)], ["k", "t", "p"]
+    )
+    out = asof_join(left, right, on="k", ts="t", payload=["p"])
+    got = {(r["k"], r["t"]): (r["p_asof"], r["t_asof"]) for r in out.collect()}
+    assert got[(1, 10)] == (100, 5)   # most recent at-or-before
+    assert got[(1, 20)] == (200, 15)
+    assert got[(1, 5)] == (100, 5)    # equal ts matches (>= semantics)
+    assert got[(2, 15)] == (None, None)  # right row is in the future
