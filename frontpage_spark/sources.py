@@ -51,6 +51,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def paginated_scan(
+    fetch_page,
+    max_pages: int = 49,
+    is_last=None,
+) -> DataFrame | None:
+    """S1/P4 — bounded pagination with data-driven termination
+    (scraper.py:43-83: pages 1..49, stop at 'No matches found.').
+
+    ``fetch_page(n) -> DataFrame`` produces page n; iteration stops at
+    the first page for which ``is_last`` (default: DataFrame.isEmpty)
+    is true, or after ``max_pages``. The emptiness probe is a job per
+    page — inherent to data-driven termination, exactly as the
+    reference had to fetch a page to see it was empty. Returns the
+    union of fetched pages, or None if page 1 was already empty.
+    """
+    from functools import reduce
+
+    pages: list[DataFrame] = []
+    for n in range(1, max_pages + 1):
+        page = fetch_page(n)
+        if is_last(page) if is_last is not None else page.isEmpty():
+            break
+        pages.append(page)
+    return reduce(DataFrame.unionByName, pages) if pages else None
+
+
 def csv_dimension(spark: SparkSession, path: str, column_map: dict[str, str] | None = None) -> DataFrame:
     """S5 — CSV dimension source (reference: dict keyed on site_id,
     etl_process.py:185-200). Small table; callers wrap in broadcast()."""
