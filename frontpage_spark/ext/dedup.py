@@ -47,26 +47,34 @@ def shingles_col(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(grams) > 0, F.array_distinct(grams)).otherwise(F.array(c))
 
 
-def minhash_col(shingles: Column, band: int) -> Column:
-    """One MinHash value: min over shingles of md5('b{band}:' || shingle).
-    Lexicographic min over a keyed cryptographic hash ≈ an independent
-    random permutation per band."""
-    return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"b{band}:"), s))))
+def band_minhashes(shingles: Column, bands: int = DEFAULT_BANDS) -> Column:
+    """array of ``bands`` MinHash values: band b is the min over shingles
+    of the b-th 8-hex-char window of ONE md5 per shingle. Disjoint
+    windows of a cryptographic hash ≈ independent permutations, at a
+    quarter of the hash work of keyed per-band hashing.
+
+    The md5 array is bound once as a lambda variable (single-element
+    transform idiom) so project collapsing cannot re-inline the hash
+    pass into each band's min."""
+    hashes_once = F.transform(shingles, F.md5)
+
+    def mins(hs: Column) -> Column:
+        return F.array(
+            *[F.array_min(F.transform(hs, lambda h: F.substring(h, 1 + 8 * b, 8))) for b in range(bands)]
+        )
+
+    return F.element_at(F.transform(F.array(hashes_once), mins), 1)
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = DEFAULT_BANDS
 ) -> DataFrame:
     """(id, band, minhash) — one row per band per doc. Narrow (no shuffle)."""
-    sh = shingles_col(text_col)
-    sigs = df.select(F.col(id_col), sh.alias("shingles"))
-    banded = sigs.select(
+    sigs = df.select(F.col(id_col), shingles_col(text_col).alias("shingles"))
+    return sigs.select(
         id_col,
-        F.posexplode(F.array(*[minhash_col(F.col("shingles"), b) for b in range(bands)])).alias(
-            "band", "minhash"
-        ),
+        F.posexplode(band_minhashes(F.col("shingles"), bands)).alias("band", "minhash"),
     )
-    return banded
 
 
 def lsh_candidate_pairs(

@@ -104,3 +104,36 @@ def run_batch(
     cleaned = clean_projection(batch)
     enriched = enrich(cleaned, site_map, strict=True)
     return dedup_new_keys(enriched, existing_keys)
+
+
+def validate_batch(clean: DataFrame, site_map: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """ST4 — split a projected batch into (good, dead_letter).
+
+    The reference dead-lettered rows that raised during transform/insert
+    (etl_process.py:332-335) into a volatile in-memory set. Here failure
+    is a *validation predicate* (the NULL-based extractors never throw):
+    rows with an unknown site_id (the reference's KeyError) or an
+    unparseable post_date are quarantined WITH a reason column, so the
+    channel is durable, inspectable, and replayable.
+    """
+    known = F.broadcast(site_map.select("site_id").distinct().withColumn("__known", F.lit(1)))
+    flagged = clean.join(known, "site_id", "left").withColumn(
+        "__reason",
+        F.when(F.col("__known").isNull(), F.lit("unknown_site_id")).when(
+            F.col("post_date").isNull(), F.lit("unparseable_post_date")
+        ),
+    )
+    good = flagged.filter(F.col("__reason").isNull()).drop("__known", "__reason")
+    bad = (
+        flagged.filter(F.col("__reason").isNotNull())
+        .select("uniq_id", F.col("__reason").alias("reason"))
+    )
+    return good, bad
+
+
+def quarantine_append(bad: DataFrame, path: str) -> None:
+    """Durable dead-letter sink (vs the reference's session-scoped set,
+    etl_process.py:292): (uniq_id, reason, quarantined_at) parquet."""
+    bad.select(
+        "uniq_id", "reason", F.current_timestamp().alias("quarantined_at")
+    ).write.mode("append").parquet(path)

@@ -680,7 +680,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- MinHash + LSH banding -----------------------------------------------
 _MINHASH_SIGS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, list_min(list_transform(shingles, s -> md5('b{b}:' || s))) AS minhash FROM sh"
+    f"SELECT doc_id, {b} AS band, list_min(list_transform(hs, h -> substr(h, {1 + 8 * b}, 8))) AS minhash FROM hashed"
     for b in range(dedup.DEFAULT_BANDS)
 )
 
@@ -689,6 +689,7 @@ _MINHASH_SIGS_SQL = " UNION ALL ".join(
     f"""
     WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM docs),
+    hashed AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
     sigs AS ({_MINHASH_SIGS_SQL}),
     ok AS (
       SELECT band, minhash FROM sigs GROUP BY band, minhash

@@ -125,3 +125,27 @@ def test_conform_invariants(spark):
     assert sorted(r["uniq_id"] for r in temporal_conform(clean).collect()) == ["b", "zombie"]
     assert sorted(r["uniq_id"] for r in referential_conform(clean, raw).collect()) == ["a", "b"]
     assert [r["uniq_id"] for r in conform(clean, raw).collect()] == ["b"]
+
+
+def test_validate_batch_quarantines_with_reason(spark, raw, site_map, tmp_path):
+    from frontpage_spark.pipeline import quarantine_append, validate_batch
+
+    clean = clean_projection(raw)
+    # make k2's site unknown → unknown_site_id; k3 has malformed HTML → no post_date
+    clean_bad = clean.withColumn(
+        "site_id", F.when(F.col("uniq_id") == "k2", "nowhere").otherwise(F.col("site_id"))
+    )
+    good, bad = validate_batch(clean_bad, site_map)
+    assert sorted(r["uniq_id"] for r in good.collect()) == ["k1"]
+    reasons = {r["uniq_id"]: r["reason"] for r in bad.collect()}
+    assert reasons == {"k2": "unknown_site_id", "k3": "unparseable_post_date"}
+
+    # durable channel round-trips through parquet
+    qpath = str(tmp_path / "quarantine")
+    quarantine_append(bad, qpath)
+    back = spark.read.parquet(qpath)
+    assert back.count() == 2 and set(back.columns) == {"uniq_id", "reason", "quarantined_at"}
+    # and feeds straight back into the P2 exclusion filter
+    from frontpage_spark.incremental import exclude_dead_letter
+
+    assert exclude_dead_letter(clean_bad, back).count() == 1
