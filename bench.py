@@ -43,6 +43,11 @@ HEADLINE = [
     "asof_click_purchase",
     "percentiles_by_status",
     "pivot_status_by_year",
+    "range_join_clicks",
+    "hash_sample_orders",
+    "stratified_sample_docs",
+    "quantize_embeddings",
+    "near_dup_verified",
 ]
 
 

@@ -1,0 +1,71 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+`df.sample()` is seed-dependent *per partition layout*: the same seed
+over a different file split yields a different sample, which breaks
+reproducibility guarantees across reruns and cluster sizes. These
+operators derive the keep/drop decision from a content hash of a key
+column instead, so the sample is a pure function of the data:
+
+- ``hash_sample``       keep rows whose md5(key) prefix falls under a
+  threshold — stable across partitioning, cluster size, and engine
+  (md5 is identical in Spark and DuckDB, so it is oracle-checkable).
+- ``stratified_sample`` exact top-n-per-stratum by md5(key) order — a
+  deterministic quota sample (e.g. "at most N docs per source/lang").
+
+Scale notes (100 TB):
+- ``hash_sample`` is a narrow filter — no shuffle, pushed into the
+  scan's codegen stage; sampling 1% of 100 TB reads all rows but
+  materializes ~1 TB downstream, which is exactly what you want before
+  an expensive stage (near-dup verify, embedding, human eval).
+- ``stratified_sample`` shuffles once on the stratum key (the
+  row_number window); skewed strata are bounded because only n rows
+  per stratum survive the window filter — partial TakeOrdered-style
+  pruning would need a custom physical op, so keep n small relative
+  to stratum size. For monster strata, pre-filter with ``hash_sample``
+  at a rate that overshoots n, then apply the window to the survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def hash_bucket(key: Column | str, hex_digits: int = 4) -> Column:
+    """Lowercase hex prefix of md5(key) — a uniform label in
+    [0, 16^hex_digits) ordered lexicographically, engine-portable."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(c.cast("string")), 1, hex_digits)
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate: float, hex_digits: int = 4
+) -> DataFrame:
+    """Deterministic ~``rate`` sample: keep rows where the md5 prefix of
+    ``key`` sorts below the rate threshold. Same rows survive on any
+    partitioning, any engine, any run. Rate granularity is
+    16^-hex_digits (1/65536 at the default)."""
+    space = 16 ** hex_digits
+    thresh = format(int(rate * space), f"0{hex_digits}x")
+    return df.filter(hash_bucket(key, hex_digits) < F.lit(thresh))
+
+
+def hash_sample_threshold(rate: float, hex_digits: int = 4) -> str:
+    """The hex threshold string ``hash_sample`` compares against —
+    exposed so oracle SQL can embed the identical literal."""
+    return format(int(rate * 16 ** hex_digits), f"0{hex_digits}x")
+
+
+def stratified_sample(
+    df: DataFrame, stratum: str, key: str, n_per_stratum: int
+) -> DataFrame:
+    """Deterministic quota sample: the ``n_per_stratum`` rows of each
+    stratum whose md5(key) sorts first. One shuffle (window on the
+    stratum); ties broken by the key itself so the result is total-order
+    stable even under md5 collisions."""
+    w = Window.partitionBy(stratum).orderBy(F.md5(F.col(key).cast("string")), F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -233,3 +233,49 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "cosine", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: code_i = floor(x_i * 127 /
+    max|x|). Shrinks a float32 embedding column 4x before it is
+    shuffled/stored — at 100 TB the embedding column dominates I/O, so
+    quantize before the expensive stages and keep the (exactly
+    representable) per-vector scale for dequantization.
+
+    Pure narrow per-row array math in codegen; deterministic (floor, no
+    round-half ties; float32->double promotion is exact, and max is
+    fold-order independent). Output: (id, codes array<int>, maxabs
+    double); all-zero vectors quantize to all-zero codes.
+    """
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    codes = F.when(F.col("maxabs") == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("maxabs")).cast("int"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), v.alias(vec_col), maxabs.alias("maxabs"))
+        .withColumn("codes", codes)
+        .select(id_col, "codes", "maxabs")
+    )
+
+
+def l2_normalize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Unit-norm embeddings (double precision): x / ||x||2. Normalizing
+    once up front turns every later cosine into a plain dot product —
+    at scale this halves the arithmetic of similarity joins and makes
+    quantized dot products directly comparable. Zero vectors pass
+    through unchanged. Output: (id, unit array<double>)."""
+    n = F.sqrt(_norm2(vec_col))
+    return df.select(F.col(id_col), F.col(vec_col), n.alias("__n")).select(
+        F.col(id_col),
+        F.when(F.col("__n") == 0.0, F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")))
+        .alias("unit"),
+    )

@@ -1425,3 +1425,222 @@ def lang_id_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "guess")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ==========================================================================
+# Range join / sampling / embedding-compression extensions
+# ==========================================================================
+
+@register(
+    "range_join_clicks",
+    """
+    SELECT p.event_id AS p_id,
+           COUNT(*) AS n_clicks,
+           COUNT(DISTINCT c.event_id) AS n_distinct_clicks
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts - INTERVAL 1800 SECONDS
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY p.event_id
+    """,
+)
+def range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (ext/temporal.range_join_banded): clicks within
+    30 min before each purchase by the same user. The band trick turns
+    the inequality into an equi-join on (user, time band) — DuckDB's
+    IEJoin runs the same predicate natively as the oracle."""
+    from .ext.temporal import range_join_banded
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    pairs = range_join_banded(purchases, clicks, "user_id", "p_ts", "c_ts", 1800)
+    return pairs.groupBy("p_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.count_distinct("c_id").alias("n_distinct_clicks"),
+    )
+
+
+_HS_RATE = 0.0625
+_HS_DIGITS = 4
+_HS_THRESH = format(int(_HS_RATE * 16**_HS_DIGITS), f"0{_HS_DIGITS}x")
+
+@register(
+    "hash_sample_orders",
+    f"""
+    SELECT COUNT(*) AS n_sampled,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '{_HS_THRESH}'
+    """,
+)
+def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (ext/sampling.hash_sample):
+    the same ~6.25% of orders survives on any partitioning, engine, or
+    rerun — reproducible subsetting for eval/dev slices of a 100 TB
+    corpus. Narrow filter, no shuffle before the aggregate."""
+    from .ext.sampling import hash_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    s = hash_sample(orders, "o_orderkey", _HS_RATE, _HS_DIGITS)
+    return s.agg(
+        F.count("*").alias("n_sampled"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quota sampling (ext/sampling.stratified_sample):
+    at most 5 docs per source, chosen by content-hash order — the
+    'N examples per stratum' primitive of training-data curation.
+    One shuffle (window on the stratum key)."""
+    from .ext.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", "doc_id", 5).select("doc_id", "source")
+
+
+@register(
+    "quantize_embeddings",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS maxabs,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           array_to_string(
+             CASE WHEN maxabs = 0.0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / maxabs) AS INT))
+             END, ',') AS codes_csv,
+           maxabs
+    FROM q
+    """,
+)
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (ext/similarity.quantize_int8): 4x
+    smaller embedding payloads before shuffle/storage. Deterministic
+    (floor; float32->double exact), so fully oracle-checkable; codes
+    cross the boundary as CSV strings to sidestep array-dtype repr
+    differences between engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.array_join(F.transform(F.col("codes"), lambda x: x.cast("string")), ",").alias(
+            "codes_csv"
+        ),
+        "maxabs",
+    )
+
+
+@register(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, year(o_orderdate) AS o_year, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 aggregation granularities of
+    (status, year) in one pass — Spark expands grouping sets before the
+    shuffle, so partial aggregation still applies at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .cube("o_orderstatus", "o_year")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register("approx_distinct_users")  # rows-only: HLL estimate is engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (approx_count_distinct): the
+    constant-memory cardinality path — at 100 TB an exact
+    count_distinct shuffles every key, the sketch shuffles ~kilobytes
+    per partition. Estimate differs per engine -> rows-only here; the
+    pytest asserts <5% relative error against the exact count."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+@register(
+    "near_dup_verified",
+    f"""
+    WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM docs),
+    hashed AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+    sigs AS ({_MINHASH_SIGS_SQL}),
+    ok AS (
+      SELECT band, minhash FROM sigs GROUP BY band, minhash
+      HAVING COUNT(*) <= {dedup.DEFAULT_MAX_BUCKET}
+    ),
+    bounded AS (SELECT sigs.* FROM sigs JOIN ok USING (band, minhash)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bounded a JOIN bounded b USING (band, minhash)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT p.a, p.b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+             AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.a
+    JOIN sh sb ON sb.doc_id = p.b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+          >= 0.2
+    """,
+)
+def near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage near-dup pipeline at scale: LSH candidate
+    generation (cheap, recall-oriented) -> exact n-gram Jaccard verify
+    on ONLY the candidates (precision). The verify join touches
+    |candidates| rows, not O(N^2); this is the composition the dedup
+    module's docstrings prescribe for 100 TB corpora."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    sh = docs.select(F.col("doc_id"), dedup.shingles_col("text").alias("shingles"))
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("a", "b", "jaccard")
+    )

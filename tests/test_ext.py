@@ -187,3 +187,88 @@ def test_asof_join(spark):
     assert got[(1, 20)] == (200, 15)
     assert got[(1, 5)] == (100, 5)    # equal ts matches (>= semantics)
     assert got[(2, 15)] == (None, None)  # right row is in the future
+
+
+def test_range_join_banded(spark):
+    from datetime import datetime
+
+    from frontpage_spark.ext.temporal import range_join_banded
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return datetime.fromtimestamp(base.timestamp() + sec)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(0))], ["user_id", "p_id", "p_ts"]
+    )
+    # boundary cases around the (p_ts - 60, p_ts] half-open window
+    right = spark.createDataFrame(
+        [
+            (1, 1, ts(0)),     # equal ts -> included
+            (1, 2, ts(-59)),   # inside
+            (1, 3, ts(-60)),   # exactly window ago -> excluded (half-open)
+            (1, 4, ts(1)),     # after left -> excluded
+            (2, 5, ts(-5)),    # other key -> excluded
+        ],
+        ["user_id", "c_id", "c_ts"],
+    )
+    got = {
+        r["c_id"]
+        for r in range_join_banded(left, right, "user_id", "p_ts", "c_ts", 60).collect()
+    }
+    assert got == {1, 2}
+
+
+def test_hash_sample_partition_invariant(spark):
+    from frontpage_spark.ext.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in hash_sample(df, "k", 0.25).collect()}
+    b = {r["k"] for r in hash_sample(df.repartition(13), "k", 0.25).collect()}
+    assert a == b  # sample is a pure function of the data
+    assert 0.18 < len(a) / 2000 < 0.32  # ~rate
+    sub = {r["k"] for r in hash_sample(df, "k", 0.10).collect()}
+    assert sub <= a  # thresholds nest: smaller rate is a subset
+
+
+def test_stratified_sample_quota(spark):
+    from frontpage_spark.ext.sampling import stratified_sample
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = stratified_sample(df, "source", "doc_id", 4).collect()
+    per = {}
+    for r in got:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per == {"s0": 4, "s1": 4, "s2": 4}
+    again = stratified_sample(df.repartition(7), "source", "doc_id", 4).collect()
+    assert {(r["doc_id"], r["source"]) for r in got} == {
+        (r["doc_id"], r["source"]) for r in again
+    }
+
+
+def test_quantize_int8_roundtrip(spark):
+    rows = [(0, [1.0, -2.0, 0.5, 4.0]), (1, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r for r in similarity.quantize_int8(df).collect()}
+    assert got[0]["maxabs"] == 4.0
+    assert got[0]["codes"] == [31, -64, 15, 127]  # floor(x * 127 / 4)
+    assert got[1]["codes"] == [0, 0, 0, 0]  # zero vector -> zero codes
+    # dequantized values within one quantization step
+    for x, c in zip(rows[0][1], got[0]["codes"]):
+        assert abs(x - c * 4.0 / 127) <= 4.0 / 127
+
+
+def test_l2_normalize(spark):
+    rows = [(0, [3.0, 4.0]), (1, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["unit"] for r in similarity.l2_normalize(df).collect()}
+    assert got[0] == pytest.approx([0.6, 0.8])
+    assert got[1] == [0.0, 0.0]  # zero vector passes through
+
+
+def test_approx_distinct_within_tolerance(spark):
+    df = spark.range(0, 5000).select((F.col("id") % 1234).alias("u"))
+    approx = df.agg(F.approx_count_distinct("u", 0.02).alias("a")).first()["a"]
+    assert abs(approx - 1234) / 1234 < 0.05
