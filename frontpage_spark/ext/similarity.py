@@ -103,6 +103,86 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+    threshold: float | None = None,
+) -> DataFrame:
+    """All a<b embedding pairs with their cosine, computed as blocked
+    matrix products — the scale path for the verify stage of
+    embedding-cosine near-dup (same output contract as
+    ``cosine_pairs``, which stays as the expression-level oracle
+    baseline).
+
+    Plan shape: one narrow hash on the id assigns each vector to one of
+    ``n_blocks`` blocks; one shuffle groups each block into a single
+    row (ids + vectors); a B x (B+1)/2 self-join of block rows fans out
+    the block pairs; an Arrow ``mapInPandas`` scores each block pair
+    with ONE numpy/BLAS gemm instead of |pairs| interpreted array
+    folds. Each unordered id pair lands in exactly one (bi <= bj) block
+    pair, so no dedup pass is needed.
+
+    Scale notes (100 TB): pick n_blocks so a block row stays ~MBs
+    (block_size x dim x 8B); replication is (B+1) copies of the corpus
+    — the inherent all-pairs cost — but arithmetic runs at gemm speed
+    and each block pair is an independent task, so the stage scales
+    linearly with executors. ``threshold`` prunes the Arrow return
+    traffic inside the UDF (near-dup keeps ~0 of the pairs at 0.9+).
+    Output: (a, b, cosine).
+    """
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    blocks = (
+        corpus.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list("id").alias("ids"), F.collect_list("v").alias("vs"))
+    )
+    bp = (
+        blocks.select(
+            F.col("blk").alias("bi"), F.col("ids").alias("ids_a"), F.col("vs").alias("vs_a")
+        )
+        .join(
+            blocks.select(
+                F.col("blk").alias("bj"), F.col("ids").alias("ids_b"), F.col("vs").alias("vs_b")
+            ),
+            F.col("bi") <= F.col("bj"),
+        )
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a)
+                ids_b = np.asarray(row.ids_b)
+                A = np.array([np.asarray(v) for v in row.vs_a])
+                B = np.array([np.asarray(v) for v in row.vs_b])
+                cos = (A @ B.T) / np.outer(
+                    np.sqrt((A * A).sum(axis=1)), np.sqrt((B * B).sum(axis=1))
+                )
+                if row.bi == row.bj:
+                    i, j = np.triu_indices(len(ids_a), k=1)
+                else:
+                    i, j = map(np.ravel, np.indices((len(ids_a), len(ids_b))))
+                u, v, c = ids_a[i], ids_b[j], cos[i, j]
+                if threshold is not None:
+                    keep = c >= threshold
+                    u, v, c = u[keep], v[keep], c[keep]
+                lo, hi = np.minimum(u, v), np.maximum(u, v)
+                yield pd.DataFrame({"a": lo, "b": hi, "cosine": c})
+
+    return bp.mapInPandas(score, schema=f"a {id_type}, b {id_type}, cosine double")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

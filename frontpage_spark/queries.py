@@ -856,9 +856,12 @@ _NB_SQL = (
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup profile: exact all-pairs cosine with
     threshold counts (the verify stage of near-dup dedup; LSH blocks
-    candidates at corpus scale)."""
+    candidates at corpus scale). Runs on the blocked gemm path
+    (``cosine_pairs_blocked``) — one BLAS matmul per block pair instead
+    of |pairs| interpreted array folds; ``cosine_pairs`` remains the
+    expression-level reference."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_pairs(emb)
+    pairs = similarity.cosine_pairs_blocked(emb)
     return pairs.agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("cosine") >= 0.5, 1).otherwise(0)).alias("n_ge_05"),

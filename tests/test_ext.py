@@ -144,6 +144,29 @@ def test_cosine_pairs(spark):
     assert abs(got[(1, 3)]) < 1e-12
 
 
+def test_cosine_pairs_blocked_matches_expr(spark):
+    """The gemm-blocked path must produce the same pair set and the
+    same cosines (to float slop) as the expression baseline, for every
+    blocking factor — each unordered pair exactly once."""
+    from frontpage_spark.ext import similarity
+
+    rows = [(i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(4)]) for i in range(1, 14)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    want = {(r["a"], r["b"]): r["cosine"] for r in similarity.cosine_pairs(df).collect()}
+    for nb in (1, 3, 8):
+        got = {
+            (r["a"], r["b"]): r["cosine"]
+            for r in similarity.cosine_pairs_blocked(df, n_blocks=nb).collect()
+        }
+        assert set(got) == set(want)
+        assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
+    thr = {
+        (r["a"], r["b"])
+        for r in similarity.cosine_pairs_blocked(df, n_blocks=3, threshold=0.5).collect()
+    }
+    assert thr == {k for k, v in want.items() if v >= 0.5}
+
+
 def test_sentiment_scores(spark):
     from frontpage_spark.ext import textstats as ts
 
