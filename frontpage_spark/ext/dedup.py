@@ -66,15 +66,29 @@ def band_minhashes(shingles: Column, bands: int = DEFAULT_BANDS) -> Column:
     return F.element_at(F.transform(F.array(hashes_once), mins), 1)
 
 
+def signatures_from_shingles(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, band, minhash) from a precomputed shingle column — lets a
+    pipeline materialize shingles ONCE and feed both candidate
+    generation and the exact-Jaccard verify stage (see
+    ``near_dup_verified``); at corpus scale the shingle table is the
+    thing you persist/write, not recompute per consumer."""
+    return sh.select(
+        id_col,
+        F.posexplode(band_minhashes(F.col(shingle_col), bands)).alias("band", "minhash"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = DEFAULT_BANDS
 ) -> DataFrame:
     """(id, band, minhash) — one row per band per doc. Narrow (no shuffle)."""
-    sigs = df.select(F.col(id_col), shingles_col(text_col).alias("shingles"))
-    return sigs.select(
-        id_col,
-        F.posexplode(band_minhashes(F.col("shingles"), bands)).alias("band", "minhash"),
-    )
+    sh = df.select(F.col(id_col), shingles_col(text_col).alias("shingles"))
+    return signatures_from_shingles(sh, id_col, "shingles", bands)
 
 
 def lsh_candidate_pairs(
@@ -83,6 +97,7 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     bands: int = DEFAULT_BANDS,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (a < b) sharing any band bucket.
 
@@ -97,7 +112,10 @@ def lsh_candidate_pairs(
     known-degenerate keys, e.g. the empty-text signature, before
     grouping.)
     """
-    sigs = minhash_signatures(df, id_col, text_col, bands)
+    if shingles_df is not None:
+        sigs = signatures_from_shingles(shingles_df, id_col, "shingles", bands)
+    else:
+        sigs = minhash_signatures(df, id_col, text_col, bands)
     buckets = (
         sigs.groupBy("band", "minhash")
         .agg(F.collect_list(id_col).alias("ids"))

@@ -23,6 +23,29 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 SALT_COL = "__salt"
 
 
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Input-split compensation for CPU-bound narrow stages.
+
+    A Parquet file is only splittable at row-group boundaries; the
+    local testdata files are single row groups, so every scan yields
+    ONE task and a per-row-heavy stage (regex shingling, md5 minhash,
+    Arrow UDFs) runs single-threaded no matter how many cores exist.
+    On a production table the scan produces thousands of splits and
+    this helper is a no-op; locally it round-robins the rows across
+    the default parallelism so the expensive narrow work that follows
+    actually uses the machine.
+
+    Only worth the shuffle when downstream per-row CPU >> one pass of
+    the rows over the wire — text/vector pipelines yes, plain
+    aggregations usually no (their map side is one cheap pass).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

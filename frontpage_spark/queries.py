@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 from . import functions as FF
 from .ext import dedup, similarity, textstats
 from .session import tune
+from . import plans
 from .sources import load_table
 
 # --------------------------------------------------------------------------
@@ -49,6 +50,14 @@ def register(name: str, oracle: str | None = None):
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     return load_table(spark, sf_dir, name)
+
+
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + ``plans.fan_out`` — for queries whose narrow per-row CPU
+    (regex/md5/Arrow) dominates: the local single-row-group files scan
+    as ONE split, which would serialize the heavy stage on one core
+    (no-op on a production multi-split table)."""
+    return plans.fan_out(_t(spark, sf_dir, name))
 
 
 # --------------------------------------------------------------------------
@@ -1092,7 +1101,7 @@ def sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd regexp_count per word); textstats.sentiment_scores is the
     broadcast-join shape for table-sized lexicons — both produce the
     same scores (the oracle uses the join formulation)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     per_doc = docs.select("source", textstats.sentiment_col("text").alias("sentiment"))
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -1422,7 +1431,7 @@ def lang_id_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language-ID guess vs the labeled lang column. The
     argmax fold keeps the earliest language (in code order) among ties,
     which the oracle mirrors with greatest() + an ordered CASE."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return (
         docs.select("lang", textstats.lang_id_heuristic("text").alias("guess"))
         .groupBy("lang", "guess")
@@ -1630,16 +1639,22 @@ def near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation (cheap, recall-oriented) -> exact n-gram Jaccard verify
     on ONLY the candidates (precision). The verify join touches
     |candidates| rows, not O(N^2); this is the composition the dedup
-    module's docstrings prescribe for 100 TB corpora."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs)
-    sh = docs.select(F.col("doc_id"), dedup.shingles_col("text").alias("shingles"))
+    module's docstrings prescribe for 100 TB corpora.
+
+    The shingle table is materialized ONCE (persist) and feeds both
+    stages — without it the shingle+md5 subplan evaluates three times
+    (signatures, each verify side). At cluster scale the persist
+    becomes a temp-table write; the candidate set (bounded by
+    max_bucket^2 per bucket, typically << corpus) is broadcast so each
+    verify join is one narrow pass over the cached shingles."""
+    docs = _tw(spark, sf_dir, "documents")
+    sh = docs.select(F.col("doc_id"), dedup.shingles_col("text").alias("shingles")).persist()
+    pairs = dedup.lsh_candidate_pairs(docs, shingles_df=sh)
     sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        pairs.join(sa, "a")
-        .join(sb, "b")
+        sb.join(F.broadcast(sa.join(F.broadcast(pairs), "a")), "b")
         .withColumn(
             "jaccard",
             inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
