@@ -102,6 +102,53 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.select("media_id", "kind", "payload").mapInPandas(run, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize plumbing (stub codec): payload-in → payload-out through one
+    Arrow pass, the shape of a real thumbnail/model-input resize stage.
+
+    A real build decodes with Pillow, resizes, re-encodes; the stub
+    derives a deterministic fixed-size payload (md5-keyed repetition of
+    the source bytes truncated/padded to width*height/64) so tests can
+    assert the contract: output payload size is a pure function of the
+    target dims, input order is preserved within a partition, and the
+    binary column round-trips through Arrow unharmed. Only images are
+    resized; other kinds pass through with width/height = -1.
+    """
+    target = max(1, width * height // 64)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                b = bytes(payload)
+                if kind == "image":
+                    seed = hashlib.md5(b).digest()
+                    body = (seed * (target // len(seed) + 1))[:target]
+                    out.append((media_id, kind, body, width, height))
+                else:
+                    out.append((media_id, kind, b, -1, -1))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "payload", "width", "height"]
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling plumbing: emit one row per sampled "frame" offset.
     For real video this is the keyframe index; here offsets stride the

@@ -48,7 +48,7 @@ def register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    tune(spark)
+    tune(spark, sf_dir)
     return load_table(spark, sf_dir, name)
 
 

@@ -103,7 +103,9 @@ def test_lang_id(spark):
 
 
 def test_multimodal_plumbing(spark):
-    docs = spark.createDataFrame([(1, "hello world"), (2, "abc")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc"), (3, "an image doc")], ["doc_id", "text"]
+    )
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     decoded = multimodal.decode_media(media)
     rows = {r["media_id"]: r for r in decoded.collect()}
@@ -111,6 +113,11 @@ def test_multimodal_plumbing(spark):
     assert set(decoded.columns) == {"media_id", "kind", "n_bytes", "width", "height", "checksum"}
     frames = multimodal.frame_sample(media, every_n_bytes=4)
     assert frames.filter(F.col("media_id") == 1).count() == 3  # offsets 0,4,8
+    resized = {r["media_id"]: r for r in multimodal.resize_media(media, 32, 16).collect()}
+    img = next(r for r in resized.values() if r["kind"] == "image")
+    assert len(img["payload"]) == 32 * 16 // 64 and img["width"] == 32
+    other = next(r for r in resized.values() if r["kind"] != "image")
+    assert other["width"] == -1  # pass-through for non-image kinds
 
 
 def test_rolling_hash_fingerprint(spark):
