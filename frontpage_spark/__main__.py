@@ -57,8 +57,17 @@ def main(argv: list[str] | None = None) -> int:
                 from .incremental import stream_pipeline
 
                 def body(batch, _eid):
-                    out = run_batch(batch, site_map, spark.read.parquet(args.out).select("uniq_id")
-                                    if _eid > 0 else existing)
+                    # Re-read the sink each epoch so later batches see keys the
+                    # earlier ones appended; if no batch has appended yet the
+                    # sink dir has no parquet footers — fall back to the empty
+                    # (or pre-existing) key set instead of crashing the stream.
+                    seen = existing
+                    if _eid > 0:
+                        try:
+                            seen = spark.read.parquet(args.out).select("uniq_id")
+                        except Exception:
+                            seen = existing
+                    out = run_batch(batch, site_map, seen)
                     write_append(to_compat(out), args.out)
 
                 sq = stream_pipeline(
@@ -71,8 +80,17 @@ def main(argv: list[str] | None = None) -> int:
                 write_append(to_compat(out), args.out)
             print(f"etl: sink now has {spark.read.parquet(args.out).count()} rows")
         elif args.cmd == "conform":
+            import os
+
             from .conform import conform
 
+            if os.path.realpath(args.out) in (
+                os.path.realpath(args.clean),
+                os.path.realpath(args.raw),
+            ):
+                print("conform: --out must differ from --clean/--raw "
+                      "(lazy read + overwrite would destroy the input)")
+                return 2
             clean = spark.read.parquet(args.clean)
             raw = spark.read.parquet(args.raw)
             kept = conform(clean, raw)

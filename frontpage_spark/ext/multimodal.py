@@ -1,23 +1,38 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata, processed with Arrow-batched pandas
-iterators (``mapInPandas``).
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed with Arrow-batched pandas iterators
+(``mapInPandas``).
 
-The decode step itself is STUBBED — the image/audio libraries are not
-in this container — behind ``decode_image_stub``, which produces a
-deterministic fake (header-derived metadata) with the *real* Spark
-plumbing: schema contracts, Arrow batch iteration, partition-level
-parallelism, and a binary-safe frame-sampling API. Swapping the stub
-for Pillow/ffmpeg changes one inner function, not the operator.
+The codecs are REAL, not stubs — three public container formats that are
+fully parseable with the stdlib (``struct`` + text headers):
 
-Scale notes: binary payloads ride in Arrow record batches; keep
-``spark.sql.execution.arrow.maxRecordsPerBatch`` modest for large blobs
-and repartition by a content hash so hot keys don't pin one executor.
+- image → **BMP** (BITMAPINFOHEADER, 24-bit BI_RGB): 14-byte file
+  header + 40-byte DIB header + 4-byte-aligned pixel rows.
+- audio → **WAV** (RIFF/WAVE, PCM): chunk walk over ``fmt `` (channels,
+  bit depth, sample rate) and ``data`` (sample payload).
+- video → **YUV4MPEG2** (y4m): plain-text stream header
+  ``YUV4MPEG2 W<w> H<h> ...\\n`` followed by ``FRAME\\n`` + packed
+  4:2:0 planes per frame.
+
+``synthesize_media`` builds deterministic, *spec-valid* payloads from any
+string column (the image/audio libs aren't in this container, so the
+pixel/sample content is md5-derived filler — but the containers are real
+and the decoders parse actual bytes, not metadata side-channels).
+``decode_media`` / ``resize_media`` / ``frame_sample`` then parse, resample
+and index those bytes for real.
+
+Scale notes (100 TB): binary payloads ride in Arrow record batches —
+keep ``spark.sql.execution.arrow.maxRecordsPerBatch`` modest for large
+blobs and repartition by a content hash so hot keys don't pin one
+executor. Decode is a narrow per-row pass (no shuffle); resize changes
+payload size but not row count; frame_sample is the explode-shaped op
+(row fan-out = frame count).
 """
 
 from __future__ import annotations
 
+import hashlib
+import struct
 from collections.abc import Iterator
-from typing import Any
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -37,53 +52,169 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("frames", T.IntegerType()),
         T.StructField("checksum", T.StringType()),
     ]
 )
 
 
+# --------------------------------------------------------------------------
+# encoders (deterministic, spec-valid containers)
+# --------------------------------------------------------------------------
+
+def _fill(seed: bytes, n: int) -> bytes:
+    """Deterministic n-byte filler from a 16-byte seed."""
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def _bmp_row_size(width: int) -> int:
+    return ((width * 3 + 3) // 4) * 4  # 24bpp rows pad to 4-byte boundary
+
+
+def make_bmp(width: int, height: int, seed: bytes) -> bytes:
+    """24-bit BI_RGB BMP: BITMAPFILEHEADER + BITMAPINFOHEADER + rows."""
+    row = _bmp_row_size(width)
+    image_size = row * height
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    return file_header + dib + _fill(seed, image_size)
+
+
+def make_wav(n_samples: int, seed: bytes, channels: int = 1, rate: int = 8000) -> bytes:
+    """PCM 16-bit RIFF/WAVE with a fmt and a data chunk."""
+    data = _fill(seed, 2 * n_samples * channels)
+    fmt = struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + 16 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def make_y4m(width: int, height: int, frames: int, seed: bytes) -> bytes:
+    """YUV4MPEG2 stream: text header + FRAME-delimited 4:2:0 planes."""
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1\n".encode()
+    frame_size = width * height * 3 // 2  # Y + U/4 + V/4 at 8bpp
+    frame = b"FRAME\n" + _fill(seed, frame_size)
+    return head + frame * frames
+
+
+# --------------------------------------------------------------------------
+# decoders (parse the actual bytes)
+# --------------------------------------------------------------------------
+
+def decode_bmp(b: bytes) -> tuple[int, int, int]:
+    """(width, height, frames) from a BMP payload; raises on bad magic."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    width, height = struct.unpack_from("<ii", b, 18)
+    return width, abs(height), 1  # negative height = top-down rows
+
+
+def decode_wav(b: bytes) -> tuple[int, int, int]:
+    """(n_samples, channels, frames=1) from a RIFF/WAVE chunk walk."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, channels, bits, data_size = 12, 1, 16, 0
+    while pos + 8 <= len(b):
+        cid, csize = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt ":
+            _, channels, _, _, _, bits = struct.unpack_from("<HHIIHH", b, pos + 8)
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)  # RIFF chunks are word-aligned
+    n_samples = data_size // max(1, channels * bits // 8)
+    return n_samples, channels, 1
+
+
+def decode_y4m(b: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) from a YUV4MPEG2 stream header + walk."""
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a y4m")
+    nl = b.index(b"\n")
+    width = height = 0
+    for tok in b[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+    frame_size = width * height * 3 // 2
+    pos, frames = nl + 1, 0
+    while pos + 6 <= len(b) and b[pos : pos + 5] == b"FRAME":
+        frames += 1
+        pos = b.index(b"\n", pos) + 1 + frame_size
+    return width, height, frames
+
+
+# --------------------------------------------------------------------------
+# operators
+# --------------------------------------------------------------------------
+
 def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Deterministic fake media table from any string column: payload is
-    the utf-8 bytes, kind cycles by id. Lets the whole pipeline run
-    end-to-end in this container."""
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col(id_col) % 3 + 1).cast("int"),
-    )
+    """Deterministic media table from any string column — *spec-valid*
+    BMP/WAV/Y4M payloads whose dimensions are pure functions of the text
+    byte length L (so an independent oracle can predict the decoded
+    metadata without parsing bytes):
+
+    - id % 3 == 0 → image: BMP, w = L%101+1, h = L%53+1
+    - id % 3 == 1 → audio: WAV, mono 16-bit, n_samples = L%1024+1
+    - id % 3 == 2 → video: y4m, w = (L%16+1)*2, h = (L%8+1)*2,
+      frames = L%4+1 (even dims: 4:2:0 chroma subsampling)
+    """
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                n, seed = len(raw), hashlib.md5(raw).digest()
+                k = int(media_id) % 3
+                if k == 0:
+                    kind, payload = "image", make_bmp(n % 101 + 1, n % 53 + 1, seed)
+                elif k == 1:
+                    kind, payload = "audio", make_wav(n % 1024 + 1, seed)
+                else:
+                    kind, payload = "video", make_y4m(
+                        (n % 16 + 1) * 2, (n % 8 + 1) * 2, n % 4 + 1, seed
+                    )
+                out.append((int(media_id), kind, payload, {"src": "synthetic"}))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload", "meta"])
+
     return df.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        kind.alias("kind"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
-        F.create_map(F.lit("src"), F.lit("synthetic")).alias("meta"),
-    )
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(run, MEDIA_SCHEMA)
 
 
-def _decode_one(payload: bytes, kind: str) -> dict[str, Any]:
-    """STUB decode. A real build calls Pillow / soundfile / pyav here.
-    Deterministic fake: dimensions derived from payload length/content."""
-    import hashlib
+_DECODERS = {"image": decode_bmp, "audio": decode_wav, "video": decode_y4m}
 
-    n = len(payload)
-    if kind == "image":
-        width, height = (n % 640) + 1, (n % 480) + 1
-    elif kind == "audio":
-        width, height = n, 1  # samples × channels
-    else:
-        width, height = (n % 1920) + 1, (n % 1080) + 1
+
+def _decode_one(payload: bytes, kind: str) -> dict[str, int | str]:
+    width, height, frames = _DECODERS[kind](payload)
     return {
-        "n_bytes": n,
+        "n_bytes": len(payload),
         "width": width,
         "height": height,
+        "frames": frames,
         "checksum": hashlib.md5(payload).hexdigest(),
     }
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """Arrow-batched decode/feature-extract over a media DataFrame.
-
-    Real plumbing, stubbed codec: `mapInPandas` streams Arrow batches
-    through Python once — no per-row Python round trips.
-    """
+    """Arrow-batched decode/feature-extract over a media DataFrame: parse
+    each payload's real container header (BMP/WAV/Y4M) into typed
+    metadata. `mapInPandas` streams Arrow batches through Python once —
+    no per-row Python round trips. Narrow (no shuffle)."""
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -96,7 +227,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                 d["kind"] = kind
                 out.append(d)
             yield pd.DataFrame(
-                out, columns=["media_id", "kind", "n_bytes", "width", "height", "checksum"]
+                out,
+                columns=["media_id", "kind", "n_bytes", "width", "height", "frames", "checksum"],
             )
 
     return df.select("media_id", "kind", "payload").mapInPandas(run, DECODED_SCHEMA)
@@ -114,22 +246,33 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_media(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Resize plumbing (stub codec): payload-in → payload-out through one
-    Arrow pass, the shape of a real thumbnail/model-input resize stage.
+    """Real image resize: decode the BMP pixel grid, nearest-neighbor
+    resample to (width, height), re-encode as BMP — one Arrow pass, the
+    shape of a thumbnail/model-input stage. Only images are resized;
+    other kinds pass through with width/height = -1."""
 
-    A real build decodes with Pillow, resizes, re-encodes; the stub
-    derives a deterministic fixed-size payload (md5-keyed repetition of
-    the source bytes truncated/padded to width*height/64) so tests can
-    assert the contract: output payload size is a pure function of the
-    target dims, input order is preserved within a partition, and the
-    binary column round-trips through Arrow unharmed. Only images are
-    resized; other kinds pass through with width/height = -1.
-    """
-    target = max(1, width * height // 64)
+    def resize_bmp(b: bytes) -> bytes:
+        sw, sh, _ = decode_bmp(b)
+        src_row = _bmp_row_size(sw)
+        pixels = b[54:]
+        dst_row = _bmp_row_size(width)
+        out = bytearray()
+        for y in range(height):
+            sy = y * sh // height
+            line = bytearray()
+            for x in range(width):
+                sx = x * sw // width
+                o = sy * src_row + sx * 3
+                line += pixels[o : o + 3]
+            line += b"\x00" * (dst_row - len(line))
+            out += line
+        file_header = struct.pack("<2sIHHI", b"BM", 54 + len(out), 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(out), 2835, 2835, 0, 0
+        )
+        return file_header + dib + bytes(out)
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
-        import hashlib
-
         import pandas as pd
 
         for pdf in batches:
@@ -137,9 +280,7 @@ def resize_media(df: DataFrame, width: int = 224, height: int = 224) -> DataFram
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 b = bytes(payload)
                 if kind == "image":
-                    seed = hashlib.md5(b).digest()
-                    body = (seed * (target // len(seed) + 1))[:target]
-                    out.append((media_id, kind, body, width, height))
+                    out.append((media_id, kind, resize_bmp(b), width, height))
                 else:
                     out.append((media_id, kind, b, -1, -1))
             yield pd.DataFrame(
@@ -149,15 +290,40 @@ def resize_media(df: DataFrame, width: int = 224, height: int = 224) -> DataFram
     return df.select("media_id", "kind", "payload").mapInPandas(run, RESIZED_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
-    """Frame-sampling plumbing: emit one row per sampled "frame" offset.
-    For real video this is the keyframe index; here offsets stride the
-    payload. Demonstrates the explode-shaped (UDTF-like) media op."""
-    return (
-        df.withColumn("n", F.length("payload"))
-        .withColumn(
-            "frame_offset",
-            F.explode(F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(every_n_bytes))),
-        )
-        .select("media_id", "kind", "frame_offset")
+def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """Frame sampling: for video payloads, parse the y4m stream and emit
+    one row per kept frame with its REAL byte offset (every ``every_n``-th
+    frame); non-video rows emit a single frame 0 at offset 0. The
+    explode-shaped (UDTF-like) media op — row fan-out = frames kept."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame_offset", T.IntegerType()),
+        ]
     )
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                b = bytes(payload)
+                if kind == "video":
+                    w, h, _ = decode_y4m(b)
+                    frame_size = w * h * 3 // 2
+                    pos, no = b.index(b"\n") + 1, 0
+                    while pos + 5 <= len(b) and b[pos : pos + 5] == b"FRAME":
+                        if no % every_n == 0:
+                            out.append((media_id, kind, no, pos))
+                        pos = b.index(b"\n", pos) + 1 + frame_size
+                        no += 1
+                else:
+                    out.append((media_id, kind, 0, 0))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "frame_no", "frame_offset"]
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, out_schema)

@@ -212,29 +212,34 @@ def ivf_topk(
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent"), _norm2(vec_col).alias("cent_n"))
     )
 
-    def assign(df: DataFrame, idc: str, vc: str, out: str, probes: int) -> DataFrame:
+    def assign(df: DataFrame, idc: str, vc: str, nc: str, out: str, probes: int) -> DataFrame:
+        # The precomputed vector norm rides through cell assignment as a
+        # named column so final scoring pays a lookup, not an O(dim) fold
+        # per candidate pair (mirrors cosine_topk's qn/cn design).
         scored = (
-            df.select(F.col(idc), F.col(vc), _norm2(vc).alias("__n"))
+            df.select(F.col(idc), F.col(vc), _norm2(vc).alias(nc))
             .crossJoin(F.broadcast(cents))
-            .withColumn("__sim", _dot(vc, "cent") / (F.sqrt("__n") * F.sqrt("cent_n")))
+            .withColumn("__sim", _dot(vc, "cent") / (F.sqrt(nc) * F.sqrt("cent_n")))
         )
         w = Window.partitionBy(idc).orderBy(F.col("__sim").desc(), F.col("cent_id"))
         return (
             scored.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= probes)
-            .select(F.col(idc), F.col(vc), F.col("cent_id").alias(out))
+            .select(F.col(idc), F.col(vc), F.col(nc), F.col("cent_id").alias(out))
         )
 
     c = assign(
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")), "cid", "ce", "cell", 1
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")),
+        "cid", "ce", "cn", "cell", 1,
     )
     q = assign(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")), "qid", "qe", "cell", nprobe
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")),
+        "qid", "qe", "qn", "cell", nprobe,
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("cid") != F.col("qid"))
-        .withColumn("cosine", _dot("qe", "ce") / (F.sqrt(_norm2("qe")) * F.sqrt(_norm2("ce"))))
+        .withColumn("cosine", _dot("qe", "ce") / (F.sqrt("qn") * F.sqrt("cn")))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
@@ -290,20 +295,23 @@ def lsh_topk(
     Output: (qid, cid, cosine, rank) — rank within retrieved candidates.
     """
     planes_lit = _plane_literals(planes, dim)
+    # Norms computed once per side before the bucket join (cosine_topk's
+    # qn/cn design) — scoring a candidate pair costs one dot product plus
+    # two column lookups, not two extra O(dim) folds.
     c = corpus.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"), _norm2(vec_col).alias("cn")
     ).withColumn("__planes", planes_lit).withColumn(
         "sig", lsh_signature("ce", planes, dim)
     ).drop("__planes")
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), _norm2(vec_col).alias("qn")
     ).withColumn("__planes", planes_lit).withColumn(
         "sig", lsh_signature("qe", planes, dim)
     ).drop("__planes")
     scored = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("cid") != F.col("qid"))
-        .withColumn("cosine", _dot("qe", "ce") / (F.sqrt(_norm2("qe")) * F.sqrt(_norm2("ce"))))
+        .withColumn("cosine", _dot("qe", "ce") / (F.sqrt("qn") * F.sqrt("cn")))
     )
     from pyspark.sql.window import Window
 

@@ -8,9 +8,12 @@ native column expressions, so it rides in Arrow-batched pandas UDFs —
 one vectorized regex pass per batch, never a per-row Python round trip.
 
 The extraction targets the same selector semantics on the fixture
-corpus (FIXTURES.md §A1): class/id-anchored divs with text payloads.
-bs4 is used when importable; the regex fallback handles the fixture
-corpus identically (well-formed, non-nested target divs).
+corpus (FIXTURES.md §A1): class/id-anchored elements with text
+payloads. Selector matching is regex-anchored, but the *extent* of a
+matched element is found with a depth-counting balanced scan — nested
+same-tag markup inside ``postingBody``/``locations`` is included in
+full, matching BeautifulSoup's ``getText()`` semantics on real-world
+(non-fixture) HTML instead of truncating at the first close tag.
 """
 
 from __future__ import annotations
@@ -21,13 +24,6 @@ import pandas as pd
 from pyspark.sql import Column, functions as F
 from pyspark.sql.functions import pandas_udf
 
-try:  # pragma: no cover - container has no bs4; regex fallback is the tested path
-    from bs4 import BeautifulSoup  # type: ignore
-
-    HAVE_BS4 = True
-except Exception:  # pragma: no cover
-    HAVE_BS4 = False
-
 _TAG_RE = re.compile(r"<[^>]+>")
 
 
@@ -35,22 +31,33 @@ def _strip_tags(html: str) -> str:
     return _TAG_RE.sub(" ", html)
 
 
+def _balanced_inner(html: str, open_end: int, tag: str) -> str:
+    """Inner content of the element whose opening ``<tag ...>`` ends at
+    ``open_end``, scanning forward and counting same-tag open/close pairs
+    so nested elements are included in full. Unclosed elements extend to
+    end-of-document (bs4-style leniency)."""
+    pat = re.compile(rf"<{tag}\b[^>]*>|</{tag}\s*>", re.I | re.S)
+    depth = 1
+    for m in pat.finditer(html, open_end):
+        if m.group(0).startswith("</"):
+            depth -= 1
+            if depth == 0:
+                return html[open_end : m.start()]
+        else:
+            depth += 1
+    return html[open_end:]
+
+
 def _div_by_class(html: str, cls: str) -> str | None:
     m = re.search(
-        rf'<div[^>]*class="[^"]*\b{re.escape(cls)}\b[^"]*"[^>]*>(.*?)</div>',
-        html,
-        re.S | re.I,
+        rf'<div[^>]*class="[^"]*\b{re.escape(cls)}\b[^"]*"[^>]*>', html, re.S | re.I
     )
-    return m.group(1) if m else None
+    return _balanced_inner(html, m.end(), "div") if m else None
 
 
 def _elem_by_id(html: str, elem_id: str) -> str | None:
-    m = re.search(
-        rf'<[a-z0-9]+[^>]*id="{re.escape(elem_id)}"[^>]*>(.*?)</(?:div|p|h1|span)>',
-        html,
-        re.S | re.I,
-    )
-    return m.group(1) if m else None
+    m = re.search(rf'<([a-z0-9]+)[^>]*id="{re.escape(elem_id)}"[^>]*>', html, re.S | re.I)
+    return _balanced_inner(html, m.end(), m.group(1)) if m else None
 
 
 def _clean_text(s: str | None) -> str | None:
@@ -78,13 +85,15 @@ def _extract(html: str | None, field: str) -> str | None:
             return _clean_text(_div_by_class(html, "postingBody"))
         if field == "poster_age":  # F10: p.metaInfoDisplay minus label
             m = re.search(
-                r'<p[^>]*class="[^"]*metaInfoDisplay[^"]*"[^>]*>(.*?)</p>', html, re.S | re.I
+                r'<p[^>]*class="[^"]*metaInfoDisplay[^"]*"[^>]*>', html, re.S | re.I
             )
-            t = _clean_text(m.group(1) if m else None)
+            t = _clean_text(_balanced_inner(html, m.end(), "p") if m else None)
             return t.replace("Poster's age:", "").strip() if t is not None else None
-        if field == "locations":  # F8: div containing 'Location:'
-            m = re.search(r"<div[^>]*>([^<]*Location:.*?)</div>", html, re.S | re.I)
-            t = _clean_text(m.group(1) if m else None)
+        if field == "locations":  # F8: div whose direct text starts 'Location:'
+            t = None
+            for m in re.finditer(r"<div[^>]*>(?=[^<]*Location:)", html, re.S | re.I):
+                t = _clean_text(_balanced_inner(html, m.end(), "div"))
+                break
             return t.replace("Location:", "").strip() if t is not None else None
         if field == "other_ads":  # F5: hrefs of div.cat under #OtherAdsByThisUser
             m = re.search(

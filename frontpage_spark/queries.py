@@ -852,13 +852,14 @@ _NB_SQL = (
     WITH x AS (SELECT vec_id AS a, embedding AS ea FROM embeddings),
     y AS (SELECT vec_id AS b, embedding AS eb FROM embeddings),
     scored AS (
-      SELECT a, b, {_PAIR_DOT_SQL} / (sqrt({_NA_SQL}) * sqrt({_NB_SQL})) AS cosine
+      SELECT a, b,
+             round({_PAIR_DOT_SQL} / (sqrt({_NA_SQL}) * sqrt({_NB_SQL})), 12) AS cosine
       FROM x JOIN y ON a < b
     )
     SELECT COUNT(*) AS n_pairs,
            CAST(SUM(CASE WHEN cosine >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_05,
            CAST(SUM(CASE WHEN cosine >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_08,
-           MAX(round(cosine, 12)) AS max_cosine
+           MAX(cosine) AS max_cosine
     FROM scored
     """,
 )
@@ -870,12 +871,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of |pairs| interpreted array folds; ``cosine_pairs`` remains the
     expression-level reference."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_pairs_blocked(emb)
+    # Round BEFORE thresholding (both sides): the gemm path's BLAS summation
+    # order differs from DuckDB's sequential fold, so a pair within float
+    # noise of 0.5/0.8 could otherwise flip a count nondeterministically.
+    pairs = similarity.cosine_pairs_blocked(emb).withColumn(
+        "cosine", F.round("cosine", 12)
+    )
     return pairs.agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("cosine") >= 0.5, 1).otherwise(0)).alias("n_ge_05"),
         F.sum(F.when(F.col("cosine") >= 0.8, 1).otherwise(0)).alias("n_ge_08"),
-        F.max(F.round("cosine", 12)).alias("max_cosine"),
+        F.max("cosine").alias("max_cosine"),
     )
 
 
@@ -1393,15 +1399,56 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
 
 
-@register("multimodal_decode")  # rows-only: stubbed codec, real plumbing
+# The oracle predicts decoded metadata arithmetically from the synth spec
+# (dims are pure functions of text byte-length L and doc_id), while Spark
+# round-trips REAL bytes: encode a spec-valid BMP/WAV/Y4M container, then
+# parse its actual header back (ext/multimodal.py). A bug in either the
+# encoder or the decoder breaks the hash match.
+@register(
+    "multimodal_decode",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS L,
+             doc_id % 3 AS k
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id,
+             CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CASE k WHEN 0 THEN L % 101 + 1
+                    WHEN 1 THEN L % 1024 + 1
+                    ELSE (L % 16 + 1) * 2 END AS width,
+             CASE k WHEN 0 THEN L % 53 + 1
+                    WHEN 1 THEN 1
+                    ELSE (L % 8 + 1) * 2 END AS height,
+             CASE k WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE L % 4 + 1 END AS frames
+      FROM m
+    )
+    SELECT media_id, kind,
+           CAST(CASE kind
+             WHEN 'image' THEN 54 + ((width * 3 + 3) // 4) * 4 * height
+             WHEN 'audio' THEN 44 + 2 * width
+             ELSE 28 + length(CAST(width AS VARCHAR)) + length(CAST(height AS VARCHAR))
+                  + frames * (6 + (width * height * 3) // 2)
+           END AS INTEGER) AS n_bytes,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(frames AS INTEGER) AS frames
+    FROM dims
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column → Arrow-batched decode
-    (stub codec) → typed metadata."""
+    """Multimodal decode: binary payload column → Arrow-batched REAL
+    container parse (BMP/WAV/Y4M headers, ext/multimodal.py) → typed
+    metadata. Narrow mapInPandas pass, no shuffle."""
     from .ext import multimodal
 
-    docs = _t(spark, sf_dir, "documents").limit(500)
+    docs = _t(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs, "doc_id", "text")
-    return multimodal.decode_media(media)
+    return multimodal.decode_media(media).select(
+        "media_id", "kind", "n_bytes", "width", "height", "frames"
+    )
 
 
 _LANGS = sorted(textstats.LANG_MARKERS)

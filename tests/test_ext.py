@@ -102,22 +102,67 @@ def test_lang_id(spark):
     assert got[1] == "en" and got[2] == "de"
 
 
+def test_multimodal_codecs_roundtrip():
+    """Pure-Python codec checks: encode a spec-valid container, parse the
+    actual bytes back."""
+    seed = b"0123456789abcdef"
+    bmp = multimodal.make_bmp(33, 7, seed)  # width forces row padding
+    assert bmp[:2] == b"BM" and multimodal.decode_bmp(bmp) == (33, 7, 1)
+    assert len(bmp) == 54 + ((33 * 3 + 3) // 4) * 4 * 7
+
+    wav = multimodal.make_wav(123, seed)
+    assert wav[8:12] == b"WAVE" and multimodal.decode_wav(wav) == (123, 1, 1)
+    assert len(wav) == 44 + 2 * 123
+    stereo = multimodal.make_wav(50, seed, channels=2)
+    assert multimodal.decode_wav(stereo) == (50, 2, 1)
+
+    y4m = multimodal.make_y4m(16, 8, 3, seed)
+    assert y4m.startswith(b"YUV4MPEG2") and multimodal.decode_y4m(y4m) == (16, 8, 3)
+    assert len(y4m) == len(b"YUV4MPEG2 W16 H8 F25:1 Ip A1:1\n") + 3 * (6 + 16 * 8 * 3 // 2)
+
+
 def test_multimodal_plumbing(spark):
+    # ids 0/1/2 → image/audio/video; "hello world" is 11 bytes
     docs = spark.createDataFrame(
-        [(1, "hello world"), (2, "abc"), (3, "an image doc")], ["doc_id", "text"]
+        [(0, "hello world"), (1, "abc"), (2, "a video doc"), (-4, "neg id")],
+        ["doc_id", "text"],
     )
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     decoded = multimodal.decode_media(media)
     rows = {r["media_id"]: r for r in decoded.collect()}
-    assert rows[1]["n_bytes"] == 11 and len(rows[1]["checksum"]) == 32
-    assert set(decoded.columns) == {"media_id", "kind", "n_bytes", "width", "height", "checksum"}
-    frames = multimodal.frame_sample(media, every_n_bytes=4)
-    assert frames.filter(F.col("media_id") == 1).count() == 3  # offsets 0,4,8
+    assert set(decoded.columns) == {
+        "media_id", "kind", "n_bytes", "width", "height", "frames", "checksum"
+    }
+    # image: L=11 → w=12, h=12; BMP n_bytes = 54 + row*h
+    img = rows[0]
+    assert img["kind"] == "image" and (img["width"], img["height"]) == (12, 12)
+    assert img["n_bytes"] == 54 + ((12 * 3 + 3) // 4) * 4 * 12
+    # audio: L=3 → 4 samples, mono
+    aud = rows[1]
+    assert aud["kind"] == "audio" and (aud["width"], aud["height"]) == (4, 1)
+    assert aud["n_bytes"] == 44 + 2 * 4
+    # video: L=11 → w=(11%16+1)*2=24, h=(11%8+1)*2=8, frames=11%4+1=4
+    vid = rows[2]
+    assert vid["kind"] == "video" and (vid["width"], vid["height"]) == (24, 8)
+    assert vid["frames"] == 4
+    # negative id: Python % keeps pmod semantics (-4 % 3 == 2 → video)
+    assert rows[-4]["kind"] == "video"
+
+    # frame_sample emits real byte offsets for each kept video frame
+    frames = {
+        r["frame_no"]: r["frame_offset"]
+        for r in multimodal.frame_sample(media).filter(F.col("media_id") == 2).collect()
+    }
+    head_len = len(b"YUV4MPEG2 W24 H8 F25:1 Ip A1:1\n")
+    stride = 6 + 24 * 8 * 3 // 2
+    assert frames == {n: head_len + n * stride for n in range(4)}
+
+    # resize re-encodes a real BMP at the target dims
     resized = {r["media_id"]: r for r in multimodal.resize_media(media, 32, 16).collect()}
-    img = next(r for r in resized.values() if r["kind"] == "image")
-    assert len(img["payload"]) == 32 * 16 // 64 and img["width"] == 32
-    other = next(r for r in resized.values() if r["kind"] != "image")
-    assert other["width"] == -1  # pass-through for non-image kinds
+    img = resized[0]
+    assert img["width"] == 32
+    assert multimodal.decode_bmp(bytes(img["payload"])) == (32, 16, 1)
+    assert resized[1]["width"] == -1  # pass-through for non-image kinds
 
 
 def test_rolling_hash_fingerprint(spark):

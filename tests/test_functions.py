@@ -80,3 +80,28 @@ def test_normalize_param(spark):
 
 def test_json_get(spark):
     assert one(spark, FF.json_get(F.lit('{"k": 87}'), "k")) == "87"
+
+
+def test_html_nested_div_extraction():
+    """Depth-counting scan: nested same-tag markup inside a target element
+    is included in full (bs4 getText() semantics), not truncated at the
+    first close tag."""
+    from frontpage_spark.html import _extract
+
+    html = (
+        '<html><div class="postingBody">intro <div class="quote">nested '
+        "<div>deep</div></div> outro</div>"
+        '<div>Location: <div class="hl">midtown</div>, uptown</div>'
+        '<div id="postingTitle"><h1>Deal <span>hot</span> Report Ad</h1></div></html>'
+    )
+    assert _extract(html, "post_body") == "intro nested deep outro"
+    assert _extract(html, "locations") == "midtown , uptown"
+    assert _extract(html, "post_title") == "Deal hot"
+
+
+def test_html_unclosed_div_lenient():
+    from frontpage_spark.html import _extract
+
+    assert _extract('<div class="postingBody">no close tag here', "post_body") == (
+        "no close tag here"
+    )
