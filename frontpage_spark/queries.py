@@ -1691,9 +1691,11 @@ def near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle table is materialized ONCE (persist) and feeds both
     stages — without it the shingle+md5 subplan evaluates three times
     (signatures, each verify side). At cluster scale the persist
-    becomes a temp-table write; the candidate set (bounded by
-    max_bucket^2 per bucket, typically << corpus) is broadcast so each
-    verify join is one narrow pass over the cached shingles."""
+    becomes a temp-table write. The candidate-pair joins carry NO
+    broadcast hint: per-bucket caps bound each bucket, but the *total*
+    candidate set across buckets can exceed broadcast limits at corpus
+    scale, so AQE picks the strategy at runtime (broadcast while the
+    set is provably small, graceful shuffle join beyond)."""
     docs = _tw(spark, sf_dir, "documents")
     sh = docs.select(F.col("doc_id"), dedup.shingles_col("text").alias("shingles")).persist()
     pairs = dedup.lsh_candidate_pairs(docs, shingles_df=sh)
@@ -1701,7 +1703,7 @@ def near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        sb.join(F.broadcast(sa.join(F.broadcast(pairs), "a")), "b")
+        sb.join(sa.join(pairs, "a"), "b")
         .withColumn(
             "jaccard",
             inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),

@@ -1,0 +1,84 @@
+"""JDBC parity tests (SURVEY.md §2.1 S4/S7/S8 over a real database).
+
+Embedded Derby ships in Spark's jars, so these exercise the actual
+JDBC code path — reader partitioning, server-side query pushdown, and
+the insert-if-absent sink contract — without a network database. A
+Postgres deployment swaps the URL/driver and keeps the same calls.
+"""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontpage_spark import jdbc
+
+
+@pytest.fixture()
+def derby_url():
+    # one in-memory database per test; create=true materializes it
+    return f"jdbc:derby:memory:t{uuid.uuid4().hex[:12]};create=true"
+
+
+def test_jdbc_roundtrip_and_insert_if_absent(spark, derby_url):
+    df = spark.createDataFrame(
+        [("k1", "a", 1), ("k2", "b", 2), ("k2", "b", 2)], ["uniq_id", "val", "n"]
+    )
+    # first write: in-batch dup collapses -> 2 rows land
+    jdbc.insert_if_absent(df, derby_url, "ads")
+    back = jdbc.jdbc_table(spark, derby_url, "ads")
+    assert back.count() == 2
+    # replay the same batch -> idempotent, nothing new lands
+    jdbc.insert_if_absent(df, derby_url, "ads")
+    assert jdbc.jdbc_table(spark, derby_url, "ads").count() == 2
+    # a new key lands, existing keys skipped
+    df2 = spark.createDataFrame([("k2", "x", 9), ("k3", "c", 3)], ["uniq_id", "val", "n"])
+    jdbc.insert_if_absent(df2, derby_url, "ads")
+    rows = {r["uniq_id"]: r["val"] for r in jdbc.jdbc_table(spark, derby_url, "ads").collect()}
+    assert rows == {"k1": "a", "k2": "b", "k3": "c"}  # k2 kept its FIRST value
+
+
+def test_jdbc_pushdown_query_and_delta_scan(spark, derby_url):
+    raw = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(10)], ["uniq_id", "n"]
+    )
+    clean = spark.createDataFrame([(f"k{i}",) for i in range(6)], ["uniq_id"])
+    jdbc.write_jdbc(raw, derby_url, "raw_ads")
+    jdbc.write_jdbc(clean, derby_url, "clean_ads")
+
+    # server-side aggregate: only one row crosses the wire
+    agg = jdbc.pushdown_query(
+        spark, derby_url, 'SELECT MAX("n") AS max_n FROM raw_ads'
+    )
+    assert agg.collect()[0]["MAX_N" if "MAX_N" in agg.columns else "max_n"] == 9
+
+    # delta scan: NOT IN evaluated by the database (etl_process.py:297-301)
+    delta = jdbc.jdbc_delta_scan(spark, derby_url, "raw_ads", "clean_ads")
+    assert sorted(r["uniq_id"] for r in delta.collect()) == ["k6", "k7", "k8", "k9"]
+    limited = jdbc.jdbc_delta_scan(spark, derby_url, "raw_ads", "clean_ads", limit=2)
+    assert limited.count() == 2
+
+
+def test_jdbc_partitioned_read_same_rows(spark, derby_url):
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("n"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    jdbc.write_jdbc(df, derby_url, "big")
+    part = jdbc.jdbc_table(
+        spark, derby_url, "big",
+        partition_col="n", lower_bound=0, upper_bound=100, num_partitions=4,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
+    assert part.agg(F.sum("n")).collect()[0][0] == sum(range(100))
+
+
+def test_jdbc_filter_pushdown_in_plan(spark, derby_url):
+    jdbc.write_jdbc(
+        spark.createDataFrame([(i, i % 3) for i in range(30)], ["id", "flag"]),
+        derby_url, "flags",
+    )
+    scan = jdbc.jdbc_table(spark, derby_url, "flags").filter(F.col("flag") == 1).select("id")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "flag" in plan  # filter reaches the cursor SQL
+    assert scan.count() == 10
