@@ -77,6 +77,97 @@ def paginated_scan(
     return reduce(DataFrame.unionByName, pages) if pages else None
 
 
+FETCHED_SCHEMA = "scrape_date string, code int, url string, read string, error string"
+
+
+def fetch_documents(
+    urls: DataFrame,
+    fetcher,
+    max_retries: int = 3,
+    backoff_s: float = 0.0,
+    on_retry=None,
+    clock=None,
+    url_col: str = "url",
+) -> DataFrame:
+    """S2/ST5 — per-document fetch as a distributed operator with
+    injectable I/O (scraper.py:86-91 ``open_url`` + the except-path
+    sleep/rotate loop at scraper.py:220-226).
+
+    ``fetcher(url) -> (code, body)`` does the actual I/O and raises on
+    failure; it is injectable, so the engine's dataflow is testable
+    without a network (the same pattern ``paginated_scan`` uses for
+    pages). On failure the partition sleeps ``backoff_s * 2**attempt``
+    and calls ``on_retry(url, attempt)`` — the reference's enable_tor()
+    identity-rotation hook — before retrying; after ``max_retries`` the
+    row is emitted with code NULL and the error message, feeding the
+    durable dead-letter channel (ST4) instead of being dropped.
+
+    Scale notes: one fetcher call per URL, Arrow-batched via
+    ``mapInPandas``; repartition the URL frame to set fetch concurrency
+    (politeness throttling = fewer partitions + backoff, the Spark
+    equivalent of the reference's sleep_time). Output:
+    (scrape_date, code, url, read, error).
+    """
+    from time import sleep
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for url in pdf[url_col]:
+                body, code, err = None, None, None
+                for attempt in range(max_retries + 1):
+                    try:
+                        code, body = fetcher(url)
+                        err = None
+                        break
+                    except Exception as e:  # noqa: BLE001 - fetch errors are data
+                        err = f"{type(e).__name__}: {e}"
+                        if attempt < max_retries:
+                            if backoff_s:
+                                sleep(backoff_s * (2 ** attempt))
+                            if on_retry is not None:
+                                on_retry(url, attempt)
+                scrape_date = (
+                    clock() if clock is not None
+                    else __import__("datetime").datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+                )
+                out.append((scrape_date, code, url, body, err))
+            yield pd.DataFrame(
+                out, columns=["scrape_date", "code", "url", "read", "error"]
+            )
+
+    return urls.select(F.col(url_col)).mapInPandas(run, FETCHED_SCHEMA)
+
+
+def assemble_raw(fetched: DataFrame) -> DataFrame:
+    """S3 — record assembly: fetched documents → RAW_SCHEMA rows with the
+    composite uniq_id (scraper.py:94-102,105-119,205). Failed fetches
+    (code NULL) are excluded — they belong to the dead-letter channel.
+    Narrow per-row expressions + one Arrow pass for the post-date field.
+    """
+    from . import functions as FF, html
+
+    ok = fetched.filter(F.col("error").isNull() & F.col("code").isNotNull())
+    with_key = ok.withColumn(
+        "uniq_id",
+        FF.uniq_id(
+            FF.format_ts(FF.parse_verbose_date(html.post_date_raw(F.col("read")))),
+            FF.ad_id_from_url(F.col("url")),
+            FF.site_id_from_url(F.col("url")),
+            FF.category_from_url(F.col("url")),
+        ),
+    )
+    return with_key.select(
+        F.monotonically_increasing_id().alias("id"),
+        F.col("uniq_id"),
+        F.struct(
+            F.col("scrape_date"), F.col("code"), F.col("url"), F.col("read"), F.col("uniq_id")
+        ).alias("ad"),
+    )
+
+
 def csv_dimension(spark: SparkSession, path: str, column_map: dict[str, str] | None = None) -> DataFrame:
     """S5 — CSV dimension source (reference: dict keyed on site_id,
     etl_process.py:185-200). Small table; callers wrap in broadcast()."""

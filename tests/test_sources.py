@@ -56,3 +56,83 @@ def test_paginated_scan_respects_bound(spark):
 
 def test_paginated_scan_all_empty(spark):
     assert paginated_scan(lambda n: spark.range(0), max_pages=5) is None
+
+
+def test_fetch_documents_retry_and_dead_letter(spark):
+    from frontpage_spark.sources import assemble_raw, fetch_documents
+
+    # fixture ad HTML (same selectors as FIXTURES.md §A1)
+    html = (
+        '<div class="adInfo">Posted: Tuesday, May 2, 2017 11:28 PM</div>'
+        '<div class="postingBody">call 555-123-4567</div>'
+    )
+    attempts = {}
+
+    def fetcher(url):
+        # flaky URL succeeds on the 3rd try; dead URL never succeeds
+        attempts[url] = attempts.get(url, 0) + 1
+        if url.endswith("dead"):
+            raise OSError("connection refused")
+        if url.endswith("flaky") and attempts[url] < 3:
+            raise OSError("timeout")
+        return 200, html
+
+    rotations = []
+
+    urls = spark.createDataFrame(
+        [("http://nyc.example.com/cats/x/111",),
+         ("http://sfo.example.com/dogs/x/flaky",),
+         ("http://nyc.example.com/cats/x/dead",)],
+        ["url"],
+    ).coalesce(1)
+    fetched = fetch_documents(
+        urls, fetcher, max_retries=2,
+        on_retry=lambda url, attempt: rotations.append((url, attempt)),
+        clock=lambda: "2017-05-03 10:00:00",
+    )
+    rows = {r["url"].rsplit("/", 1)[1]: r for r in fetched.collect()}
+    assert rows["111"]["code"] == 200 and rows["111"]["read"] == html
+    assert rows["flaky"]["code"] == 200  # recovered within budget
+    assert rows["dead"]["code"] is None and "connection refused" in rows["dead"]["error"]
+    assert rows["dead"]["scrape_date"] == "2017-05-03 10:00:00"
+
+    # S3 record assembly: failures drop out, uniq_id is the composite key
+    raw = assemble_raw(fetched)
+    got = {r["uniq_id"]: r for r in raw.collect()}
+    assert len(got) == 2
+    k = "2017-05-02 23:28:00-111-nyc-cats"
+    assert k in got and got[k]["ad"]["code"] == 200 and got[k]["ad"]["uniq_id"] == k
+
+
+def test_fetch_to_clean_end_to_end(spark):
+    """EP1 completed without a network: synthetic fetcher -> raw records
+    -> run_batch -> 17-col clean output."""
+    from frontpage_spark.pipeline import run_batch, to_compat
+    from frontpage_spark.schemas import CLEAN_COMPAT_COLUMNS, SITE_MAP_SCHEMA
+    from frontpage_spark.sources import assemble_raw, fetch_documents
+
+    html = (
+        '<div class="adInfo">Posted: Tuesday, May 2, 2017 11:28 PM</div>'
+        '<div id="postingTitle"><h1>Deal Report Ad</h1></div>'
+        '<div class="postingBody">call 555-123-4567</div>'
+        "<p class=\"metaInfoDisplay\">Poster's age: 25</p>"
+        "<div>Location: midtown</div>"
+    )
+    urls = spark.createDataFrame(
+        [("http://nyc.example.com/cats/x/111",), ("http://sfo.example.com/dogs/x/222",)],
+        ["url"],
+    )
+    site_map = spark.createDataFrame(
+        [("nyc", "New York", "NY", "Northeast", "Mid-Atlantic", "u"),
+         ("sfo", "San Francisco", "CA", "West", "Pacific", "u")],
+        SITE_MAP_SCHEMA,
+    )
+    raw = assemble_raw(
+        fetch_documents(urls, lambda u: (200, html), clock=lambda: "2017-05-03 10:00:00")
+    )
+    existing = spark.createDataFrame([], "uniq_id string")
+    out = to_compat(run_batch(raw, site_map, existing))
+    assert sorted(out.columns) == sorted(CLEAN_COMPAT_COLUMNS)
+    rows = {r["site_id"]: r for r in out.collect()}
+    assert len(rows) == 2 and rows["nyc"]["city"] == "New York"
+    assert rows["sfo"]["phone"] == "5551234567"
