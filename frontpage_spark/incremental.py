@@ -87,6 +87,31 @@ def stream_pipeline(
     return writer.start()
 
 
+def stream_dedup(
+    stream: DataFrame,
+    key: str = "uniq_id",
+    event_time_col: str = "scrape_date",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST2 (bounded-state form) — streaming duplicate drop with
+    ``dropDuplicatesWithinWatermark``: a key is deduplicated against
+    every key seen within the watermark horizon, and the per-key state
+    is EVICTED once the watermark passes it.
+
+    This is the 100 TB companion to the sink-side anti-join dedup
+    (pipeline.dedup_new_keys inside foreachBatch): the anti-join gives
+    exactly-once against the *whole* sink history but rescans its key
+    set each batch; this gives exactly-once within the late-data horizon
+    with O(active-horizon keys) state, no sink rescan. Use both — this
+    upstream (cheap, absorbs crawler re-fetch storms), the anti-join at
+    the sink boundary (durable).
+
+    State lives in the checkpoint, so dedup survives query restarts
+    (test_incremental proves the restart path).
+    """
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark([key])
+
+
 def windowed_counts(events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
     """ST6 extension — tumbling-window counts with a watermark for late
     data. Works on both batch and streaming DataFrames."""

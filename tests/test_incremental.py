@@ -128,3 +128,53 @@ def test_stateful_user_counts(spark, tmp_path):
     q2.awaitTermination(120)
     rows2 = {r["user_id"]: r["n_events"] for r in seen}
     assert rows2[1] == 3  # 2 from prior state + 1 new
+
+
+def test_stream_dedup_within_watermark_restart(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops repeat keys, keeps state in the
+    checkpoint, and still drops them after a query restart."""
+    from frontpage_spark.incremental import stream_dedup
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    sink = str(tmp_path / "sink")
+    schema = "uniq_id string, scrape_date timestamp, payload string"
+
+    def write_batch(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: k1 twice (in-batch dup) + k2
+    write_batch(
+        [("k1", __import__("datetime").datetime(2024, 1, 1, 0, 0), "a"),
+         ("k1", __import__("datetime").datetime(2024, 1, 1, 0, 1), "b"),
+         ("k2", __import__("datetime").datetime(2024, 1, 1, 0, 2), "c")],
+        1,
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dedup(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r["uniq_id"] for r in spark.read.parquet(sink).collect()}
+    assert got == {"k1", "k2"} and spark.read.parquet(sink).count() == 2
+
+    # batch 2 after RESTART: k1 again (dup vs checkpointed state) + k3
+    write_batch(
+        [("k1", __import__("datetime").datetime(2024, 1, 1, 0, 30), "dup"),
+         ("k3", __import__("datetime").datetime(2024, 1, 1, 0, 40), "new")],
+        2,
+    )
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == 3  # k1 dup dropped ACROSS the restart
+    assert {r["uniq_id"] for r in out.collect()} == {"k1", "k2", "k3"}
