@@ -1711,3 +1711,428 @@ def near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.2)
         .select("a", "b", "jaccard")
     )
+
+
+# ==========================================================================
+# Round-2 coverage widening: multi-join TPC-H shapes, LLM-pipeline funnel,
+# gap-filling, window deltas, blocked edit-distance dedup, k-means step,
+# TF-IDF.
+# ==========================================================================
+
+# ---- TPC-H Q3 shape: shipping-priority revenue top-N ----------------------
+@register(
+    "revenue_topn_q3ish",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0 AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM (
+      SELECT l.l_orderkey,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS disc_c,
+             o.o_orderdate
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    )
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def revenue_topn_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (fact x fact x dim) -> grouped revenue
+    -> top-N. The segment filter prunes customer BEFORE the join (pushed
+    to its scan); revenue accumulates in exact integer cents; top-10 is
+    TakeOrderedAndProject (no global sort). At 100 TB the orders join
+    shuffles on orderkey while customer stays broadcast-sized per AQE.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pre = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < "1998-01-01")
+            & (F.col("l_shipdate") > "1998-01-01")
+        )
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+            "o_orderdate",
+        )
+    )
+    return (
+        pre.groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(F.col("price_c") * (100 - F.col("disc_c"))).cast("double") / 10000.0).alias("revenue"))
+        .select(
+            "l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---- TPC-H Q5 shape: multi-hop dimension chain ----------------------------
+@register(
+    "regional_revenue_q5ish",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def regional_revenue_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact table joined up a 3-hop dimension chain
+    (customer -> nation -> region) with a region filter. The dimension
+    chain collapses to BROADCAST joins (nation/region are tiny; the
+    filtered customer side stays under the AQE broadcast threshold at
+    every SF), so the only shuffle is the lineitem/orders equi-join and
+    the final 5-row aggregation's map-side-combined exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dim, o.o_custkey == dim.c_custkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+        )
+        .groupBy("nation")
+        .agg(
+            (F.sum(F.col("price_c") * (100 - F.col("disc_c"))).cast("double") / 10000.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---- LLM-pipeline: quality filter funnel ----------------------------------
+@register(
+    "quality_filter_funnel",
+    """
+    WITH m AS (
+      SELECT len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_dist,
+             n_chars
+      FROM documents
+    ),
+    f AS (
+      SELECT n_tok >= 20 AS len_ok,
+             CAST(n_dist AS DOUBLE) / n_tok >= 0.3 AS dist_ok,
+             n_chars <= 5000 AS size_ok
+      FROM m
+    )
+    SELECT COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(SUM(CASE WHEN len_ok AND dist_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_dist_ok,
+           CAST(SUM(CASE WHEN len_ok AND dist_ok AND size_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM f
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style quality-filter funnel as ONE conditional-aggregation
+    pass: each row is scored against the cascade (token count, distinct
+    ratio, size cap) and every stage's survivor count is a SUM(CASE) in
+    the same scan — one job, no per-stage re-scan, map-side partial agg.
+    This is how you audit a filter cascade over 100 TB without running
+    the corpus N times."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = docs.select(
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_dist"),
+        "n_chars",
+    )
+    f = m.select(
+        (F.col("n_tok") >= 20).alias("len_ok"),
+        (F.col("n_dist").cast("double") / F.col("n_tok") >= 0.3).alias("dist_ok"),
+        (F.col("n_chars") <= 5000).alias("size_ok"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return f.agg(
+        F.count("*").alias("n_total"),
+        one(F.col("len_ok")).alias("n_len_ok"),
+        one(F.col("len_ok") & F.col("dist_ok")).alias("n_dist_ok"),
+        one(F.col("len_ok") & F.col("dist_ok") & F.col("size_ok")).alias("n_kept"),
+    )
+
+
+# ---- gap-filled daily rollup (hypertable-style) ---------------------------
+@register(
+    "gap_fill_daily_events",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def gap_fill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled daily rollup: the date spine is built
+    with sequence() from the min/max bounds (a 1-row aggregate,
+    broadcast), exploded, and LEFT-joined against the per-day counts so
+    silent days surface as zeros. The spine side is O(days) — trivially
+    broadcast — so the only real work is the one groupBy over events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+# ---- month-over-month revenue delta (lag window) --------------------------
+@register(
+    "mom_revenue_change",
+    """
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(rev_c - LAG(rev_c) OVER (ORDER BY month) AS DOUBLE) / 100.0 AS delta,
+           round(CAST(rev_c - LAG(rev_c) OVER (ORDER BY month) AS DOUBLE)
+                 / CAST(LAG(rev_c) OVER (ORDER BY month) AS DOUBLE), 9) AS pct_change
+    FROM monthly
+    """,
+)
+def mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas: one keyed aggregation (integer
+    cents), then a LAG window over the ~80-row monthly series — the
+    window side is trivially small after aggregation, so the single
+    unpartitioned sort is safe at any SF (the heavy lifting happened in
+    the map-side-combined groupBy)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_c").over(w)
+    return monthly.select(
+        "month",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        ((F.col("rev_c") - prev).cast("double") / 100.0).alias("delta"),
+        F.round((F.col("rev_c") - prev).cast("double") / prev.cast("double"), 9).alias("pct_change"),
+    )
+
+
+# ---- blocked edit-distance near-dup (Levenshtein) -------------------------
+@register(
+    "levenshtein_block_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(text, ' ')[1] AS blk,
+             substr(text, 1, 40) AS prefix
+      FROM documents
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 12
+    """,
+)
+def levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup with BLOCKING: candidate pairs share a
+    cheap block key (first token), so the quadratic Levenshtein runs
+    within blocks instead of all-pairs — the standard record-linkage
+    shape. One shuffle on the block key; prefix truncation caps the
+    per-pair O(m*n) DP cost. JVM codegen levenshtein, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").getItem(0).alias("blk"),
+        F.substring("text", 1, 40).alias("prefix"),
+    )
+    a = d.select(F.col("doc_id").alias("a"), F.col("blk"), F.col("prefix").alias("pa"))
+    b = d.select(F.col("doc_id").alias("b"), F.col("blk"), F.col("prefix").alias("pb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+        .filter(F.col("dist") <= 12)
+        .select("a", "b", "dist")
+    )
+
+
+# ---- one k-means (Lloyd) assignment step over embeddings ------------------
+_KM_DOT = (
+    "list_sum([CAST(e[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) "
+    "for i in generate_series(1, len(e))])"
+)
+_KM_EN = "list_sum([CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE) for i in generate_series(1, len(e))])"
+_KM_CN = "list_sum([CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) for i in generate_series(1, len(ce))])"
+
+@register(
+    "kmeans_assign_counts",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+      ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT v.vec_id, c.cent_id,
+             {_KM_DOT} / (sqrt({_KM_EN}) * sqrt({_KM_CN})) AS sim
+      FROM (SELECT vec_id, embedding AS e FROM embeddings) v
+      CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS r
+      FROM scored
+    )
+    SELECT cent_id, COUNT(*) AS n_members,
+           round(SUM(CAST(round(sim * 1000000000000) AS BIGINT)) / 1e12 / COUNT(*), 9) AS avg_sim
+    FROM assigned WHERE r = 1
+    GROUP BY cent_id
+    """,
+)
+def kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd/k-means ASSIGNMENT step: broadcast the 8 centroids
+    (deterministic sample standing in for the trained codebook), score
+    every vector against all centroids in one narrow pass, argmin via a
+    per-vector window, then count members and mean similarity per cell.
+    This is the iterated kernel of embedding clustering at corpus scale:
+    no shuffle of the corpus except the final small aggregation (the
+    centroid cross join is map-side against a broadcast).
+
+    The per-pair cosine is rounded to 12 decimals and summed as exact
+    integer picos before the mean so the cross-engine float-sum order
+    cannot flip the output."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            similarity._norm2("embedding").alias("cn"),
+        )
+    )
+    v = emb.select(
+        F.col("vec_id"), F.col("embedding").alias("e"), similarity._norm2("embedding").alias("en")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(e, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", dot / (F.sqrt("en") * F.sqrt("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
+    assigned = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+    return assigned.groupBy("cent_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            F.sum(F.round(F.col("sim") * 1e12).cast("long")) / F.lit(1e12) / F.count("*"), 9
+        ).alias("avg_sim"),
+    )
+
+
+# ---- TF-IDF top terms per source ------------------------------------------
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT source) AS df FROM tok WHERE term <> '' GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT source) AS n_src FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term,
+             round(tf.tf * ln(CAST(n.n_src AS DOUBLE) / df.df), 9) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT source, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT source, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-3 TF-IDF terms: explode -> two keyed aggregations
+    (term frequency per source; document frequency across sources) ->
+    broadcast the tiny df/n sides back -> per-source top-k window. The
+    exploded token table is materialized ONCE (persist) and feeds both
+    the tf and df aggregations — without it the scan+explode subplan
+    runs twice (at 100 TB the persist becomes a temp-table write, or the
+    two aggs fold into one pass with grouping sets). The
+    tfidf product is one ln + one multiply (IEEE-deterministic), rounded
+    before ranking so cross-engine ties cannot reorder; ties break on
+    the term itself."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .persist()
+    )
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n_src = docs.select(F.countDistinct("source").alias("n_src"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            "source",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_src").cast("double") / F.col("df")), 9
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "term", "tfidf", "rnk")
+    )

@@ -15,7 +15,6 @@ def test_contract_shape():
         "html_clean_projection",
         "embedding_knn_lsh",
         "embedding_knn_ivf",
-        "multimodal_decode",
         "approx_distinct_users",
     }
 
