@@ -2136,3 +2136,186 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("source", "term", "tfidf", "rnk")
     )
+
+
+# ---- multimodal: real frame index -----------------------------------------
+@register(
+    "multimodal_frames",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS L
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    dims AS (
+      SELECT media_id,
+             (L % 16 + 1) * 2 AS w, (L % 8 + 1) * 2 AS h, L % 4 + 1 AS frames
+      FROM m
+    ),
+    spec AS (
+      SELECT media_id, frames,
+             28 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) AS head_len,
+             6 + (w * h * 3) // 2 AS stride
+      FROM dims
+    )
+    SELECT media_id,
+           CAST(f.n AS INTEGER) AS frame_no,
+           CAST(head_len + f.n * stride AS INTEGER) AS frame_offset
+    FROM spec, LATERAL unnest(generate_series(0, frames - 1)) AS f(n)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over REAL container bytes: synthesize y4m
+    streams, then ``frame_sample`` parses each stream and emits one row
+    per frame with its actual byte offset. The oracle predicts the
+    offsets arithmetically from the synth spec — a bug in either the
+    encoder's layout or the parser's walk breaks the match. Explode-
+    shaped fan-out (rows = frames), narrow, no shuffle."""
+    from .ext import multimodal
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    return multimodal.frame_sample(media).select("media_id", "frame_no", "frame_offset")
+
+
+# ---- sliding-window counts ------------------------------------------------
+@register(
+    "sliding_window_counts",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS slot
+      FROM events
+    ),
+    expanded AS (
+      SELECT event_type, (slot - 300 * k.n) AS w_start
+      FROM e, LATERAL unnest(generate_series(0, 2)) AS k(n)
+    )
+    SELECT to_timestamp(w_start) AT TIME ZONE 'UTC' AS w_start,
+           event_type, COUNT(*) AS n
+    FROM expanded
+    GROUP BY w_start, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) windows: 15-minute windows every 5 minutes,
+    so each event lands in exactly 3 windows — Spark's window(slide)
+    operator, the fan-out = width/slide. Map-side the fan-out happens
+    before one keyed aggregation; same shape streaming with a watermark.
+    (The oracle expands the 3 memberships with a generate_series
+    lateral; window START is the comparison key.)"""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+# ---- LOCF: last observation carried forward -------------------------------
+@register(
+    "locf_daily_value",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 1000000) AS BIGINT)) AS v_micro
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           round(CAST(last_value(d.v_micro IGNORE NULLS)
+                        OVER (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / 1e6, 6) AS value_filled
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def locf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series with LOCF (last observation carried
+    forward) — the hypertable interpolation primitive: date spine LEFT
+    JOIN daily sums, then last_value(IGNORE NULLS) over the ordered
+    spine fills silent days with the previous day's value. The window
+    runs over the tiny post-aggregation series (days), never the raw
+    events. Daily sums accumulate in exact integer micros."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("v_micro"))
+    )
+    bounds = ev.agg(F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(
+                F.last("v_micro", ignorenulls=True).over(w).cast("double") / 1e6, 6
+            ).alias("value_filled"),
+        )
+    )
+
+
+# ---- histogram binning -----------------------------------------------------
+@register(
+    "order_price_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(min(round(o_totalprice, 2)) AS DOUBLE) AS lo,
+           CAST(max(round(o_totalprice, 2)) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: floor-division binning + one keyed
+    aggregation (map-side combined; bucket count is bounded so the
+    shuffle carries ~one row per bucket per task). min/max per bucket
+    are single-expression comparisons — order-independent."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.round("o_totalprice", 2)).cast("double").alias("lo"),
+            F.max(F.round("o_totalprice", 2)).cast("double").alias("hi"),
+        )
+    )
+
+
+# ---- ANN recall evaluation (quality harness) ------------------------------
+@register("ann_recall_eval")  # rows-only: evaluates approximate operators
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the two ANN paths against exact brute force — the
+    quality harness every approximate index needs: per-query |ANN ∩
+    exact| / k via inner joins of (qid, cid) pairs, then one tiny
+    aggregation per method. Runs the three searches once each; the
+    exact side is the same broadcast-Q scan the baseline uses."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, k=10).select("qid", "cid")
+    k = 10
+
+    def recall(approx: DataFrame, method: str) -> DataFrame:
+        hits = exact.join(approx.select("qid", "cid"), ["qid", "cid"])
+        return hits.groupBy("qid").agg(
+            (F.count("*") / F.lit(k)).alias("recall")
+        ).agg(
+            F.lit(method).alias("method"),
+            F.round(F.avg("recall"), 4).alias("avg_recall"),
+            F.count("*").alias("n_queries"),
+        )
+
+    lsh = recall(similarity.lsh_topk(emb, q, k=k, planes=4), "lsh")
+    ivf = recall(similarity.ivf_topk(emb, q, k=k, n_centroids=16, nprobe=4), "ivf")
+    return lsh.unionByName(ivf)

@@ -16,6 +16,7 @@ def test_contract_shape():
         "embedding_knn_lsh",
         "embedding_knn_ivf",
         "approx_distinct_users",
+        "ann_recall_eval",
     }
 
 
