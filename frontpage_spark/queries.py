@@ -2319,3 +2319,221 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = recall(similarity.lsh_topk(emb, q, k=k, planes=4), "lsh")
     ivf = recall(similarity.ivf_topk(emb, q, k=k, n_centroids=16, nprobe=4), "ivf")
     return lsh.unionByName(ivf)
+
+
+# ---- PII scrub audit -------------------------------------------------------
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_URL_RE = "https?://[^ ]+"
+_PHONEISH_RE = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+@register(
+    "pii_scrub_stats",
+    f"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text, '{_URL_RE}'))) AS BIGINT) AS n_urls,
+           CAST(SUM(len(regexp_extract_all(text, '{_PHONEISH_RE}'))) AS BIGINT) AS n_phones,
+           CAST(SUM(length(text)
+                    - length(regexp_replace(regexp_replace(regexp_replace(text,
+                        '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_URL_RE}', '<URL>', 'g'),
+                        '{_PHONEISH_RE}', '<PHONE>', 'g'))) AS BIGINT) AS chars_removed
+    FROM documents
+    GROUP BY source
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit — the redaction pass every training corpus
+    needs: count email/URL/phone-shaped spans per source and measure how
+    many characters scrubbing removes (negative = placeholders longer
+    than the match). All JVM codegen regexps in ONE scan with map-side
+    partial aggregation; the scrubbed text itself is a regexp_replace
+    chain, never a Python UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ),
+        _PHONEISH_RE,
+        "<PHONE>",
+    )
+    return docs.groupBy("source").agg(
+        F.sum(F.regexp_count(t, F.lit(_EMAIL_RE))).alias("n_emails"),
+        F.sum(F.regexp_count(t, F.lit(_URL_RE))).alias("n_urls"),
+        F.sum(F.regexp_count(t, F.lit(_PHONEISH_RE))).alias("n_phones"),
+        F.sum(F.length(t) - F.length(scrubbed)).alias("chars_removed"),
+    )
+
+
+# ---- token frequency spectrum (Zipf audit) --------------------------------
+@register(
+    "token_frequency_spectrum",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS freq FROM tok WHERE term <> '' GROUP BY term)
+    SELECT freq, COUNT(*) AS n_terms
+    FROM tf GROUP BY freq ORDER BY freq
+    """,
+)
+def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequency (Zipf) spectrum: how many distinct tokens
+    occur exactly k times. Two keyed aggregations, each map-side
+    combined; the second input is already sketch-sized (distinct
+    tokens). The standard corpus-health audit before vocab/BPE
+    training."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("term").agg(F.count("*").alias("freq"))
+    return tf.groupBy("freq").agg(F.count("*").alias("n_terms")).orderBy("freq")
+
+
+# ---- repeated n-gram ratio (degenerate-text signal) ------------------------
+@register(
+    "repetition_ratio_by_source",
+    """
+    WITH g AS (
+      SELECT doc_id, source,
+             string_split(lower(text), ' ') AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)]
+                  ELSE [] END AS grams
+      FROM g
+    ),
+    per_doc AS (
+      SELECT source,
+             CASE WHEN len(grams) > 0
+                  THEN CAST(round((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) * 1000000) AS BIGINT)
+                  ELSE 0 END AS rep_ppm
+      FROM tri
+    )
+    SELECT source,
+           CAST(SUM(rep_ppm) AS BIGINT) AS total_rep_ppm,
+           COUNT(*) AS n_docs
+    FROM per_doc GROUP BY source
+    """,
+)
+def repetition_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram ratio — the degenerate-text signal used to drop
+    boilerplate/looping docs from training corpora. Per-doc ratio is
+    exact integer ppm (one division, rounded once), then summed per
+    source so cross-engine float accumulation can't drift. Narrow
+    per-row array ops + one keyed agg."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    n = F.size(t)
+    grams = F.when(
+        n >= 3,
+        F.expr(
+            "transform(sequence(0, size(split(lower(text), ' ')) - 3), "
+            "i -> concat_ws(' ', slice(split(lower(text), ' '), i + 1, 3)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep_ppm = F.when(
+        F.size(grams) > 0,
+        F.round(
+            (F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams))
+            * 1000000
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    per_doc = docs.select("source", rep_ppm.alias("rep_ppm"))
+    return per_doc.groupBy("source").agg(
+        F.sum("rep_ppm").alias("total_rep_ppm"), F.count("*").alias("n_docs")
+    )
+
+
+# ---- near-dup clusters: connected components ------------------------------
+@register(
+    "dup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a, b FROM (
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ')[1] AS blk, substr(text, 1, 40) AS prefix
+          FROM documents
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= 12
+      )
+    ),
+    nodes AS (SELECT DISTINCT x AS id FROM (SELECT a AS x FROM pairs UNION SELECT b FROM pairs)),
+    edges AS (
+      SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.a, least(w.comp, e.b) FROM walk w JOIN edges e ON w.id = e.b
+    ),
+    labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+    SELECT comp AS cluster_id, COUNT(*) AS n_members
+    FROM labels GROUP BY comp
+    """,
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the blocked-
+    Levenshtein pair graph via iterative min-label propagation — each
+    round is one join + one keyed min-agg, looping until no label
+    changes (the standard dedup-grouping step after pair discovery; at
+    corpus scale rounds are O(log diameter) and each is a pair of
+    shuffles). The DuckDB oracle computes the same components with a
+    recursive CTE — two entirely different fixpoint engines agreeing on
+    the partition."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").getItem(0).alias("blk"),
+        F.substring("text", 1, 40).alias("prefix"),
+    )
+    a = d.select(F.col("doc_id").alias("a"), "blk", F.col("prefix").alias("pa"))
+    b = d.select(F.col("doc_id").alias("b"), "blk", F.col("prefix").alias("pb"))
+    pairs = (
+        a.join(b, "blk")
+        .filter((F.col("a") < F.col("b")) & (F.levenshtein("pa", "pb") <= 12))
+        .select("a", "b")
+        .persist()
+    )
+    # undirected edge list + self-loops seed each node with its own label
+    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select("b"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    while True:
+        # propagate the min label across edges, keep the smaller of
+        # (current, best neighbor)
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "b").withColumnRenamed("comp", "nbr"), "b")
+            .groupBy("a")
+            .agg(F.min("nbr").alias("best_nbr"))
+        )
+        nxt = (
+            labels.join(prop.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("best_nbr"), F.col("comp"))).alias("comp"),
+            )
+            .persist()
+        )
+        changed = nxt.alias("n").join(labels.alias("l"), "id").filter(
+            F.col("n.comp") != F.col("l.comp")
+        )
+        n_changed = changed.count()
+        labels = nxt
+        if n_changed == 0:
+            break
+    return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count("*").alias("n_members")
+    )
