@@ -74,7 +74,12 @@ def main() -> None:
         # Catalyst prune the expensive projections right out of the plan)
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # queries that persist() intermediates (near-dup, tf-idf) create a
+        # fresh cached DataFrame per call; drop those orphans so later
+        # queries aren't timed against another query's cache churn
+        spark.catalog.clearCache()
+        return dt
 
     # Pass 1 (cold): includes each plan's one-time whole-stage-codegen
     # compile — a per-plan constant that amortizes to zero at real data

@@ -41,7 +41,16 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    # Probe width via the scan's file list — cheap metadata, unlike
+    # df.rdd.getNumPartitions() which forces full physical planning +
+    # RDD lineage materialization on every call. Files under-count
+    # splits for multi-row-group files, which only makes the check
+    # conservative (a no-op repartition of an already-wide scan).
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = df.rdd.getNumPartitions()
+    if width >= max(2, target // 2):
         return df
     return df.repartition(target)
 
