@@ -87,6 +87,32 @@ def stream_pipeline(
     return writer.start()
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each left event matches right events
+    of the same key within ``(left_ts, left_ts + max_gap]`` — the
+    click→purchase attribution shape. BOTH sides carry watermarks plus
+    the time-bound join condition, so Spark can size and EVICT the
+    buffered state on each side (without the bound, stream-stream join
+    state grows forever). Works identically on batch frames (minus the
+    state semantics) — the test runs both."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] > lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {max_gap}"))
+    )
+    return lw.join(rw, cond).drop(rw[key])
+
+
 def stream_dedup(
     stream: DataFrame,
     key: str = "uniq_id",

@@ -101,6 +101,16 @@ def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
+    """Persist hive-style directory-partitioned parquet on ``cols``
+    (low-cardinality keys: date, source, category). Reads filtered on a
+    partition column prune whole directories BEFORE any I/O — the scan's
+    PartitionFilters (asserted in tests) — which is the first-line
+    pruning mechanism for a 100 TB date-partitioned fact table (S7's
+    'partition by a date column at scale' made concrete)."""
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange nodes in the executed plan — the unit
     tests' scalability assertion."""

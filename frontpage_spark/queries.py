@@ -2537,3 +2537,54 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count("*").alias("n_members")
     )
+
+
+# ---- native session windows ------------------------------------------------
+@register(
+    "session_window_stats",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM o
+    )
+    SELECT user_id, CAST(sess AS BIGINT) AS sess, COUNT(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows: ``F.session_window(ts, gap)`` merges
+    events into variable-length sessions inside the aggregation operator
+    itself — one shuffle on user_id, no self-window pass. The oracle
+    derives identical sessions with the classic lag/cumsum islands
+    trick; session index is recovered by ranking session starts so both
+    engines emit the same (user, sess) keys. (Same operator works on a
+    stream with a watermark — this is the batch twin of streaming
+    sessionization.)"""
+    ev = _t(spark, sf_dir, "events")
+    sw = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("s_min"),
+            F.max("ts").alias("s_max"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("s_min")
+    return sw.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("sess"),
+        "n_events",
+        F.date_format("s_min", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("s_max", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )

@@ -178,3 +178,47 @@ def test_stream_dedup_within_watermark_restart(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 3  # k1 dup dropped ACROSS the restart
     assert {r["uniq_id"] for r in out.collect()} == {"k1", "k2", "k3"}
+
+
+def test_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join with watermarks on both sides:
+    purchases attribute to the click within the preceding 10 minutes."""
+    from datetime import datetime
+
+    from frontpage_spark.incremental import stream_interval_join
+
+    clicks_rows = [
+        (1, datetime(2024, 1, 1, 0, 0)),
+        (2, datetime(2024, 1, 1, 1, 0)),
+    ]
+    buys_rows = [
+        (1, datetime(2024, 1, 1, 0, 5)),    # within 10 min of click -> match
+        (1, datetime(2024, 1, 1, 0, 20)),   # too late -> no match
+        (2, datetime(2024, 1, 1, 0, 50)),   # before the click -> no match
+    ]
+    # batch semantics
+    clicks = spark.createDataFrame(clicks_rows, "user_id long, l_ts timestamp")
+    buys = spark.createDataFrame(buys_rows, "user_id long, r_ts timestamp")
+    got = stream_interval_join(clicks, buys).collect()
+    assert len(got) == 1 and got[0]["l_ts"] == datetime(2024, 1, 1, 0, 0)
+
+    # streaming semantics: same result through a real micro-batch query
+    csrc, bsrc = str(tmp_path / "c"), str(tmp_path / "b")
+    sink, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    clicks.write.parquet(csrc)
+    buys.write.parquet(bsrc)
+    cs = spark.readStream.schema("user_id long, l_ts timestamp").parquet(csrc)
+    bs = spark.readStream.schema("user_id long, r_ts timestamp").parquet(bsrc)
+    q = (
+        stream_interval_join(cs, bs)
+        .select("user_id", "l_ts", "r_ts")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink).collect()
+    assert len(out) == 1 and out[0]["r_ts"] == datetime(2024, 1, 1, 0, 5)

@@ -50,3 +50,24 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    """Partition-column filters prune directories in the scan
+    (PartitionFilters), the first-line pruning for date-partitioned
+    fact tables."""
+    from frontpage_spark.plans import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}", i * 1.0) for i in range(30)],
+        ["id", "day", "v"],
+    )
+    path = str(tmp_path / "part")
+    write_partitioned(df, path, "day")
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the day predicate lands in PartitionFilters (directory pruning),
+    # NOT in PushedFilters (row-group pruning after the read starts)
+    pf = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "2024-01-02" in pf
+    assert back.count() == 10
