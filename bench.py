@@ -52,6 +52,14 @@ HEADLINE = [
     "near_dup_verified",
     "multimodal_decode",
     "embedding_near_dup",
+    "revenue_topn_q3ish",
+    "regional_revenue_q5ish",
+    "quality_filter_funnel",
+    "tfidf_top_terms",
+    "pii_scrub_stats",
+    "session_window_stats",
+    "dup_clusters",
+    "kmeans_assign_counts",
 ]
 
 

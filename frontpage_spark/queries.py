@@ -2588,3 +2588,97 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("s_min", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("s_max", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
     )
+
+
+# ---- statistical moments in exact integer arithmetic ----------------------
+@register(
+    "order_price_moments",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS p
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           round(CAST(SUM(p) AS DOUBLE) / COUNT(*) / 100.0, 6) AS mean_price,
+           round((CAST(SUM(p * p) AS DOUBLE) - CAST(SUM(p) AS DOUBLE) * SUM(p) / COUNT(*))
+                 / (COUNT(*) - 1) / 10000.0, 4) AS var_price
+    FROM c GROUP BY o_orderstatus
+    """,
+)
+def order_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance computed scale-safely: sums of cents and squared
+    cents accumulate as exact int64 (order-independent, overflow-safe at
+    sf: |p| < 2^27, p^2 < 2^54, 10^8 rows < 2^63 headroom), and the
+    float division happens ONCE per group at the end. This is how you
+    get bit-identical moments across engines and partitionings —
+    F.variance's float running sums are not."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderstatus", F.round(F.col("o_totalprice") * 100).cast("long").alias("p")
+    )
+    n = F.count("*")
+    sp = F.sum("p").cast("double")
+    spp = F.sum(F.col("p") * F.col("p")).cast("double")
+    return c.groupBy("o_orderstatus").agg(
+        n.alias("n"),
+        F.round(sp / n / 100.0, 6).alias("mean_price"),
+        F.round((spp - sp * F.sum("p") / n) / (n - 1) / 10000.0, 4).alias("var_price"),
+    )
+
+
+# ---- deterministic arg-max per group --------------------------------------
+@register(
+    "latest_order_per_customer",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS totalprice
+    FROM r WHERE rn = 1 AND o_custkey < 100
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group arg-max via max(struct(...)): the struct
+    comparison (date, then key) breaks ties, unlike max_by whose choice
+    under ties is undefined. One map-side-combinable aggregation — no
+    window shuffle-and-sort over the whole fact table, which is the
+    difference between one exchange and a full sort at 100 TB."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    best = o.groupBy("o_custkey").agg(
+        F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("b")
+    )
+    return best.select(
+        "o_custkey",
+        F.col("b.o_orderkey").alias("o_orderkey"),
+        F.date_format("b.o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round("b.o_totalprice", 2).alias("totalprice"),
+    )
+
+
+# ---- sorted array_agg ------------------------------------------------------
+@register(
+    "sources_by_lang",
+    """
+    SELECT lang,
+           list_sort(list(DISTINCT source)) AS sources,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped array aggregation with a DETERMINISTIC contract:
+    collect_set is partition-order-dependent, so the output array is
+    sort_array'd before it leaves the operator — the only way an
+    array-valued aggregate is reproducible (and comparable) across
+    partitionings and engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sort_array(F.collect_set("source")).alias("sources"),
+        F.countDistinct("source").alias("n_sources"),
+    )
