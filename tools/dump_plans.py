@@ -39,6 +39,31 @@ SELECTED = {
         "last(ignorenulls) window carries the latest purchase forward. An ASOF via range "
         "predicate would be a broadcast nested loop."
     ),
+    "revenue_topn_q3ish": (
+        "TPC-H Q3 shape: segment/date filters pushed into all three scans; orders and the "
+        "filtered customer side broadcast against the lineitem probe; grouped revenue in "
+        "integer cents; TakeOrderedAndProject for the top-10 (no global sort)."
+    ),
+    "regional_revenue_q5ish": (
+        "TPC-H Q5 shape: the 3-hop dimension chain (customer→nation→region) collapses to "
+        "broadcast joins with the region filter pushed to its scan; the only real shuffles "
+        "are the orders/customer equi-join and the 5-row final aggregate."
+    ),
+    "tfidf_top_terms": (
+        "TF-IDF: the exploded token table is persisted once (InMemoryTableScan feeds both "
+        "aggregations); df and the corpus-size scalar broadcast back; per-source top-3 via "
+        "one window over the already-aggregated (source,term) table."
+    ),
+    "session_window_stats": (
+        "Native session windows: the merge happens inside the aggregation operator (one "
+        "exchange on user_id), not via a self-window; the post-aggregation session index "
+        "ranks ~sessions rows, never raw events."
+    ),
+    "kmeans_assign_counts": (
+        "Lloyd assignment step: centroids broadcast (8 rows), per-vector argmin via window "
+        "over 8 candidates, final aggregate exchanges ~8 rows of partial sums. The corpus "
+        "itself is scanned once and never shuffled."
+    ),
 }
 
 
