@@ -18,6 +18,8 @@ co-location across many jobs):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 SALT_COL = "__salt"
@@ -109,6 +111,35 @@ def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
     pruning mechanism for a 100 TB date-partitioned fact table (S7's
     'partition by a date column at scale' made concrete)."""
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction for append-mode parquet sinks.
+
+    Streaming foreachBatch appends one-file-per-partition-per-batch;
+    after days of micro-batches a 100 TB sink is millions of KB-sized
+    files and every scan pays per-file open/footer costs. Rewrite the
+    directory into ``ceil(bytes / target)`` files via coalesce (no
+    shuffle — coalesce only merges read splits) and an atomic-ish
+    temp-dir swap. Returns the new file count. At cluster scale this
+    runs per partition directory (date=...) so compaction is
+    incremental and parallel across partitions."""
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])
 
 
 def count_exchanges(df: DataFrame) -> int:

@@ -2682,3 +2682,71 @@ def sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("source")).alias("sources"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# ---- explicit GROUPING SETS ------------------------------------------------
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent 1-d margins + grand
+    total, WITHOUT the full cube's cross products): one pass, one
+    exchange, partial aggregation per set — the cheap way to get
+    several marginal rollups of a 100 TB fact table when the full cube
+    is 2^k times more groups than anyone reads."""
+    o = _t(spark, sf_dir, "orders")
+    pre = o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("p"),
+    )
+    return pre.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        (F.sum("p").cast("double") / 100.0).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---- unpivot / melt --------------------------------------------------------
+@register(
+    "unpivot_status_counts",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           'n_' || lower(o_orderstatus) AS status,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O', 'P')
+    GROUP BY 1, 2
+    """,
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → melt round trip: wide per-month status columns are
+    unpivoted back to tall (month, status, n) rows with the native
+    ``unpivot`` operator (UNPIVOT/MELT). The oracle computes the tall
+    form directly — if either the pivot's column routing or the melt's
+    id/value mapping were wrong, the round trip would not reproduce it.
+    Zero-count cells (NULL after pivot) are dropped like UNPIVOT
+    drops NULLs."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.filter(F.col("o_orderstatus").isin("F", "O", "P"))
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+    )
+    return (
+        wide.unpivot("month", ["n_f", "n_o", "n_p"], "status", "n")
+        .filter(F.col("n").isNotNull())
+        .select("month", "status", "n")
+    )

@@ -222,3 +222,60 @@ def test_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.read.parquet(sink).collect()
     assert len(out) == 1 and out[0]["r_ts"] == datetime(2024, 1, 1, 0, 5)
+
+
+def test_windowed_counts_drops_late_data(spark, tmp_path):
+    """Append-mode watermarked aggregation: an event arriving after the
+    watermark passed its window never reaches the sink."""
+    from datetime import datetime
+
+    from frontpage_spark.incremental import windowed_counts
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    schema = "ts timestamp, event_type string, value double"
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            windowed_counts(stream, window="10 minutes", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: events at 00:00-00:10 and one at 01:00 that advances the
+    # watermark far past the first window
+    emit([
+        (datetime(2024, 1, 1, 0, 1), "click", 1.0),
+        (datetime(2024, 1, 1, 0, 2), "click", 1.0),
+        (datetime(2024, 1, 1, 1, 0), "click", 1.0),
+    ])
+    drain()
+    # batch 2: a LATE event for the long-closed 00:00 window + a fresh one
+    emit([
+        (datetime(2024, 1, 1, 0, 3), "click", 1.0),   # late -> dropped
+        (datetime(2024, 1, 1, 1, 2), "click", 1.0),
+    ])
+    drain()
+    # batch 3: advance the watermark so the 01:00 window finalizes
+    emit([(datetime(2024, 1, 1, 2, 0), "click", 1.0)])
+    drain()
+
+    out = {
+        (r["w"]["start"].isoformat(), r["n"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # first window finalized with 2 (late row NOT counted)
+    assert ("2024-01-01T00:00:00", 2) in out
+    # the 01:00 window saw both its rows (one per batch, merged by state)
+    assert ("2024-01-01T01:00:00", 2) in out
+    assert not any(w == "2024-01-01T00:00:00" and n != 2 for w, n in out)

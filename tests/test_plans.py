@@ -71,3 +71,23 @@ def test_write_partitioned_prunes(spark, tmp_path):
     pf = next(line for line in plan.splitlines() if "PartitionFilters" in line)
     assert "2024-01-02" in pf
     assert back.count() == 10
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction rewrites a many-file sink into few files with identical
+    data (the streaming-sink maintenance op)."""
+    import glob
+
+    from frontpage_spark.plans import compact
+
+    path = str(tmp_path / "sink")
+    # simulate 5 micro-batch appends of 8 partitions each -> 40 files
+    for i in range(5):
+        spark.range(i * 100, (i + 1) * 100).repartition(8).write.mode("append").parquet(path)
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 40
+    total_before = spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
+    n_after = compact(spark, path)
+    assert n_after < before and n_after >= 1
+    assert spark.read.parquet(path).agg(F.sum("id")).collect()[0][0] == total_before
+    assert spark.read.parquet(path).count() == 500
