@@ -52,3 +52,122 @@ def test_phone_candidates_invariants(spark, texts):
         assert vals == sorted(set(vals))  # deduped + deterministic order
         for v in vals:
             assert v.isdigit() and 7 <= len(v) <= 11
+
+
+# ---- multimodal codec roundtrips (pure Python, no Spark session) ----------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=300),
+    st.binary(min_size=16, max_size=16),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    from frontpage_spark.ext import multimodal as mm
+
+    b = mm.make_bmp(w, h, seed)
+    assert mm.decode_bmp(b) == (w, h, 1)
+    # spec-valid: declared file size matches actual length
+    import struct
+
+    assert struct.unpack_from("<I", b, 2)[0] == len(b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5000),
+    st.integers(min_value=1, max_value=2),
+    st.binary(min_size=16, max_size=16),
+)
+def test_wav_roundtrip_property(n_samples, channels, seed):
+    from frontpage_spark.ext import multimodal as mm
+
+    b = mm.make_wav(n_samples, seed, channels=channels)
+    assert mm.decode_wav(b) == (n_samples, channels, 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=64).map(lambda x: x * 2),
+    st.integers(min_value=1, max_value=32).map(lambda x: x * 2),
+    st.integers(min_value=1, max_value=8),
+    st.binary(min_size=16, max_size=16),
+)
+def test_y4m_roundtrip_property(w, h, frames, seed):
+    from frontpage_spark.ext import multimodal as mm
+
+    b = mm.make_y4m(w, h, frames, seed)
+    assert mm.decode_y4m(b) == (w, h, frames)
+
+
+# ---- balanced HTML scan vs stdlib html.parser reference -------------------
+
+def _reference_div_text(html_src, cls):
+    """Oracle extractor built on the stdlib event parser: text content of
+    the first div whose class attribute contains `cls`, including nested
+    markup, with the same whitespace/ascii cleanup."""
+    from html.parser import HTMLParser
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.depth = 0
+            self.buf = []
+            self.done = False
+
+        def handle_starttag(self, tag, attrs):
+            if tag != "div":
+                return
+            if self.depth > 0:
+                self.depth += 1
+            elif not self.done and cls in dict(attrs).get("class", "").split():
+                self.depth = 1
+
+        def handle_endtag(self, tag):
+            if tag == "div" and self.depth > 0:
+                self.depth -= 1
+                if self.depth == 0:
+                    self.done = True
+
+        def handle_data(self, data):
+            if self.depth > 0 and not self.done:
+                self.buf.append(data)
+
+    p = P()
+    p.feed(html_src)
+    if not p.buf and not p.done and p.depth == 0:
+        return None
+    import re as _re
+
+    txt = " ".join(p.buf).replace("\r", "").replace("\n", "")
+    txt = txt.encode("ascii", "ignore").decode()
+    return _re.sub(r"\s+", " ", txt).strip()
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcdefg 123", min_size=1, max_size=8), min_size=1, max_size=4
+).map(" ".join)
+
+
+@st.composite
+def nested_div_html(draw, depth=0):
+    """Random well-formed HTML with nested divs and text."""
+    parts = [draw(WORDS)]
+    if depth < 3:
+        for _ in range(draw(st.integers(min_value=0, max_value=2))):
+            cls = draw(st.sampled_from(["x", "y", "postingBody q", ""]))
+            inner = draw(nested_div_html(depth=depth + 1))
+            parts.append(f'<div class="{cls}">{inner}</div>')
+            parts.append(draw(WORDS))
+    return "".join(parts)
+
+
+@settings(max_examples=150, deadline=None)
+@given(nested_div_html(), WORDS)
+def test_balanced_scan_matches_stdlib_parser(inner, filler):
+    from frontpage_spark.html import _extract
+
+    html_src = f'<html>{filler}<div class="postingBody">{inner}</div>{filler}</html>'
+    got = _extract(html_src, "post_body")
+    want = _reference_div_text(html_src, "postingBody")
+    assert got == want
