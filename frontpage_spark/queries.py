@@ -1990,11 +1990,17 @@ def levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = d.select(F.col("doc_id").alias("a"), F.col("blk"), F.col("prefix").alias("pa"))
     b = d.select(F.col("doc_id").alias("b"), F.col("blk"), F.col("prefix").alias("pb"))
+    # |len diff| > threshold implies distance > threshold: a free codegen
+    # prefilter that skips the DP entirely for most pairs; the bounded
+    # levenshtein (threshold arg) early-exits the DP band for the rest.
     return (
         a.join(b, "blk")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
-        .filter(F.col("dist") <= 12)
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.length("pa") - F.length("pb")) <= 12)
+        )
+        .withColumn("dist", F.levenshtein("pa", "pb", 12).cast("long"))
+        .filter(F.col("dist") >= 0)
         .select("a", "b", "dist")
     )
 
@@ -2497,10 +2503,23 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = d.select(F.col("doc_id").alias("a"), "blk", F.col("prefix").alias("pa"))
     b = d.select(F.col("doc_id").alias("b"), "blk", F.col("prefix").alias("pb"))
+    # The pair graph is tiny relative to the corpus (near-dups are rare);
+    # repartition(1) — an exchange AFTER the parallel levenshtein join,
+    # unlike coalesce which would collapse the join itself — makes each
+    # propagation round one task instead of shuffle-partitions × rounds
+    # of empty-task scheduling. At a scale where the pair graph itself is
+    # big, drop it — the loop is partition-count-agnostic. The join pays
+    # a free length-difference prefilter plus the BOUNDED levenshtein
+    # (early-exit banded DP).
     pairs = (
         a.join(b, "blk")
-        .filter((F.col("a") < F.col("b")) & (F.levenshtein("pa", "pb") <= 12))
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.length("pa") - F.length("pb")) <= 12)
+            & (F.levenshtein("pa", "pb", 12) >= 0)
+        )
         .select("a", "b")
+        .repartition(1)
         .persist()
     )
     # undirected edge list + self-loops seed each node with its own label
@@ -2511,6 +2530,10 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("comp", F.col("id"))
     )
+    # Convergence probe: labels only ever DECREASE (least of self and
+    # neighbors), so sum(comp) is strictly monotone until fixpoint — one
+    # cheap aggregate per round instead of a join-and-count.
+    prev_sum = None
     while True:
         # propagate the min label across edges, keep the smaller of
         # (current, best neighbor)
@@ -2527,13 +2550,12 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        changed = nxt.alias("n").join(labels.alias("l"), "id").filter(
-            F.col("n.comp") != F.col("l.comp")
-        )
-        n_changed = changed.count()
+        cur_sum = nxt.agg(F.sum("comp")).collect()[0][0]
+        labels.unpersist()
         labels = nxt
-        if n_changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count("*").alias("n_members")
     )
