@@ -1,13 +1,18 @@
 """CLI — the reference's console surface (`frontpage scraper|etl`,
 cli.py:5-16) re-expressed for the Spark engine.
 
+  python -m frontpage_spark ingest --urls FILE --html-dir DIR --out DIR
   python -m frontpage_spark etl --raw DIR --dim CSV --out DIR [--stream]
   python -m frontpage_spark conform --clean DIR --raw DIR --out DIR
   python -m frontpage_spark query NAME [--sf-dir DIR]
 
-`scraper` (network acquisition over Tor) is intentionally not
-reproduced — the engine consumes acquired records (SURVEY.md §2.1 S1-S2
-are out of correctness scope); `etl` covers EP2 and `conform` EP3.
+`ingest` is EP1 (the reference's `scraper`) with the network swapped
+for a disk-backed fetcher: each URL resolves to --html-dir/<md5(url)>
+(.html), runs through the distributed fetch operator (retry/backoff/
+dead-letter), record assembly, and insert-if-absent into the raw sink.
+Live acquisition (Tor) is out of engine scope; everything from the
+fetch boundary inward is the real dataflow. `etl` covers EP2,
+`conform` EP3.
 """
 
 from __future__ import annotations
@@ -19,6 +24,16 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="frontpage_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="urls→raw records (EP1 body, disk-backed fetch)")
+    ing.add_argument("--urls", required=True, help="newline-delimited URL file")
+    ing.add_argument("--html-dir", required=True, help="dir of <md5(url)>.html payloads")
+    ing.add_argument("--out", required=True, help="raw sink parquet dir")
+    ing.add_argument("--max-retries", type=int, default=2)
+    ing.add_argument(
+        "--scrape-date", default=None,
+        help="fixed 'yyyy-MM-dd HH:mm:ss' scrape timestamp (reproducible backfills); default now()",
+    )
 
     etl = sub.add_parser("etl", help="raw→clean batch (EP2 body)")
     etl.add_argument("--raw", required=True, help="raw ad parquet dir")
@@ -39,11 +54,51 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
 
+    # only stop the session on exit if WE created it (embedded callers —
+    # tests, notebooks — hand us their live session via getOrCreate)
+    preexisting = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     spark = get_spark(f"frontpage_spark-{args.cmd}")
     try:
-        if args.cmd == "etl":
+        if args.cmd == "ingest":
+            from pyspark.sql import functions as F
+
+            from .pipeline import dedup_new_keys, write_append
+            from .sources import assemble_raw, fetch_documents
+
+            html_dir = args.html_dir
+
+            def fetcher(url: str) -> tuple[int, str]:
+                import hashlib
+                import os as _os
+
+                p = _os.path.join(html_dir, hashlib.md5(url.encode()).hexdigest() + ".html")
+                with open(p, encoding="utf-8") as f:  # missing file raises -> retries -> dead-letter
+                    return 200, f.read()
+
+            urls = (
+                spark.read.text(args.urls)
+                .select(F.trim("value").alias("url"))
+                .filter(F.col("url") != "")
+                .distinct()
+            )
+            clock = (lambda d=args.scrape_date: d) if args.scrape_date else None
+            fetched = fetch_documents(urls, fetcher, max_retries=args.max_retries, clock=clock)
+            raw = assemble_raw(fetched)
+            try:
+                existing = spark.read.parquet(args.out).select("uniq_id")
+            except Exception:
+                existing = spark.createDataFrame([], "uniq_id string")
+            write_append(dedup_new_keys(raw, existing), args.out)
+            n_dead = fetched.filter(F.col("error").isNotNull()).count()
+            print(
+                f"ingest: sink now has {spark.read.parquet(args.out).count()} rows"
+                f" ({n_dead} dead-lettered fetches)"
+            )
+        elif args.cmd == "etl":
             from .pipeline import run_batch, to_compat, write_append
             from .sources import csv_dimension
 
@@ -105,7 +160,8 @@ def main(argv: list[str] | None = None) -> int:
             QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
         return 0
     finally:
-        spark.stop()
+        if preexisting is None:
+            spark.stop()
 
 
 if __name__ == "__main__":
