@@ -2772,3 +2772,246 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n").isNotNull())
         .select("month", "status", "n")
     )
+
+
+# ==========================================================================
+# LLM training-data preparation: chunking, packing, vocab coverage,
+# mixture weights, decontamination.
+# ==========================================================================
+
+# ---- document chunking (overlapping token windows) ------------------------
+@register(
+    "chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(s.n AS BIGINT) // 96 AS chunk_idx,
+             array_to_string(list_slice(toks, s.n + 1, s.n + 128), ' ') AS chunk_text,
+             least(len(toks) - s.n, 128) AS n_tokens
+      FROM t, LATERAL unnest(generate_series(0, greatest(len(toks) - 33, 0), 96)) AS s(n)
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    of every RAG/pretraining pipeline: 128-token windows with a
+    96-token stride (32-token overlap); a trailing window is emitted
+    only if it contributes >32 new tokens. Pure narrow explode (row
+    fan-out = ceil(tokens/stride)) over one scan; no Python, no
+    shuffle. Chunk text re-joins the token slice so downstream
+    operators see real strings."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 33, F.lit(0)), F.lit(96)
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / 96).cast("long").alias("chunk_idx"),
+            F.array_join(F.slice("toks", F.col("s") + 1, 128), " ").alias("chunk_text"),
+            F.least(F.size("toks") - F.col("s"), F.lit(128)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---- greedy sequence packing (cumsum binning) -----------------------------
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    ),
+    b AS (
+      SELECT source, doc_id, n_tok, CAST((cum - 1) // 2048 AS BIGINT) AS bin
+      FROM c
+    )
+    SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM b GROUP BY source, bin
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: docs are laid out in doc_id order
+    per source and cut into ~2048-token training sequences by running-
+    cumsum binning — the scalable approximation of greedy bin packing
+    (exact packing is inherently sequential; cumsum binning is one
+    window per source partition and reproduces identically at any
+    parallelism). Output: docs and tokens per (source, bin)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    b = t.withColumn("bin", ((F.sum("n_tok").over(w) - 1) / 2048).cast("long"))
+    return b.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("n_tokens")
+    )
+
+
+# ---- OOV rate against a top-K vocabulary ----------------------------------
+@register(
+    "oov_rate_topk_vocab",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS freq FROM tok WHERE term <> '' GROUP BY term),
+    vocab AS (
+      SELECT term FROM tf ORDER BY freq DESC, term LIMIT 200
+    ),
+    scored AS (
+      SELECT t.term, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM (SELECT term FROM tok WHERE term <> '') t
+      LEFT JOIN vocab v USING (term)
+    )
+    SELECT COUNT(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 9) AS oov_rate
+    FROM scored
+    """,
+)
+def oov_rate_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the top-200 token vocab (freq-desc,
+    term tiebreak), then measure what fraction of all token occurrences
+    fall outside it — the go/no-go audit before committing a tokenizer
+    vocab. Token table persists for its two uses; the vocab side is
+    ~K rows, broadcast back. One division at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .persist()
+    )
+    vocab = (
+        tok.groupBy("term").agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(200)
+        .select("term")
+    )
+    scored = tok.join(
+        F.broadcast(vocab.withColumn("__v", F.lit(1))), "term", "left"
+    )
+    return scored.agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("oov_rate"),
+    )
+
+
+# ---- per-source mixture weights -------------------------------------------
+@register(
+    "source_mixture_weights",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_tok, n_docs, pow(CAST(n_tok AS DOUBLE), 0.7) AS raw_w FROM s
+    )
+    SELECT source, n_tok, n_docs,
+           round(raw_w / SUM(raw_w) OVER (), 9) AS weight
+    FROM w
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights per source: w ∝ tokens^0.7 (the standard
+    size-dampening exponent family), normalized over all sources. One
+    keyed agg; the normalization window runs over #sources rows. The
+    pow/div are single float expressions on aggregated exact counts."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tok"),
+        F.count("*").alias("n_docs"),
+    )
+    w = s.withColumn("raw_w", F.pow(F.col("n_tok").cast("double"), 0.7))
+    return w.withColumn(
+        "weight", F.round(F.col("raw_w") / F.sum("raw_w").over(Window.partitionBy()), 9)
+    ).select("source", "n_tok", "n_docs", "weight")
+
+
+# ---- benchmark decontamination --------------------------------------------
+@register(
+    "benchmark_contamination",
+    """
+    WITH ev AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents WHERE doc_id % 97 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents WHERE doc_id % 97 <> 0
+    ),
+    eg AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(list_slice(t, i, i + 7), ' ')
+                     for i in generate_series(1, len(t) - 7)])) AS gram
+      FROM ev WHERE len(t) >= 8
+    ),
+    cg AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(list_slice(t, i, i + 7), ' ')
+                     for i in generate_series(1, len(t) - 7)])) AS gram
+      FROM corpus WHERE len(t) >= 8
+    )
+    SELECT eg.doc_id AS eval_doc,
+           COUNT(DISTINCT cg.doc_id) AS n_contaminating_docs,
+           COUNT(DISTINCT eg.gram) AS n_shared_grams
+    FROM eg JOIN cg USING (gram)
+    GROUP BY eg.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which held-out (eval) documents share
+    verbatim 8-grams with the training corpus, and with how many
+    training docs. Inverted-index join on the gram — the same shape the
+    n-gram Jaccard verify uses — so cost is |matching grams|, never
+    |eval| x |corpus|. Distinct grams per doc keep the join input
+    minimal; at 100 TB the gram table is the shuffle and benefits from
+    a bloom-filtered or bucketed layout."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+
+    def grams(df):
+        return (
+            df.filter(F.size(t) >= 8)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            "transform(sequence(1, size(split(lower(text),' ')) - 7), "
+                            "i -> array_join(slice(split(lower(text),' '), i, 8), ' '))"
+                        )
+                    )
+                ).alias("gram"),
+            )
+        )
+
+    ev = grams(docs.filter(F.col("doc_id") % 97 == 0)).withColumnRenamed("doc_id", "eval_doc")
+    cg = grams(docs.filter(F.col("doc_id") % 97 != 0)).withColumnRenamed("doc_id", "train_doc")
+    return (
+        ev.join(cg, "gram")
+        .groupBy("eval_doc")
+        .agg(
+            F.countDistinct("train_doc").alias("n_contaminating_docs"),
+            F.countDistinct("gram").alias("n_shared_grams"),
+        )
+    )
