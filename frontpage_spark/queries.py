@@ -2534,6 +2534,7 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # neighbors), so sum(comp) is strictly monotone until fixpoint — one
     # cheap aggregate per round instead of a join-and-count.
     prev_sum = None
+    rounds = 0
     while True:
         # propagate the min label across edges, keep the smaller of
         # (current, best neighbor)
@@ -2556,6 +2557,11 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+        rounds += 1
+        if rounds % 5 == 0:
+            # iterative plans grow one join of lineage per round; truncate
+            # so round N's plan doesn't replay rounds 1..N-1 on a cache miss
+            labels = labels.localCheckpoint()
     return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count("*").alias("n_members")
     )
@@ -3014,4 +3020,87 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("train_doc").alias("n_contaminating_docs"),
             F.countDistinct("gram").alias("n_shared_grams"),
         )
+    )
+
+
+# ---- range-frame rolling aggregate ----------------------------------------
+@register(
+    "rolling_7d_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(SUM(rev_c) OVER (ORDER BY day
+                RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0 AS rev_7d
+    FROM daily
+    """,
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue via a RANGE window frame (value-based, so
+    calendar gaps are handled correctly — a ROWS frame would silently
+    span them). The window runs over the post-aggregation daily series
+    (~2.4k rows), never the fact table; sums stay in integer cents
+    inside the frame."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    w = (
+        Window.orderBy(F.unix_date("day"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (F.sum("rev_c").over(w).cast("double") / 100.0).alias("rev_7d"),
+    )
+
+
+# ---- sessionized conversion funnel ----------------------------------------
+@register(
+    "conversion_funnel",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM f
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): per-user
+    first-touch timestamps come from ONE conditional-min aggregation
+    over the event stream (no per-stage self-joins — at 100 TB a
+    3-stage funnel as self-joins is three shuffles of the fact table;
+    this is one), then the strict ordering is checked on the tiny
+    per-user row."""
+    ev = _t(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    f = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    converted = clicked & (F.col("t_purchase") > F.col("t_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return f.agg(
+        F.count("*").alias("n_users"),
+        one(viewed).alias("n_viewed"),
+        one(clicked).alias("n_clicked_after_view"),
+        one(converted).alias("n_converted"),
     )
