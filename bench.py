@@ -60,6 +60,8 @@ HEADLINE = [
     "session_window_stats",
     "dup_clusters",
     "kmeans_assign_counts",
+    "boilerplate_token_prune",
+    "zorder_bucket_stats",
 ]
 
 

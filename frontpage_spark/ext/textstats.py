@@ -208,3 +208,52 @@ def quality_profile(
         )
         .drop("_dr_sum")
     )
+
+
+def max_df_prune(
+    df: DataFrame,
+    text_col: str = "text",
+    max_df_millis: int = 775,
+) -> DataFrame:
+    """Corpus-frequency boilerplate pruning: drop every token whose
+    document frequency exceeds ``max_df_millis``/1000 of the corpus
+    (sklearn ``max_df`` semantics; the same explode -> corpus-count ->
+    filter-by-frequent-set shape as CCNet/RefinedWeb line-level
+    boilerplate removal, parameterized by token rather than line).
+
+    Scale design: the document-frequency count is one shuffle with
+    map-side partial aggregation over per-doc-distinct tokens; the
+    frequent set it produces is tiny by construction (tokens in >77%
+    of documents — a vocabulary's head, not its body) and is folded to
+    a single array row that broadcasts to every task. Documents are
+    then cleaned with a higher-order ``filter`` over the split array —
+    order-preserving, duplicate-preserving, fully codegen'd — so the
+    corpus itself is NEVER re-shuffled or exploded-and-reassembled.
+    At 100 TB the only wide operation is the token-count aggregation,
+    whose input is capped at (docs x distinct-tokens-per-doc) short
+    strings. The threshold compare stays in integer arithmetic
+    (nd * 1000 > millis * n_docs) so both engines agree exactly.
+
+    Returns one row per input row with ``n_tokens``/``n_removed``
+    counts and the cleaned ``clean_text``.
+    """
+    c = F.col(text_col)
+    toks = df.select(
+        F.explode(F.array_distinct(F.split(c, " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("nd"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("nd") * 1000 > F.lit(max_df_millis) * F.col("n_docs"))
+        .agg(F.sort_array(F.collect_list("tok")).alias("boiler"))
+    )
+    split = F.split(c, " ")
+    kept = F.filter(split, lambda x: ~F.array_contains(F.col("boiler"), x))
+    return (
+        df.crossJoin(F.broadcast(boiler))
+        .withColumn("n_tokens", F.size(split).cast("long"))
+        .withColumn("n_removed", (F.size(split) - F.size(kept)).cast("long"))
+        .withColumn("clean_text", F.concat_ws(" ", kept))
+        .drop("boiler")
+    )

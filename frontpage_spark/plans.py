@@ -151,3 +151,50 @@ def count_exchanges(df: DataFrame) -> int:
         for line in plan.splitlines()
         if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
     )
+
+
+def zorder_key(a, b, bits: int = 10):
+    """Morton (Z-order) key: interleave the low ``bits`` of two
+    non-negative integer columns with pure shift/mask expressions —
+    whole-stage codegen'd, no UDF.
+
+    Sorting/range-partitioning a table by this key clusters rows that
+    are close in BOTH dimensions into the same files, so parquet
+    footer min/max stats prune multi-dimensional box predicates — the
+    data-skipping layout a 100 TB fact table wants when queries filter
+    on two independent columns (customer AND date) and a single-column
+    sort can only serve one of them. ``write_zordered`` below pays one
+    range shuffle at write time; every subsequent scan skips files.
+    """
+    az, bz = a.cast("long"), b.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(az, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(bz, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    xcol: str,
+    ycol: str,
+    n_files: int = 16,
+    bits: int = 10,
+) -> None:
+    """Persist parquet clustered on the Morton key of (xcol, ycol):
+    range-partition into ``n_files`` z-runs (one range shuffle — AQE
+    samples the key), sort within each, drop the helper column. Each
+    output file then covers a compact z-range, i.e. a small rectangle
+    in (x, y) space, so its footer min/max for BOTH columns is tight
+    and box predicates skip whole files (asserted in test_plans)."""
+    (
+        df.withColumn("__z", zorder_key(F.col(xcol), F.col(ycol), bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

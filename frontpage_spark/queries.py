@@ -3104,3 +3104,100 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(clicked).alias("n_clicked_after_view"),
         one(converted).alias("n_converted"),
     )
+
+
+# ---- corpus-frequency boilerplate pruning ---------------------------------
+@register(
+    "boilerplate_token_prune",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    dfreq AS (
+      SELECT tok, count(*) AS nd FROM toks WHERE tok <> '' GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    boiler AS (
+      SELECT coalesce(
+        (SELECT list_sort(list(tok)) FROM dfreq, n WHERE nd * 1000 > 775 * n_docs),
+        []) AS bl
+    )
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(text, ' ')) - len(kept) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+    FROM (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '),
+                         x -> NOT list_contains(bl, x)) AS kept
+      FROM documents, boiler
+    )
+    """,
+)
+def boilerplate_token_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (sklearn max_df / CCNet
+    line-dedup shape): tokens present in >77.5% of documents are
+    dropped from every document. One shuffle total — the
+    document-frequency aggregation; the frequent set folds to a single
+    broadcast array row and cleaning is an order-preserving
+    higher-order filter, so the corpus is never re-shuffled (see
+    ``textstats.max_df_prune``). Output is per-doc token counts plus an
+    md5 of the cleaned text so the differential check covers the full
+    reassembled string."""
+    docs = _t(spark, sf_dir, "documents")
+    pruned = textstats.max_df_prune(docs, "text", max_df_millis=775)
+    return pruned.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+# ---- z-order layout key ----------------------------------------------------
+_ZBITS = 10
+_ZEXPR = " | ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) | (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_ZBITS)
+)
+
+
+@register(
+    "zorder_bucket_stats",
+    f"""
+    WITH base AS (
+      SELECT o_custkey % 1024 AS x,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS y
+      FROM orders
+    ),
+    z AS (SELECT ({_ZEXPR}) AS zval FROM base)
+    SELECT CAST(zval >> 12 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(zval) AS BIGINT) AS z_min,
+           CAST(MAX(zval) AS BIGINT) AS z_max
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key clustering profile of orders over (custkey, order
+    day): the 20-bit interleaved key (``plans.zorder_key``) bucketed to
+    its top 8 bits, with per-bucket counts and z-extents. Verifies the
+    bit-interleave arithmetic differentially (DuckDB computes the same
+    interleave with integer shift/mask ops). The key itself is ~40
+    narrow codegen'd integer ops per row — negligible against the scan
+    that feeds it; the layout write it powers is ``plans.
+    write_zordered`` (file-skipping asserted in test_plans)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_custkey") % 1024).alias("x"),
+        (F.unix_date(F.to_date("o_orderdate")) % 1024).alias("y"),
+    )
+    z = base.select(
+        plans.zorder_key(F.col("x"), F.col("y"), _ZBITS).alias("zval")
+    )
+    return z.groupBy((F.shiftright("zval", 12)).cast("long").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("zval").cast("long").alias("z_min"),
+        F.max("zval").cast("long").alias("z_max"),
+    )

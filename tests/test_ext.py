@@ -347,3 +347,23 @@ def test_approx_distinct_within_tolerance(spark):
     df = spark.range(0, 5000).select((F.col("id") % 1234).alias("u"))
     approx = df.agg(F.approx_count_distinct("u", 0.02).alias("a")).first()["a"]
     assert abs(approx - 1234) / 1234 < 0.05
+
+
+def test_max_df_prune_small(spark):
+    from frontpage_spark.ext.textstats import max_df_prune
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog ran"),
+            (3, "the cat ran fast"),
+            (4, "a bird"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = max_df_prune(df, "text", max_df_millis=500).orderBy("doc_id").collect()
+    # "the" is in 3/4 docs (750 millis > 500) -> pruned everywhere;
+    # "cat"/"ran" are in exactly 2/4 (500, not > 500) -> kept
+    assert [r.clean_text for r in out] == ["cat sat", "dog ran", "cat ran fast", "a bird"]
+    assert [r.n_removed for r in out] == [1, 1, 1, 0]
+    assert [r.n_tokens for r in out] == [3, 3, 4, 2]

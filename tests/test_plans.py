@@ -91,3 +91,75 @@ def test_compact_small_files(spark, tmp_path):
     assert n_after < before and n_after >= 1
     assert spark.read.parquet(path).agg(F.sum("id")).collect()[0][0] == total_before
     assert spark.read.parquet(path).count() == 500
+
+
+def _files_touched(path, x_lo, x_hi, y_lo, y_hi):
+    """Count parquet files whose footer min/max for (x, y) intersect the
+    box — the set a stats-pruning scan must read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    touched = total = 0
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        total += 1
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        xmin = ymin = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                name = col.path_in_schema
+                if st is None or name not in ("x", "y"):
+                    continue
+                if name == "x":
+                    xmin = st.min if xmin is None else min(xmin, st.min)
+                    xmax = st.max if rg == 0 else max(xmax, st.max)  # noqa: F821
+                else:
+                    ymin = st.min if ymin is None else min(ymin, st.min)
+                    ymax = st.max if rg == 0 else max(ymax, st.max)  # noqa: F821
+        if xmin is None or ymin is None:
+            touched += 1  # no stats -> cannot skip
+        elif xmax >= x_lo and xmin <= x_hi and ymax >= y_lo and ymin <= y_hi:
+            touched += 1
+    return touched, total
+
+
+def test_zorder_layout_skips_files(spark, tmp_path):
+    from frontpage_spark.plans import write_zordered, zorder_key
+
+    # uniform 2-d points; the z-curve should tile them into rectangles
+    df = spark.range(0, 4096).select(
+        (F.xxhash64("id") % 1024).alias("x0"), (F.xxhash64("id", "id") % 1024).alias("y0")
+    ).select(F.abs("x0").alias("x"), F.abs("y0").alias("y"))
+    zpath, rpath = str(tmp_path / "zord"), str(tmp_path / "rr")
+    write_zordered(df, zpath, "x", "y", n_files=16, bits=10)
+    df.repartition(16).write.parquet(rpath)  # round-robin strawman
+
+    box = (0, 255, 0, 255)  # a 1/16 corner of the space
+    z_touched, z_total = _files_touched(zpath, *box)
+    r_touched, r_total = _files_touched(rpath, *box)
+    # round-robin files each span the whole domain -> no skipping at all
+    assert r_touched == r_total
+    # the z-layout must skip most files for a small box
+    assert z_touched <= z_total // 2, (z_touched, z_total)
+
+    # and the data survives the layout unchanged
+    back = spark.read.parquet(zpath)
+    assert back.count() == 4096
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_zorder_key_locality(spark):
+    from frontpage_spark.plans import zorder_key
+
+    # neighbors in (x, y) differ by a bounded amount in z within a tile
+    rows = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], ["x", "y"]
+    ).select("x", "y", zorder_key(F.col("x"), F.col("y"), 3).alias("z"))
+    got = {(r.x, r.y): r.z for r in rows.collect()}
+    # classic Morton: (0,0)=0 (1,0)=1 (0,1)=2 (1,1)=3; 2x2 blocks contiguous
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2 and got[(1, 1)] == 3
+    assert sorted(got.values()) == list(range(64))
