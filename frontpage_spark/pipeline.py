@@ -137,3 +137,37 @@ def quarantine_append(bad: DataFrame, path: str) -> None:
     bad.select(
         "uniq_id", "reason", F.current_timestamp().alias("quarantined_at")
     ).write.mode("append").parquet(path)
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE (SCD1 / update-wins upsert): rows of ``updates`` replace
+    target rows with the same key; unmatched update rows insert.
+
+    Expressed as one anti-join (target rows whose key is NOT updated)
+    plus a union — a single shuffle on the key, no window, no full
+    outer join carrying doubled columns. ``updates`` is deduplicated on
+    the key first so the operation is deterministic and idempotent
+    (applying the same update batch twice is a no-op — asserted in
+    tests). At 100 TB this is the logical form of a Delta/Iceberg
+    MERGE INTO: the physical variant rewrites only the files whose key
+    ranges intersect the update set (see ``plans.write_zordered`` /
+    ``write_partitioned`` for the layouts that make that cheap).
+    """
+    upd = updates.dropDuplicates([key])
+    kept = target.join(upd.select(key), key, "left_anti")
+    return kept.unionByName(upd)
+
+
+def merge_upsert_path(spark, path: str, updates: DataFrame, key: str) -> None:
+    """MERGE into a parquet sink with an atomic-ish temp-dir swap (read →
+    merge → rewrite), the small-scale stand-in for a table format's
+    transactional MERGE."""
+    import os
+    import shutil
+
+    target = spark.read.parquet(path)
+    merged = merge_upsert(target, updates, key)
+    tmp = path.rstrip("/") + "__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)

@@ -3201,3 +3201,67 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zval").cast("long").alias("z_min"),
         F.max("zval").cast("long").alias("z_max"),
     )
+
+
+# ---- MERGE / upsert (SCD1) -------------------------------------------------
+@register(
+    "merge_upsert_counts",
+    """
+    WITH upd AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) + 10000 AS bal_c
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    tgt AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    merged AS (
+      SELECT * FROM tgt WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+      UNION ALL
+      SELECT * FROM upd
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c
+    FROM merged GROUP BY 1
+    """,
+)
+def merge_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (``pipeline.merge_upsert``): every 10th
+    customer gets an updated balance (+100.00), update-wins over the
+    snapshot, then a per-nation rollup proves no row was lost or
+    duplicated. The merge itself is one anti-join + union — a single
+    key shuffle; balances stay in integer cents through the sum."""
+    from .pipeline import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    tgt = c.select("c_custkey", "c_nationkey", bal_c.alias("bal_c"))
+    upd = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_nationkey", (bal_c + 10000).alias("bal_c")
+    )
+    merged = merge_upsert(tgt, upd, "c_custkey")
+    return merged.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("bal_c").cast("long").alias("sum_bal_c"),
+    )
+
+
+# ---- approximate percentiles (quantile sketch) -----------------------------
+@register("approx_percentiles_price")
+def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch per order status: ``approx_percentile`` merges
+    bounded-size sketches instead of shuffling every value to a sorted
+    partition — the scale path when exact percentiles
+    (``percentiles_by_status``) would need a full sort of a 100 TB
+    column. Rows-only (sketch results are accuracy-bounded, not exact);
+    the <1% relative-error bound vs the exact operator is asserted in
+    test_ext."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)
+        .alias("p50_p95"),
+        F.count("*").alias("n"),
+    )

@@ -17,6 +17,7 @@ def test_contract_shape():
         "embedding_knn_ivf",
         "approx_distinct_users",
         "ann_recall_eval",
+        "approx_percentiles_price",
     }
 
 

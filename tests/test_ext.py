@@ -367,3 +367,17 @@ def test_max_df_prune_small(spark):
     assert [r.clean_text for r in out] == ["cat sat", "dog ran", "cat ran fast", "a bird"]
     assert [r.n_removed for r in out] == [1, 1, 1, 0]
     assert [r.n_tokens for r in out] == [3, 3, 4, 2]
+
+
+def test_approx_percentile_error_bound(spark):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    o = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+    from pyspark.sql import functions as F
+
+    row = o.agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), 10000).alias("approx"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.01

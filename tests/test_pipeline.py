@@ -149,3 +149,28 @@ def test_validate_batch_quarantines_with_reason(spark, raw, site_map, tmp_path):
     from frontpage_spark.incremental import exclude_dead_letter
 
     assert exclude_dead_letter(clean_bad, back).count() == 1
+
+
+def test_merge_upsert_idempotent_and_inserts(spark, tmp_path):
+    from frontpage_spark.pipeline import merge_upsert, merge_upsert_path
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "v"]
+    )
+    upd = spark.createDataFrame(
+        [(2, "b2", 99), (4, "d", 40), (2, "b2", 99)], ["k", "name", "v"]  # dup in batch
+    )
+    once = merge_upsert(tgt, upd, "k")
+    got = {r.k: (r.name, r.v) for r in once.collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 99), 3: ("c", 30), 4: ("d", 40)}
+    # applying the same batch to the merged result changes nothing
+    twice = merge_upsert(once, upd, "k")
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+    # sink-path variant round-trips through parquet with a dir swap
+    path = str(tmp_path / "sink")
+    tgt.write.parquet(path)
+    merge_upsert_path(spark, path, upd, "k")
+    merge_upsert_path(spark, path, upd, "k")  # idempotent on disk too
+    back = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert back == got
