@@ -69,3 +69,29 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def weighted_sample(df: DataFrame, key: str, weight: str, k: int) -> DataFrame:
+    """Efraimidis–Spirakis A-Res weighted sampling, derandomized: each
+    row's priority is -ln(u)/w with u an md5-derived uniform in (0,1),
+    and the k smallest priorities win — inclusion probability is
+    proportional to ``weight``, yet the sample is a pure function of
+    the data (same rows on any partitioning, engine, or rerun, like
+    ``hash_sample``).
+
+    Scale: priority is a narrow codegen'd expression; top-k by
+    (priority, key) compiles to TakeOrderedAndProject — per-partition
+    heaps merged on the driver, no global sort, no shuffle. Priorities
+    are rounded to 9 decimals before ranking and tied on the key so
+    cross-engine ULP noise in ln() cannot reorder the cut."""
+    kc = F.col(key)
+    u = (
+        F.conv(F.substring(F.md5(kc.cast("string")), 1, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    pri = F.round(-F.log(u) / F.col(weight).cast("double"), 9)
+    return (
+        df.withColumn("priority", pri)
+        .orderBy("priority", key)
+        .limit(k)
+    )

@@ -1799,11 +1799,15 @@ def revenue_topn_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def regional_revenue_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: fact table joined up a 3-hop dimension chain
-    (customer -> nation -> region) with a region filter. The dimension
-    chain collapses to BROADCAST joins (nation/region are tiny; the
-    filtered customer side stays under the AQE broadcast threshold at
-    every SF), so the only shuffle is the lineitem/orders equi-join and
-    the final 5-row aggregation's map-side-combined exchange."""
+    (customer -> nation -> region) with a region filter. nation/region
+    broadcast into customer; the fact side is PRE-AGGREGATED to
+    per-customer revenue partials BEFORE the customer join (valid
+    because revenue is additive per custkey), so the custkey join
+    carries |active customers| rows instead of |lineitem| — the
+    aggregation-pushdown-through-join rewrite that matters at 100 TB,
+    where the customer side of an ASIA filter is billions of rows and
+    neither side is broadcastable. Nation totals are then sums of
+    per-customer sums. Integer-cents arithmetic throughout."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -1814,18 +1818,24 @@ def regional_revenue_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == r.r_regionkey)
         .select("c_custkey", "n_name")
     )
-    return (
+    per_cust = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(dim, o.o_custkey == dim.c_custkey)
         .select(
-            F.col("n_name").alias("nation"),
-            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
-            F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+            "o_custkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev"),
         )
-        .groupBy("nation")
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev_c"), F.count("*").alias("cnt"))
+    )
+    return (
+        per_cust.join(dim, per_cust.o_custkey == dim.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            (F.sum(F.col("price_c") * (100 - F.col("disc_c"))).cast("double") / 10000.0).alias("revenue"),
-            F.count("*").alias("n_items"),
+            (F.sum("rev_c").cast("double") / 10000.0).alias("revenue"),
+            F.sum("cnt").alias("n_items"),
         )
     )
 
@@ -3265,3 +3275,110 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p50_p95"),
         F.count("*").alias("n"),
     )
+
+
+# ---- weighted reservoir sampling (derandomized A-Res) ----------------------
+@register(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, n_chars, priority FROM (
+      SELECT doc_id, n_chars,
+             round(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                       / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS priority
+      FROM documents
+    )
+    ORDER BY priority, doc_id LIMIT 20
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted reproducible corpus sampling: 20 documents drawn
+    with probability proportional to length via derandomized A-Res
+    (``ext/sampling.weighted_sample``) — the standard way to subsample
+    a training corpus while preserving its token mass. Plan:
+    TakeOrderedAndProject over a narrow expression — no shuffle."""
+    from .ext.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", 20).select(
+        "doc_id", "n_chars", "priority"
+    )
+
+
+# ---- event transition matrix ----------------------------------------------
+@register(
+    "event_transition_counts",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: one window (lead) partitioned on user_id — a single
+    shuffle that at 100 TB is the unavoidable per-user ordering — then
+    a keyed count over the tiny (type x type) space. Ties in ts break
+    on event_id so the sequence is total-ordered and engine-stable."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---- one-pass column profiler ---------------------------------------------
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, COUNT(*) - COUNT({c}) AS n_null, "
+    f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_orders_columns", _PROFILE_SQL)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiler: null count and exact distinct count
+    for every profiled column in ONE scan of the table (the oracle's
+    UNION ALL form scans once per column). Multiple exact DISTINCTs
+    compile to a single Expand(xN) + two-phase aggregate — one scan,
+    N-fold row expansion on the map side; at 100 TB swap
+    ``countDistinct`` for ``approx_count_distinct`` to drop the Expand
+    entirely (the HLL sketches merge instead). The 1-row result then
+    explodes into the tall (col, n_null, n_distinct) shape — a
+    constant-size reshape, not a data shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")

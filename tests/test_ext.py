@@ -381,3 +381,25 @@ def test_approx_percentile_error_bound(spark):
         F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.01
+
+
+def test_weighted_sample_bias_and_plan(spark):
+    import os
+
+    from frontpage_spark.ext.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    s = weighted_sample(docs, "doc_id", "n_chars", 25)
+    # top-k compiles to TakeOrderedAndProject — no global sort exchange
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # length-weighted inclusion => the sample skews long
+    samp_mean = s.agg(F.avg("n_chars")).collect()[0][0]
+    corp_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert samp_mean > corp_mean
+    # reproducible: a second evaluation returns the identical id set
+    ids1 = {r.doc_id for r in s.collect()}
+    ids2 = {r.doc_id for r in weighted_sample(docs, "doc_id", "n_chars", 25).collect()}
+    assert ids1 == ids2

@@ -45,9 +45,25 @@ SELECTED = {
         "integer cents; TakeOrderedAndProject for the top-10 (no global sort)."
     ),
     "regional_revenue_q5ish": (
-        "TPC-H Q5 shape: the 3-hop dimension chain (customer→nation→region) collapses to "
-        "broadcast joins with the region filter pushed to its scan; the only real shuffles "
-        "are the orders/customer equi-join and the 5-row final aggregate."
+        "TPC-H Q5 shape with aggregation pushdown: revenue is pre-aggregated per customer "
+        "BEFORE the customer join, so the custkey join carries |active customers| rows, not "
+        "|lineitem| — at 100 TB neither join side is broadcastable and this rewrite is what "
+        "keeps the shuffle bounded. nation/region broadcast; region filter pushed to its scan."
+    ),
+    "boilerplate_token_prune": (
+        "Corpus-DF boilerplate pruning: ONE wide aggregation (token document-frequency); the "
+        "frequent set folds to a single broadcast array row and cleaning is an order-preserving "
+        "higher-order filter — the corpus is never exploded-and-reassembled or re-shuffled."
+    ),
+    "merge_upsert_counts": (
+        "MERGE INTO (SCD1, update-wins): one anti-join + union — a single key shuffle; no full "
+        "outer join, no window. The physical table-format variant rewrites only intersecting "
+        "files (see write_zordered/write_partitioned layouts)."
+    ),
+    "weighted_sample_docs": (
+        "Derandomized A-Res weighted sampling: narrow md5-derived priority expression, then "
+        "TakeOrderedAndProject — per-partition top-k heaps merged on the driver; no global "
+        "sort, no shuffle."
     ),
     "tfidf_top_terms": (
         "TF-IDF: the exploded token table is persisted once (InMemoryTableScan feeds both "
