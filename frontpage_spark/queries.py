@@ -2646,14 +2646,16 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean/variance computed scale-safely: sums of cents and squared
-    cents accumulate as exact int64 (order-independent, overflow-safe at
-    sf: |p| < 2^27, p^2 < 2^54, 10^8 rows < 2^63 headroom), and the
-    float division happens ONCE per group at the end. This is how you
-    get bit-identical moments across engines and partitionings —
-    F.variance's float running sums are not."""
+    cents accumulate in DECIMAL(38,0) — exact, order-independent, and
+    overflow-proof (p^2 ~ 2.5e15 cents^2; an int64 sum overflows past
+    ~4k rows/group, which sf0.1 already hits; DuckDB silently promotes
+    to 128-bit, so the decimal mirror is also what keeps both engines
+    identical). The float division happens ONCE per group at the end —
+    F.variance's float running sums are partition-order-dependent."""
     o = _t(spark, sf_dir, "orders")
     c = o.select(
-        "o_orderstatus", F.round(F.col("o_totalprice") * 100).cast("long").alias("p")
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("p"),
     )
     n = F.count("*")
     sp = F.sum("p").cast("double")
@@ -2661,7 +2663,9 @@ def order_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("o_orderstatus").agg(
         n.alias("n"),
         F.round(sp / n / 100.0, 6).alias("mean_price"),
-        F.round((spp - sp * F.sum("p") / n) / (n - 1) / 10000.0, 4).alias("var_price"),
+        F.round(
+            (spp - sp * F.sum("p").cast("double") / n) / (n - 1) / 10000.0, 4
+        ).alias("var_price"),
     )
 
 
@@ -3529,4 +3533,54 @@ def price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
             9,
         ).alias("corr_price_qty"),
+    )
+
+
+# ---- equi-depth histogram without a global sort ----------------------------
+@register(
+    "equidepth_price_deciles",
+    """
+    WITH b AS (
+      SELECT quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT),
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnd
+      FROM orders
+    ),
+    x AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders)
+    SELECT CAST(1 + len(list_filter(bnd, e -> e < v)) AS BIGINT) AS decile,
+           COUNT(*) AS n,
+           MIN(v) AS min_c,
+           MAX(v) AS max_c
+    FROM x, b GROUP BY 1
+    """,
+)
+def equidepth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram the scale-safe way: NTILE over a
+    global ORDER BY would funnel the whole table through one sorted
+    partition; instead the nine cut points come from ``F.percentile``
+    — a distributed, mergeable aggregate — and every row buckets
+    itself against the broadcast 9-element boundary array with a
+    higher-order filter. Two scans (or one + cache), zero global
+    sorts. Interpolated boundaries on integer-cent inputs are
+    bit-identical across engines (verified), so strict-< bucketing
+    cannot disagree."""
+    o = _t(spark, sf_dir, "orders")
+    v = F.round(F.col("o_totalprice") * 100).cast("long")
+    b = o.agg(
+        F.percentile(v, F.array(*[F.lit(k / 10) for k in range(1, 10)])).alias("bnd")
+    )
+    x = o.select(v.alias("v"))
+    return (
+        x.crossJoin(F.broadcast(b))
+        .select(
+            (1 + F.size(F.filter("bnd", lambda e: e < F.col("v"))))
+            .cast("long")
+            .alias("decile"),
+            "v",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("min_c"),
+            F.max("v").alias("max_c"),
+        )
     )
