@@ -82,3 +82,41 @@ def test_jdbc_filter_pushdown_in_plan(spark, derby_url):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "flag" in plan  # filter reaches the cursor SQL
     assert scan.count() == 10
+
+
+def test_streaming_foreachbatch_into_jdbc(spark, tmp_path, derby_url):
+    """End-to-end: a file stream drains micro-batches through
+    insert_if_absent into the JDBC warehouse — the reference's
+    poll-ETL-insert loop (etl_process.py:346-347, scraper.py:153-156)
+    as Structured Streaming + a real database sink. Exactly-once-ish:
+    replays and cross-batch duplicate keys both collapse server-side."""
+    from frontpage_spark.incremental import stream_pipeline
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.createDataFrame([("k1", 1), ("k2", 2)], ["uniq_id", "n"])
+    b2 = spark.createDataFrame([("k2", 2), ("k3", 3)], ["uniq_id", "n"])  # k2 repeats
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    def body(df, epoch_id):
+        jdbc.insert_if_absent(df, derby_url, "stream_ads")
+
+    q = stream_pipeline(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt"),
+        body,
+        schema=b1.schema,
+        max_files_per_trigger=1,  # force multiple micro-batches
+    )
+    q.awaitTermination(120)
+    rows = {r["uniq_id"]: r["n"] for r in jdbc.jdbc_table(spark, derby_url, "stream_ads").collect()}
+    assert rows == {"k1": 1, "k2": 2, "k3": 3}
+
+    # a restart over the same checkpoint re-reads nothing -> still 3 rows
+    q2 = stream_pipeline(
+        spark, str(src), str(tmp_path / "ckpt"), body, schema=b1.schema
+    )
+    q2.awaitTermination(120)
+    assert jdbc.jdbc_table(spark, derby_url, "stream_ads").count() == 3
