@@ -2468,9 +2468,8 @@ def repetition_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- near-dup clusters: connected components ------------------------------
-@register(
-    "dup_clusters",
-    """
+# Recursive-CTE skeleton shared by the dup_clusters / dedup_keep_best oracles.
+_DUP_WALK_SQL = """
     WITH RECURSIVE pairs AS (
       SELECT a, b FROM (
         WITH d AS (
@@ -2492,19 +2491,13 @@ def repetition_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.a, least(w.comp, e.b) FROM walk w JOIN edges e ON w.id = e.b
     ),
     labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
-    SELECT comp AS cluster_id, COUNT(*) AS n_members
-    FROM labels GROUP BY comp
-    """,
-)
-def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over the blocked-
-    Levenshtein pair graph via iterative min-label propagation — each
-    round is one join + one keyed min-agg, looping until no label
-    changes (the standard dedup-grouping step after pair discovery; at
-    corpus scale rounds are O(log diameter) and each is a pair of
-    shuffles). The DuckDB oracle computes the same components with a
-    recursive CTE — two entirely different fixpoint engines agreeing on
-    the partition."""
+"""
+
+
+def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixpoint: (id, comp) connected-component labels over the
+    blocked-Levenshtein near-dup pair graph (see ``dup_clusters`` for
+    the plan commentary)."""
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -2572,8 +2565,69 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # iterative plans grow one join of lineage per round; truncate
             # so round N's plan doesn't replay rounds 1..N-1 on a cache miss
             labels = labels.localCheckpoint()
+    return labels
+
+
+@register(
+    "dup_clusters",
+    _DUP_WALK_SQL
+    + """
+    SELECT comp AS cluster_id, COUNT(*) AS n_members
+    FROM labels GROUP BY comp
+    """,
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the blocked-
+    Levenshtein pair graph via iterative min-label propagation — each
+    round is one join + one keyed min-agg, looping until no label
+    changes (the standard dedup-grouping step after pair discovery; at
+    corpus scale rounds are O(log diameter) and each is a pair of
+    shuffles). The DuckDB oracle computes the same components with a
+    recursive CTE — two entirely different fixpoint engines agreeing on
+    the partition."""
+    labels = _dup_component_labels(spark, sf_dir)
     return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count("*").alias("n_members")
+    )
+
+
+@register(
+    "dedup_keep_best",
+    _DUP_WALK_SQL
+    + """
+    SELECT cluster_id, n_members, kept_doc_id, kept_n_chars FROM (
+      SELECT l.comp AS cluster_id,
+             COUNT(*) OVER (PARTITION BY l.comp) AS n_members,
+             d.doc_id AS kept_doc_id,
+             d.n_chars AS kept_n_chars,
+             row_number() OVER (PARTITION BY l.comp
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM labels l JOIN documents d ON l.id = d.doc_id
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION stage: within each near-dup cluster keep the
+    best representative (longest doc, ties on smallest doc_id) — the
+    step that turns cluster labels into a drop list. Selection is a
+    map-side-combinable max(struct(n_chars, -doc_id)) per cluster, NOT
+    a row_number window over the corpus: at 100 TB the aggregate
+    carries one struct per cluster while a window would sort every
+    member. Labels join to documents on the (tiny) clustered subset."""
+    labels = _dup_component_labels(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    member = labels.join(docs, labels.id == docs.doc_id).select(
+        F.col("comp").alias("cluster_id"), "doc_id", "n_chars"
+    )
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
+    return member.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        best.alias("__b"),
+    ).select(
+        "cluster_id",
+        "n_members",
+        (-F.col("__b.neg_id")).cast("long").alias("kept_doc_id"),
+        F.col("__b.n_chars").cast("long").alias("kept_n_chars"),
     )
 
 
