@@ -3638,3 +3638,28 @@ def equidepth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("max_c"),
         )
     )
+
+
+# ---- product quantization profile ------------------------------------------
+@register("pq_compression_stats")
+def pq_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit over the embedding corpus
+    (``similarity.pq_encode``): rows, distinct codes actually used per
+    subspace (codebook utilization), and mean/max reconstruction error.
+    Rows-only like the other approximate-ANN entries — PQ's argmin over
+    float distances is accuracy-bounded, not SQL-exact; its invariants
+    (code bounds, exact self-reconstruction, determinism) are pinned in
+    test_ext."""
+    from .ext.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb, m=4, k=16)
+    per_sub = enc.select(
+        F.posexplode("codes").alias("s", "code"), F.col("recon_err")
+    )
+    return per_sub.groupBy("s").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("code").alias("codes_used"),
+        F.round(F.avg("recon_err"), 6).alias("mean_recon_err"),
+        F.round(F.max("recon_err"), 6).alias("max_recon_err"),
+    )

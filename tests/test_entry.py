@@ -18,6 +18,7 @@ def test_contract_shape():
         "approx_distinct_users",
         "ann_recall_eval",
         "approx_percentiles_price",
+        "pq_compression_stats",
     }
 
 

@@ -433,3 +433,35 @@ def test_split_writer_disjoint_exhaustive(spark, tmp_path):
     one = spark.read.parquet(path).filter(F.col("split") == "train")
     files = one.inputFiles()
     assert files and all("split=train" in f for f in files) or one.count() == counts["train"]
+
+
+def test_pq_encode_properties(spark):
+    import os
+
+    from frontpage_spark.ext.similarity import pq_encode
+    from pyspark.sql import functions as F
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    out = pq_encode(emb, m=4, k=16).persist()
+    n = emb.count()
+    assert out.count() == n
+    # codes are m entries, each in [0, k)
+    bad = out.filter(
+        (F.size("codes") != 4)
+        | (F.array_min("codes") < 0)
+        | (F.array_max("codes") >= 16)
+    ).count()
+    assert bad == 0
+    # the k sampled codeword-source vectors reconstruct exactly
+    zero_err = out.filter(F.col("recon_err") == 0.0).count()
+    assert zero_err >= 16
+    # everyone else reconstructs approximately, not degenerately
+    assert out.agg(F.avg("recon_err")).collect()[0][0] < 10.0
+    # deterministic: re-encoding yields identical codes
+    again = pq_encode(emb, m=4, k=16)
+    j = out.select("vec_id", F.col("codes").alias("c1")).join(
+        again.select("vec_id", F.col("codes").alias("c2")), "vec_id"
+    )
+    assert j.filter(F.col("c1") != F.col("c2")).count() == 0
+    out.unpersist()
