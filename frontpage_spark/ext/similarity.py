@@ -369,6 +369,41 @@ def l2_normalize(
     )
 
 
+def _sq_dist(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_codebook(
+    corpus: DataFrame, m: int, k: int, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """One-row codebook frame: map<subspace -> sorted array<struct<cw>>>
+    built from the subvectors of the first ``k`` ids (deterministic
+    offline-k-means stand-in, like ``ivf_topk``'s centroids)."""
+    sub = dim // m
+    return (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.posexplode(
+                F.array(*[F.slice(vec_col, s * sub + 1, sub) for s in range(m)])
+            ).alias("s", "cw")
+        )
+        .groupBy("s")
+        .agg(F.collect_list(F.struct("cw")).alias("cws"))
+        .select(F.sort_array(F.col("cws")).alias("cws"), "s")
+        .groupBy()
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("s"), F.collect_list("cws")
+            ).alias("codebook")
+        )
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     m: int = 4,
@@ -392,32 +427,8 @@ def pq_encode(
     squared quantization error, the quantity PQ k-means would minimize.
     """
     sub = dim // m
-    cb = (
-        corpus.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.posexplode(
-                F.array(*[F.slice(vec_col, s * sub + 1, sub) for s in range(m)])
-            ).alias("s", "cw")
-        )
-        .groupBy("s")
-        .agg(F.collect_list(F.struct("cw")).alias("cws"))
-        .select(F.sort_array(F.col("cws")).alias("cws"), "s")
-        .groupBy()
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("s"), F.collect_list("cws")
-            ).alias("codebook")
-        )
-    )
-
-    def sq_dist(a, b) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
+    cb = _pq_codebook(corpus, m, k, id_col, vec_col, dim)
+    sq_dist = _sq_dist
     enc = corpus.crossJoin(F.broadcast(cb))
     code_cols, err_cols = [], []
     for s in range(m):
@@ -438,3 +449,67 @@ def pq_encode(
         sum(err_cols[1:], err_cols[0]).alias("recon_err"),
     )
     return out
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an m x n_codewords table of squared distances from its
+    subvectors to every codeword, then a corpus row's approximate
+    distance is just m table LOOKUPS summed — the scan never touches
+    the original vectors, only the 2-byte codes, which is the whole
+    point of PQ at 100 TB (memory traffic shrinks by the compression
+    factor; the float math per pair drops from O(dim) to O(m)).
+
+    Shape: codes computed once (narrow); distance tables ride on the
+    (small) broadcast query side; the scan is an all-pairs
+    crossJoin like ``cosine_topk``'s exact baseline — IVF-style cell
+    pruning composes on top (encode per cell, probe cells first).
+    Output: (qid, cid, adc_dist, rank) — approximate by construction.
+    """
+    enc = pq_encode(corpus, m, n_codewords, id_col, vec_col, dim)
+    cb = _pq_codebook(corpus, m, n_codewords, id_col, vec_col, dim)
+    sub = dim // m
+    qtab = queries.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col).alias("qid"),
+        F.array(
+            *[
+                F.transform(
+                    F.element_at("codebook", F.lit(s)),
+                    lambda cwst: _sq_dist(
+                        cwst["cw"], F.slice(vec_col, s * sub + 1, sub)
+                    ),
+                )
+                for s in range(m)
+            ]
+        ).alias("dtabs"),
+    )
+    adc = sum(
+        (
+            F.element_at(F.element_at("dtabs", s + 1), F.element_at("codes", s + 1) + 1)
+            for s in range(1, m)
+        ),
+        F.element_at(F.element_at("dtabs", 1), F.element_at("codes", 1) + 1),
+    )
+    scored = (
+        enc.select(F.col(id_col).alias("cid"), "codes")
+        .crossJoin(F.broadcast(qtab))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", adc.alias("adc_dist"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist"), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "adc_dist", "rank")
+    )

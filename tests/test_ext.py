@@ -465,3 +465,37 @@ def test_pq_encode_properties(spark):
     )
     assert j.filter(F.col("c1") != F.col("c2")).count() == 0
     out.unpersist()
+
+
+def test_pq_adc_recall_beats_chance(spark):
+    import os
+
+    from frontpage_spark.ext.similarity import _sq_dist, pq_adc_topk
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 20)
+    adc = pq_adc_topk(emb, q, k=10)
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    qq = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    ex = (
+        c.crossJoin(F.broadcast(qq))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("d", _sq_dist(F.col("qe"), F.col("ce")))
+    )
+    w = Window.partitionBy("qid").orderBy("d", "cid")
+    ex = (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "cid")
+    )
+    n_q = q.count()
+    hits = adc.select("qid", "cid").intersect(ex).count()
+    recall = hits / (10 * n_q)
+    # sample-codebook PQ is coarse, but far above chance (10/N ~ 2%)
+    assert recall >= 0.15, recall
+    # distances are non-negative and ranks are dense 1..10 per query
+    assert adc.filter(F.col("adc_dist") < 0).count() == 0
+    assert adc.groupBy("qid").count().filter(F.col("count") != 10).count() == 0
