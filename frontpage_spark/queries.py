@@ -1049,6 +1049,64 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- character entropy quality signal -------------------------------------
+@register(
+    "char_entropy_by_source",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ), cnt AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY 1, 2
+    ), per AS (
+      SELECT doc_id,
+             CAST(round((log2(CAST(sum(k) AS DOUBLE))
+                         - sum(k * log2(CAST(k AS DOUBLE))) / sum(k)) * 1e6)
+                  AS BIGINT) AS ent_u
+      FROM cnt GROUP BY 1
+    ), d AS (
+      SELECT lang, source, coalesce(per.ent_u, 0) AS ent_u
+      FROM documents LEFT JOIN per USING (doc_id)
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ent_u) AS DOUBLE) / COUNT(*) / 1e6 AS avg_entropy,
+           CAST(MIN(ent_u) AS BIGINT) AS min_ent_u,
+           CAST(MAX(ent_u) AS BIGINT) AS max_ent_u,
+           CAST(SUM(CASE WHEN ent_u < 3500000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_entropy_docs
+    FROM d GROUP BY 1, 2
+    """,
+)
+def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality rollup per (lang, source) — the
+    gibberish/filler detector a pretraining filter runs corpus-wide.
+
+    The per-doc entropy (``textstats.with_char_entropy``) discovers the
+    corpus alphabet once (charset-bounded aggregate, broadcast back),
+    then counts chars per row with JVM length/replace intrinsics — no
+    explode, no per-char shuffle; the only wide ops are the tiny
+    alphabet pass and the final keyed groupBy. Entropy crosses the
+    engine boundary as integer micro-bits (round(ent*1e6)): sums/min/
+    max/threshold-counts are then exact and partition-order-independent;
+    the oracle's explode→groupBy formulation is the same math DuckDB-
+    side (FP agreement at 1e-6 verified over the corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = textstats.with_char_entropy(docs, "text", "__ent").select(
+        "lang",
+        "source",
+        F.round(F.col("__ent") * 1e6).cast("long").alias("ent_u"),
+    )
+    return per.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("ent_u").cast("double") / F.count("*") / 1e6).alias("avg_entropy"),
+        F.min("ent_u").alias("min_ent_u"),
+        F.max("ent_u").alias("max_ent_u"),
+        F.sum(F.when(F.col("ent_u") < 3_500_000, 1).otherwise(0))
+        .cast("long")
+        .alias("low_entropy_docs"),
+    )
+
+
 # ---- token counting -------------------------------------------------------
 @register(
     "token_counts_by_source",
@@ -3663,3 +3721,73 @@ def pq_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("recon_err"), 6).alias("mean_recon_err"),
         F.round(F.max("recon_err"), 6).alias("max_recon_err"),
     )
+
+
+# ---- data-quality expectations --------------------------------------------
+@register(
+    "dq_orders_report",
+    """
+    WITH rep AS (
+      SELECT 'not_null' AS expectation, 'o_custkey' AS target,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+             CAST(count(*) AS BIGINT) AS n_rows FROM orders
+      UNION ALL
+      SELECT 'not_null', 'o_orderdate',
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'in_range', 'o_totalprice',
+             CAST(sum(CASE WHEN o_totalprice IS NULL
+                            OR o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'in_set', 'o_orderstatus',
+             CAST(sum(CASE WHEN o_orderstatus IS NULL
+                            OR o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'matches', 'o_orderpriority',
+             CAST(sum(CASE WHEN o_orderpriority IS NULL
+                            OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'unique', 'o_orderkey',
+             coalesce((SELECT CAST(sum(c) AS BIGINT)
+                       FROM (SELECT count(*) AS c FROM orders
+                             GROUP BY o_orderkey HAVING count(*) > 1) t), 0),
+             (SELECT CAST(count(*) AS BIGINT) FROM orders)
+      UNION ALL
+      SELECT 'foreign_key', 'o_custkey',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+             (SELECT CAST(count(*) AS BIGINT) FROM orders)
+    )
+    SELECT expectation, target, n_violations, n_rows,
+           (n_violations = 0) AS ok
+    FROM rep
+    """,
+)
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over ``orders`` (Deequ-class):
+    null / range / set / regex constraints compiled into ONE aggregate
+    scan, key uniqueness as one keyed groupBy, referential integrity
+    as one anti join against the (broadcastable) customer key set —
+    see ``ext.expectations`` for the compilation contract. The report
+    is a 7-row table; at 100 TB the cost is one fact-table read plus
+    the unavoidable key shuffle, independent of constraint count."""
+    from .ext.expectations import Expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    exp = (
+        Expectations()
+        .not_null("o_custkey")
+        .not_null("o_orderdate")
+        .in_range("o_totalprice", 0.0, 1000000.0)
+        .in_set("o_orderstatus", ["F", "O", "P"])
+        .matches("o_orderpriority", "^[1-5]-")
+        .unique("o_orderkey")
+        .foreign_key("o_custkey", customer, "c_custkey")
+    )
+    return exp.report(orders)

@@ -343,6 +343,60 @@ def test_l2_normalize(spark):
     assert got[1] == [0.0, 0.0]  # zero vector passes through
 
 
+def test_expectations_report_counts(spark):
+    from frontpage_spark.ext.expectations import Expectations
+
+    rows = [
+        (1, 10, "F", 5.0),
+        (2, 10, "O", -1.0),   # range violation
+        (2, 20, "X", 3.0),    # dup key (with row above) + set violation
+        (4, None, "F", 7.0),  # null fk
+        (5, 99, "O", 2.0),    # fk orphan
+    ]
+    df = spark.createDataFrame(rows, ["k", "fk", "status", "v"])
+    dim = spark.createDataFrame([(10,), (20,)], ["dk"])
+    rep = (
+        Expectations()
+        .not_null("fk")
+        .in_range("v", 0.0, 10.0)
+        .in_set("status", ["F", "O"])
+        .unique("k")
+        .foreign_key("fk", dim, "dk")
+        .report(df)
+    )
+    got = {(r.expectation, r.target): (r.n_violations, r.n_rows, r.ok) for r in rep.collect()}
+    assert got[("not_null", "fk")] == (1, 5, False)
+    # in_range counts nulls as violations too? v has no nulls; -1.0 only
+    assert got[("in_range", "v")] == (1, 5, False)
+    assert got[("in_set", "status")] == (1, 5, False)
+    assert got[("unique", "k")] == (2, 5, False)       # both rows of the dup key
+    assert got[("foreign_key", "fk")] == (1, 5, False)  # null fk is NOT an orphan
+    assert len(got) == 5
+
+
+def test_char_entropy_values_and_path_equivalence(spark):
+    from frontpage_spark.ext.textstats import char_entropy, with_char_entropy
+
+    rows = [
+        (1, "aaaa"),        # single symbol -> 0 bits
+        (2, "abab"),        # two equiprobable symbols -> 1 bit
+        (3, "abcd"),        # four equiprobable -> 2 bits
+        (4, ""),            # empty -> 0 by convention
+        (5, "aab"),         # -(2/3 log 2/3 + 1/3 log 1/3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.e for r in df.select("doc_id", char_entropy("text").alias("e")).collect()}
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == pytest.approx(1.0)
+    assert got[3] == pytest.approx(2.0)
+    assert got[4] == pytest.approx(0.0)
+    assert got[5] == pytest.approx(0.9182958, abs=1e-6)
+    # profiled fast path == general fold at micro-bit precision
+    prof = {r.doc_id: r.char_entropy for r in with_char_entropy(df).collect()}
+    for k, v in got.items():
+        assert round(prof[k] * 1e6) == round(v * 1e6)
+
+
 def test_approx_distinct_within_tolerance(spark):
     df = spark.range(0, 5000).select((F.col("id") % 1234).alias("u"))
     approx = df.agg(F.approx_count_distinct("u", 0.02).alias("a")).first()["a"]
