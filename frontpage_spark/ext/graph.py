@@ -1,0 +1,90 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+``dup_clusters`` (queries.py) covers min-label connected components;
+this module adds PageRank — the canonical "does your engine do
+iterative dataflow" operator — in a deliberately deterministic
+fixed-point form.
+
+Why fixed-point: float PageRank sums thousands of double
+contributions per node, so partition order changes low bits and no
+two engines (or two runs) agree bit-for-bit. Here ranks live in
+integer mass units (SCALE = 1e12 total mass) and every edge
+contributes ``(85 * r) div (100 * outdeg)`` — exact bigint
+truncating division, identical in any evaluation order and in any
+engine. The small mass lost to truncation is deterministic too (it
+plays the role of the dangling-mass leak; ranks remain a strict
+partial order of the true PageRank for the graphs this serves).
+
+Scale design: one iteration = one shuffle of the edge list keyed on
+src (join ranks in) + one keyed aggregation on dst — the same two
+exchanges GraphX/Pregel pays. Ranks and degrees are node-sized
+(small side) and broadcast when they fit; the edge list, the 100 TB
+side, is never re-partitioned between iterations when it is already
+bucketed by src. ``localCheckpoint`` every few rounds truncates the
+growing lineage (same pattern as the component fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PR_SCALE = 10**12
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over a directed edge list ``(src, dst)`` in exact
+    integer arithmetic. Returns ``(node, r)`` with Σr ≤ PR_SCALE.
+
+    Every node present as src or dst participates; nodes with no
+    out-edges contribute nothing (their mass leaks — standard
+    simplified treatment; feed a bidirected edge list if the graph
+    should be leak-free)."""
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("__N"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    # r0 = SCALE div N; jump = (100-damping)·SCALE div (den·N)
+    r = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select("node", F.expr(f"CAST({PR_SCALE} AS BIGINT) div __N").alias("r"))
+    )
+    jump = F.expr(
+        f"CAST({(damping_den - damping_num) * PR_SCALE} AS BIGINT) div "
+        f"(CAST({damping_den} AS BIGINT) * __N)"
+    )
+    for i in range(iterations):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(CAST({damping_num} AS BIGINT) * r) div "
+                    f"(CAST({damping_den} AS BIGINT) * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (jump + F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            r = r.localCheckpoint()
+    return r

@@ -3791,3 +3791,78 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .foreign_key("o_custkey", customer, "c_custkey")
     )
     return exp.report(orders)
+
+
+# ---- PageRank (iterative graph) -------------------------------------------
+_PR_JUMP = "(CAST(15000000000000 AS BIGINT) // (CAST(100 AS BIGINT) * nn.N))"
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    c{out} AS (
+      SELECT e.dst AS node,
+             CAST(sum((CAST(85 AS BIGINT) * r.r) //
+                      (CAST(100 AS BIGINT) * d.outdeg)) AS BIGINT) AS c
+      FROM edges e
+      JOIN {prev} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), {out} AS (
+      SELECT n.node, CAST({_PR_JUMP} + coalesce(c.c, 0) AS BIGINT) AS r
+      FROM nodes n CROSS JOIN nn LEFT JOIN c{out} c ON c.node = n.node
+    )"""
+
+
+register(
+    "pagerank_part_supplier",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ), nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS N FROM nodes
+    ), deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1000000000000 AS BIGINT) // nn.N AS r FROM nodes, nn
+    ),"""
+    + _pr_iter_sql("r0", "r1")
+    + ","
+    + _pr_iter_sql("r1", "r2")
+    + ","
+    + _pr_iter_sql("r2", "r3")
+    + """
+    SELECT node, r FROM r3 WHERE node LIKE 's%'
+    ORDER BY r DESC, node LIMIT 10
+    """,
+)(lambda spark, sf_dir: _pagerank_part_supplier(spark, sf_dir))
+
+
+def _pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 exact fixed-point iterations, see ``ext.graph``) over
+    the bidirected part↔supplier co-occurrence graph from lineitem;
+    returns the 10 highest-centrality suppliers. Integer mass units
+    make every iteration bit-identical across engines and partition
+    orders — the oracle is the same recurrence unrolled as CTEs.
+    One shuffle pair per iteration; the edge list is built once
+    (distinct pairs) and reused by reference."""
+    from .ext.graph import pagerank_fixedpoint
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    r = pagerank_fixedpoint(edges, iterations=3)
+    return (
+        r.filter(F.col("node").startswith("s"))
+        .orderBy(F.desc("r"), "node")
+        .limit(10)
+    )

@@ -343,6 +343,26 @@ def test_l2_normalize(spark):
     assert got[1] == [0.0, 0.0]  # zero vector passes through
 
 
+def test_pagerank_fixedpoint_star(spark):
+    from frontpage_spark.ext.graph import PR_SCALE, pagerank_fixedpoint
+
+    spokes = ["a", "b", "c"]
+    edges = spark.createDataFrame(
+        [("h", s) for s in spokes] + [(s, "h") for s in spokes], ["src", "dst"]
+    )
+    r = {row.node: row.r for row in pagerank_fixedpoint(edges, iterations=3).collect()}
+    # hub dominates, spokes are symmetric, and exact first-iteration math
+    # holds: r1(spoke) = 15e12//400 + (85*2.5e11)//300
+    assert r["a"] == r["b"] == r["c"]
+    assert r["h"] > r["a"]
+    # truncating division leaks deterministically small mass
+    assert 0.95 * PR_SCALE < sum(r.values()) <= PR_SCALE
+    # two-node cycle is a fixed point at SCALE/2 each
+    cyc = spark.createDataFrame([("x", "y"), ("y", "x")], ["src", "dst"])
+    rc = {row.node: row.r for row in pagerank_fixedpoint(cyc, iterations=2).collect()}
+    assert rc == {"x": PR_SCALE // 2, "y": PR_SCALE // 2}
+
+
 def test_expectations_report_counts(spark):
     from frontpage_spark.ext.expectations import Expectations
 
