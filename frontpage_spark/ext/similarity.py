@@ -513,3 +513,79 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "adc_dist", "rank")
     )
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    micro: int = 10**6,
+) -> DataFrame:
+    """Element-wise mean of embedding vectors per group (centroids —
+    IVF codebook seeding, class prototypes, corpus drift audits).
+
+    Exactness: each float32 element becomes integer micro-units
+    (round(x·1e6) as BIGINT) BEFORE any accumulation — and that round
+    happens in a Spark expression, not numpy, so its half-away-from-
+    zero tie-breaking matches the SQL oracle exactly (np.rint is
+    half-to-even: ~tens of float32 values per million land on exact
+    .5 micro boundaries, enough to bite at sf0.1). Integer sums are
+    associative-exact, so the result is identical for any
+    partitioning and any engine; the mean divides once at the end.
+
+    Scale shape: map-side partial combine via ``mapInPandas`` — each
+    task folds ITS rows to one (group, int64-sum-vector, count) row,
+    so the shuffle carries one vector per (task, group), not one row
+    per input vector (and never dim× exploded rows). The reduce side
+    folds the few partial vectors with zip_with. At 100 TB the wide
+    stage moves ~(tasks × groups × dim × 8) bytes — independent of
+    row count."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(df.select(vec_col).first()[0])
+
+    def combine(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(group_col, sort=False):
+                mat = np.stack(sub["__vu"].to_numpy()).astype("int64")
+                s = mat.sum(axis=0, dtype="int64")
+                if g in acc:
+                    acc[g][0] += s
+                    acc[g][1] += len(sub)
+                else:
+                    acc[g] = [s, len(sub)]
+        if acc:
+            yield pd.DataFrame(
+                {
+                    group_col: list(acc),
+                    "psum": [v[0].tolist() for v in acc.values()],
+                    "pn": [v[1] for v in acc.values()],
+                }
+            )
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    micro_ints = F.transform(
+        vec_col,
+        lambda e: F.round(e.cast("double") * F.lit(float(micro))).cast("long"),
+    )
+    partial = df.select(F.col(group_col), micro_ints.alias("__vu")).mapInPandas(
+        combine, schema=f"{group_col} {gtype}, psum array<bigint>, pn bigint"
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), dim)
+    folded = partial.groupBy(group_col).agg(
+        F.aggregate(
+            F.collect_list("psum"),
+            zeros,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("sum_u"),
+        F.sum("pn").alias("n"),
+    )
+    return folded.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.transform(
+            "sum_u", lambda s: s.cast("double") / F.col("n") / F.lit(float(micro))
+        ).alias("centroid"),
+    )

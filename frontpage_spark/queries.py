@@ -3866,3 +3866,32 @@ def _pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("r"), "node")
         .limit(10)
     )
+
+
+# ---- embedding centroids (mean pooling) -----------------------------------
+@register(
+    "embedding_centroids",
+    """
+    WITH el AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT label, pos, CAST(sum(v) AS BIGINT) AS su,
+             CAST(count(*) AS BIGINT) AS n
+      FROM el GROUP BY 1, 2
+    )
+    SELECT label, n,
+           list_transform(list(su ORDER BY pos),
+                          x -> CAST(x AS DOUBLE) / n / 1e6) AS centroid
+    FROM s GROUP BY label, n
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via ``similarity.mean_pool`` —
+    map-side partial combine in Arrow batches, one tiny shuffle of
+    (task × group) int64 sum-vectors, exact micro-unit accumulation
+    (see the operator docstring for why rounding happens Spark-side).
+    The oracle's explode→groupBy formulation is the same integer math."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.mean_pool(emb, "label", "embedding")

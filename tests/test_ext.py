@@ -343,6 +343,22 @@ def test_l2_normalize(spark):
     assert got[1] == [0.0, 0.0]  # zero vector passes through
 
 
+def test_mean_pool_exact(spark):
+    rows = [
+        (0, [1.0, 2.0]),
+        (0, [3.0, 6.0]),
+        (1, [-1.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {r.label: (r.n, r.centroid) for r in similarity.mean_pool(df).collect()}
+    assert got[0] == (2, pytest.approx([2.0, 4.0]))
+    assert got[1] == (1, pytest.approx([-1.5, 0.5]))
+    # repartitioning must not change a single bit (integer accumulation)
+    a = similarity.mean_pool(df.repartition(7)).collect()
+    b = similarity.mean_pool(df.coalesce(1)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_pagerank_fixedpoint_star(spark):
     from frontpage_spark.ext.graph import PR_SCALE, pagerank_fixedpoint
 
