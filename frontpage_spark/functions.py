@@ -64,8 +64,12 @@ def _c(col: Column | str) -> Column:
 # --------------------------------------------------------------------------
 
 def url_token(url: Column | str, idx: int) -> Column:
-    """0-based '/'-separated token of a URL (reference: url.split('/')[idx])."""
-    return F.split(_c(url), "/").getItem(idx)
+    """0-based '/'-separated token of a URL (reference: url.split('/')[idx]).
+    NULL when the URL has too few tokens — ``F.get`` instead of indexing,
+    which under ANSI mode (Spark 4 default) would *throw* on short URLs;
+    the reference's try/except maps IndexError to the ''-boundary, i.e.
+    NULL here (SURVEY.md §1.4)."""
+    return F.get(F.split(_c(url), "/"), idx)
 
 
 def ad_id_from_url(url: Column | str) -> Column:
@@ -80,7 +84,7 @@ def category_from_url(url: Column | str) -> Column:
 
 def site_id_from_url(url: Column | str) -> Column:
     """F3 — subdomain: token 2 split on '.', first element (etl_process.py:62-65)."""
-    return F.split(url_token(url, 2), "\\.").getItem(0)
+    return F.get(F.split(url_token(url, 2), "\\."), 0)
 
 
 # --------------------------------------------------------------------------

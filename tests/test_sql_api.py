@@ -1,0 +1,101 @@
+"""SQL surface ⇔ Column-builder equivalence (drift control for
+frontpage_spark.sql_api) + pure-SQL end-to-end smoke."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from frontpage_spark import functions as FF
+from frontpage_spark.sql_api import SQL_FUNCTIONS, register_functions, register_views
+
+TRICKY = [
+    "http://newyork.site.example/cas/brooklyn/4242/12345678.html",
+    "Tuesday, May 2, 2017 11:28 PM call me at 555-123-4567 or five55one234568",
+    "  MIXED Case \t\r\n param \x0b ",
+    "naïve café — non-ascii ✓ $1,2345678$",
+    '{"a": "x", "n": "7"}',
+    "",
+    None,
+]
+
+
+@pytest.fixture(scope="module")
+def sqlready(spark):
+    register_functions(spark)
+    return spark.createDataFrame([(s,) for s in TRICKY], "s string")
+
+
+def _pairs(spark, df, sql_expr, col):
+    got = df.select(F.expr(sql_expr).alias("a"), col.alias("b")).collect()
+    return [(r.a, r.b) for r in got]
+
+
+@pytest.mark.parametrize(
+    "sql_expr,builder",
+    [
+        ("get_ad_id(s)", lambda: FF.ad_id_from_url("s")),
+        ("get_category(s)", lambda: FF.category_from_url("s")),
+        ("get_site_id(s)", lambda: FF.site_id_from_url("s")),
+        ("parse_verbose_date(s)", lambda: FF.parse_verbose_date("s")),
+        ("strip_crlf(s)", lambda: FF.strip_crlf("s")),
+        ("get_phone_candidates(s)", lambda: FF.phone_candidates("s")),
+        ("phone_extract(s)", lambda: FF.phone_extract("s")),
+        ("ascii_sanitize(s)", lambda: FF.ascii_sanitize("s")),
+        ("normalize_param(s)", lambda: FF.normalize_param("s")),
+        ("json_get(s, 'a')", lambda: FF.json_get("s", "a")),
+        ("empty_on_null(s)", lambda: FF.empty_on_null("s")),
+    ],
+)
+def test_sql_udf_matches_column_builder(spark, sqlready, sql_expr, builder):
+    for a, b in _pairs(spark, sqlready, sql_expr, builder()):
+        assert a == b, f"{sql_expr}: {a!r} != {b!r}"
+
+
+def test_sql_udf_uniq_and_format(spark, sqlready):
+    df = spark.createDataFrame(
+        [("2017-05-02 23:28:00", "123", "ny", "cas")], "d string, a string, s string, c string"
+    )
+    got = df.select(
+        F.expr("make_uniq_id(d, a, s, c)").alias("x"),
+        FF.uniq_id("d", "a", "s", "c").alias("y"),
+        F.expr("format_ts(CAST(d AS TIMESTAMP))").alias("fx"),
+        FF.format_ts(F.col("d").cast("timestamp")).alias("fy"),
+    ).first()
+    assert got.x == got.y
+    assert got.fx == got.fy
+
+
+def test_every_sql_function_is_tested_or_trivial():
+    covered = {
+        "get_ad_id", "get_category", "get_site_id", "parse_verbose_date",
+        "strip_crlf", "get_phone_candidates", "phone_extract", "ascii_sanitize",
+        "normalize_param", "json_get", "empty_on_null", "make_uniq_id", "format_ts",
+    }
+    assert set(SQL_FUNCTIONS) == covered
+
+
+def test_pure_sql_end_to_end(spark):
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    register_functions(spark)
+    register_views(spark, sf_dir)
+    # the flagship phone-mining shape, written by a SQL-only user
+    got = spark.sql(
+        """
+        SELECT c_mktsegment,
+               sum(size(get_phone_candidates(c_name))) AS n
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    ).collect()
+    want = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .groupBy("c_mktsegment")
+        .agg(F.sum(F.size(FF.phone_candidates("c_name"))).alias("n"))
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    assert got == want
+    # view scans keep pushdown: a filtered count agrees with the direct read
+    n_sql = spark.sql("SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'").first().n
+    n_df = spark.read.parquet(f"{sf_dir}/orders.parquet").filter("o_orderstatus = 'F'").count()
+    assert n_sql == n_df
