@@ -62,6 +62,10 @@ HEADLINE = [
     "kmeans_assign_counts",
     "boilerplate_token_prune",
     "zorder_bucket_stats",
+    "char_entropy_by_source",
+    "dq_orders_report",
+    "pagerank_part_supplier",
+    "embedding_centroids",
 ]
 
 

@@ -325,3 +325,57 @@ def max_df_prune(
         .withColumn("clean_text", F.concat_ws(" ", kept))
         .drop("boiler")
     )
+
+
+def bigram_xentropy(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Perplexity-proxy quality scoring: train a char-bigram LM on the
+    corpus itself, then score each document's average code length
+    (bits/bigram) under it — the CCNet/KenLM filtering idea with the
+    simplest possible model. Degenerate/boilerplate text compresses
+    (low bits); gibberish inflates.
+
+    Two passes, both scale-shaped:
+    1. model: explode bigrams once; the keyed count shuffles at most
+       |alphabet|² rows per task thanks to map-side partial agg, and
+       the finished model is a tiny table (≤ alphabet² rows).
+    2. score: re-explode bigrams, broadcast-join the model (never a
+       corpus shuffle), then one groupBy on the doc id.
+
+    Exactness: each bigram's log2 p(c2|c1) becomes integer micro-bits
+    via one double division + log + round — bit-identical in any
+    engine — and per-doc totals are exact integer sums. Returns
+    (*id_cols, su = Σ logp_u, n = bigram count); callers derive
+    bits/bigram as -su/n/1e6 (one division, deterministic). Docs
+    shorter than 2 chars produce no row."""
+    ids = [F.col(c) for c in id_cols]
+    bg = df.filter(F.length(text_col) >= 2).select(
+        *ids,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - 1),"
+                f" i -> substr({text_col}, i, 2))"
+            )
+        ).alias("b"),
+    )
+    model = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    ctx = model.groupBy(F.substring("b", 1, 1).alias("c1")).agg(
+        F.sum("nb").alias("nc")
+    )
+    lp = model.join(
+        F.broadcast(ctx), F.substring("b", 1, 1) == F.col("c1")
+    ).select(
+        "b",
+        F.round(F.log2(F.col("nb").cast("double") / F.col("nc")) * 1e6)
+        .cast("long")
+        .alias("lp_u"),
+    )
+    return (
+        bg.join(F.broadcast(lp), "b")
+        .groupBy(*id_cols)
+        .agg(
+            F.sum("lp_u").cast("long").alias("su"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )

@@ -198,3 +198,87 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _bloom_positions(key, num_bits: int, num_hashes: int):
+    """k bit positions for a key: xxhash64(key, seed) mod m — computed
+    as Spark expressions so build and probe share hash semantics."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(key, F.lit(j)), F.lit(num_bits))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def bloom_prune(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join reduction with a Bloom filter (the sketch Spark's
+    runtime row-level filtering injects; `bloom_filter_agg` is not a
+    public SQL routine in this build, so the sketch is built here from
+    first principles).
+
+    Build: each small-side key sets k = ``num_hashes`` bit positions
+    (xxhash64 mod m, computed as Spark expressions); ``mapInPandas``
+    folds each task's positions into ONE packed uint64 bitmap row, and
+    a zip_with bitwise-OR reduces the per-task bitmaps — the shuffle
+    carries (tasks × m/8) bytes, never the keys. Probe: the one-row
+    bitmap broadcasts and the big side keeps rows whose k positions
+    are all set (O(k) array index + mask tests per row, before any
+    shuffle of the big side).
+
+    Use when the big side must shuffle anyway and the join is
+    selective: non-matching rows die at scan time for the cost of a
+    ~m/8-byte broadcast. False positives only let extra rows through —
+    the exact join that follows is unchanged, so the transform is
+    result-invariant (the oracle for `bloom_prune_join` is the PLAIN
+    join). Returns the pruned big side (same schema)."""
+    import numpy as np
+    import pandas as pd
+
+    sk = small_key or big_key
+    n_words = (num_bits + 63) // 64
+
+    def build(batches):
+        bm = np.zeros(n_words, dtype="uint64")
+        seen = False
+        for pdf in batches:
+            for positions in pdf["__pos"]:
+                seen = True
+                p = np.asarray(positions, dtype="int64")
+                np.bitwise_or.at(
+                    bm, p >> 6, np.uint64(1) << (p & 63).astype("uint64")
+                )
+        if seen:
+            yield pd.DataFrame({"pb": [bm.view("int64").tolist()]})
+
+    partial = small.select(
+        _bloom_positions(F.col(sk), num_bits, num_hashes).alias("__pos")
+    ).mapInPandas(build, schema="pb array<bigint>")
+    zeros = F.array_repeat(F.lit(0).cast("long"), n_words)
+    bitmap = partial.agg(
+        F.aggregate(
+            F.collect_list("pb"),
+            zeros,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a.bitwiseOR(b)),
+        ).alias("__bm")
+    )
+
+    probe = _bloom_positions(F.col(big_key), num_bits, num_hashes)
+    # SQL expr: the Python shiftleft() only takes literal shift amounts
+    hit = F.expr(
+        "forall(__pp, p -> (element_at(__bm, CAST(shiftright(p, 6) AS INT) + 1)"
+        " & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
+    )
+    return (
+        big.withColumn("__pp", probe)
+        .join(F.broadcast(bitmap))
+        .filter(hit)
+        .drop("__bm", "__pp")
+    )

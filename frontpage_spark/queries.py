@@ -3895,3 +3895,163 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle's explode→groupBy formulation is the same integer math."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.mean_pool(emb, "label", "embedding")
+
+
+# ---- snapshot diff (full outer join / CDC shape) --------------------------
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH snap_a AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 100 <> 0
+    ), snap_b AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 13 = 0 THEN 100 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ), d AS (
+      SELECT CASE
+               WHEN a.k IS NULL THEN 'added'
+               WHEN b.k IS NULL THEN 'removed'
+               WHEN a.cents <> b.cents THEN 'changed'
+               ELSE 'unchanged' END AS change,
+             CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                  THEN abs(b.cents - a.cents) ELSE 0 END AS delta
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+    )
+    SELECT change, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(delta) AS BIGINT) AS abs_delta_cents
+    FROM d GROUP BY change
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot reconciliation: FULL OUTER join two snapshot
+    key sets, classify added/removed/changed/unchanged, total the
+    absolute cent deltas. The one join type the inventory hadn't
+    exercised; at scale this is one shuffle on the key (or zero with
+    co-bucketed snapshots — `plans.write_bucketed`), and the
+    classification is pure codegen. Snapshots are carved
+    deterministically from `orders` (mod-key deletions, mod-13 price
+    drift) so both engines derive identical inputs."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = o.filter(F.col("o_orderkey") % 100 != 0).select(
+        F.col("o_orderkey").alias("k"), cents.alias("cents_a")
+    )
+    b = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        (cents + F.when(F.col("o_orderkey") % 13 == 0, 100).otherwise(0)).alias(
+            "cents_b"
+        ),
+    )
+    j = a.join(b, "k", "full_outer")
+    change = (
+        F.when(F.col("cents_a").isNull(), "added")
+        .when(F.col("cents_b").isNull(), "removed")
+        .when(F.col("cents_a") != F.col("cents_b"), "changed")
+        .otherwise("unchanged")
+    )
+    delta = F.when(
+        F.col("cents_a").isNotNull() & F.col("cents_b").isNotNull(),
+        F.abs(F.col("cents_b") - F.col("cents_a")),
+    ).otherwise(F.lit(0))
+    return (
+        j.select(change.alias("change"), delta.alias("delta"))
+        .groupBy("change")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("delta").cast("long").alias("abs_delta_cents"),
+        )
+    )
+
+
+# ---- bigram-LM cross-entropy (perplexity-proxy filter) --------------------
+@register(
+    "bigram_xentropy_by_source",
+    """
+    WITH pos AS (
+      SELECT doc_id, lang, source, text,
+             CAST(unnest(generate_series(1, len(text) - 1)) AS INTEGER) AS i
+      FROM documents WHERE len(text) >= 2
+    ), bg AS (
+      SELECT doc_id, lang, source, substr(text, i, 2) AS b FROM pos
+    ), model AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS nb FROM bg GROUP BY b
+    ), ctx AS (
+      SELECT substr(b, 1, 1) AS c1, CAST(sum(nb) AS BIGINT) AS nc
+      FROM model GROUP BY 1
+    ), lp AS (
+      SELECT m.b,
+             CAST(round(log2(CAST(m.nb AS DOUBLE) / c.nc) * 1e6) AS BIGINT) AS lp_u
+      FROM model m JOIN ctx c ON substr(m.b, 1, 1) = c.c1
+    ), per AS (
+      SELECT doc_id, lang, source,
+             CAST(sum(l.lp_u) AS BIGINT) AS su,
+             CAST(count(*) AS BIGINT) AS n
+      FROM bg JOIN lp l USING (b) GROUP BY 1, 2, 3
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(-SUM(su) AS DOUBLE) / SUM(n) / 1e6 AS avg_bits_per_bigram,
+           min(CAST(-su AS DOUBLE) / n / 1e6) AS min_doc_bits,
+           max(CAST(-su AS DOUBLE) / n / 1e6) AS max_doc_bits
+    FROM per GROUP BY 1, 2
+    """,
+)
+def bigram_xentropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained char-bigram LM cross-entropy per (lang, source)
+    — see ``textstats.bigram_xentropy`` for the two-pass scale shape
+    and the integer micro-bit exactness contract. Aggregate ratio uses
+    exact integer numerators/denominators; per-doc extremes are one
+    IEEE division each, so both engines agree bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    per = textstats.bigram_xentropy(docs, "text", ("doc_id", "lang", "source"))
+    doc_bits = -F.col("su").cast("double") / F.col("n") / 1e6
+    return per.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (-F.sum("su").cast("double") / F.sum("n") / 1e6).alias("avg_bits_per_bigram"),
+        F.min(doc_bits).alias("min_doc_bits"),
+        F.max(doc_bits).alias("max_doc_bits"),
+    )
+
+
+# ---- Bloom-filter semi-join reduction -------------------------------------
+@register(
+    "bloom_prune_join",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l
+    JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000) o
+      ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-dim join accelerated by ``plans.bloom_prune``:
+    the high-value order keys fold into ONE broadcast Bloom filter and
+    prune lineitem at scan time, before any shuffle; the exact join
+    then runs on the survivors. Bloom false positives cannot change
+    the result (the join is still exact), so the oracle is the plain
+    join — the sketch must be invisible in the output."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select("o_orderkey")
+    )
+    pruned = plans.bloom_prune(li, sel, "l_orderkey", "o_orderkey")
+    return (
+        pruned.join(
+            F.broadcast(sel), pruned["l_orderkey"] == sel["o_orderkey"]
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )

@@ -163,3 +163,33 @@ def test_zorder_key_locality(spark):
     # classic Morton: (0,0)=0 (1,0)=1 (0,1)=2 (1,1)=3; 2x2 blocks contiguous
     assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2 and got[(1, 1)] == 3
     assert sorted(got.values()) == list(range(64))
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    from frontpage_spark.plans import bloom_prune
+
+    big = spark.range(0, 20000).select(F.col("id").alias("k"))
+    small = spark.range(0, 20000).filter("id % 500 = 0").select(F.col("id").alias("sk"))
+    pruned = bloom_prune(big, small, "k", "sk", num_bits=1 << 14, num_hashes=3)
+    kept = {r.k for r in pruned.collect()}
+    want = {r.sk for r in small.collect()}
+    # Bloom invariant: every true match survives the prune
+    assert want <= kept
+    # and the filter actually filters (40 true keys; allow generous fp slack)
+    assert len(kept) < 2000
+    # empty small side -> everything pruned
+    empty = small.filter("sk < 0")
+    assert bloom_prune(big, empty, "k", "sk", num_bits=1 << 14).count() == 0
+
+
+def test_bigram_xentropy_closed_form(spark):
+    from frontpage_spark.ext.textstats import bigram_xentropy
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ac"), (3, "x")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.su, r.n) for r in bigram_xentropy(df).collect()}
+    # model: ab:1, ac:1 under context 'a' (n=2) -> p=1/2 -> -1e6 micro-bits
+    assert got[1] == (-1_000_000, 1)
+    assert got[2] == (-1_000_000, 1)
+    assert 3 not in got  # too short to emit a bigram
