@@ -379,3 +379,23 @@ def bigram_xentropy(
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF — the
+    canonicalization every multilingual training corpus needs before
+    dedup/tokenization (decomposed 'e'+U+0301 and composed 'é' must
+    hash identically). No JVM builtin exists; pandas ``str.normalize``
+    wraps unicodedata NFC, vectorized per Arrow batch — narrow, no
+    shuffle, ~the same cost as any other per-row string pass."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    # real-object annotations: the module's postponed (string) annotations
+    # would leave pandas_udf unable to resolve 'pd.Series' at decoration time
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_nfc, "string")(c)

@@ -4055,3 +4055,114 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
     )
+
+
+# ---- token-id encoding (tokenizer vocab apply) ----------------------------
+@register(
+    "encode_token_ids",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ), vocab AS (
+      SELECT t, CAST(row_number() OVER (ORDER BY count(*) DESC, t) AS BIGINT) AS id
+      FROM tok GROUP BY t
+      ORDER BY count(*) DESC, t LIMIT 256
+    ), pos AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS p,
+             unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ), enc AS (
+      SELECT pos.doc_id, pos.p, coalesce(v.id, 0) AS id
+      FROM pos LEFT JOIN vocab v ON pos.t = v.t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(array_to_string(list(CAST(id AS VARCHAR) ORDER BY p), ',')) AS ids_md5
+    FROM enc GROUP BY doc_id
+    """,
+)
+def encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize-to-ids step a training pipeline runs corpus-wide:
+    build a top-256 frequency vocabulary (count desc, token asc —
+    deterministic ranks), fold it into ONE map column
+    (`map_from_entries` over a 1-row aggregate) and broadcast it; each
+    document then encodes NARROWLY — `transform(split(text), t ->
+    coalesce(map[t], 0))` — no explode, no per-token shuffle, exactly
+    how a real tokenizer ships its merges table to every task. OOV →
+    id 0. Output fingerprints the id sequence so the oracle (which
+    must explode — SQL has no broadcast-map idiom) can agree on md5.
+    The only wide ops are the vocab count and the top-K TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(256)
+        .select(
+            "t",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "t"))
+            .cast("long")
+            .alias("id"),
+        )
+    )
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("t", "id")))
+        ).alias("__vm")
+    )
+    ids = F.transform(
+        F.split("text", " "),
+        lambda t: F.coalesce(F.element_at(F.col("__vm"), t), F.lit(0).cast("long")),
+    )
+    return (
+        docs.crossJoin(F.broadcast(vmap))
+        .select("doc_id", ids.alias("ids"))
+        .select(
+            "doc_id",
+            F.size("ids").cast("long").alias("n_tokens"),
+            F.size(F.filter("ids", lambda i: i == 0)).cast("long").alias("n_oov"),
+            F.md5(
+                F.concat_ws(",", F.transform("ids", lambda i: i.cast("string")))
+            ).alias("ids_md5"),
+        )
+    )
+
+
+# ---- Unicode NFC canonicalization -----------------------------------------
+@register(
+    "nfc_normalization_stats",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'Cafe' || chr(769) || ' nai' || chr(776) || 've ' ||
+             substr(text, 1, 8) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS len_raw,
+           CAST(len(nfc_normalize(s)) AS BIGINT) AS len_nfc,
+           md5(nfc_normalize(s)) AS nfc_md5
+    FROM raw
+    """,
+)
+def nfc_normalization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize combining-character text (NFC) and fingerprint the
+    result — ``textstats.nfc_normalize`` pandas UDF vs DuckDB's native
+    nfc_normalize. The decomposed corpus is synthesized identically in
+    both engines (combining acute/diaeresis around real doc prefixes;
+    Spark embeds the literals, the oracle uses chr()), so the md5s
+    only match if the UDF implements true NFC composition."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Cafe\u0301 nai\u0308ve "), F.substring("text", 1, 8)
+    )
+    s = docs.select("doc_id", raw.alias("s"))
+    return s.select(
+        "doc_id",
+        F.length("s").cast("long").alias("len_raw"),
+        F.length(textstats.nfc_normalize("s")).cast("long").alias("len_nfc"),
+        F.md5(textstats.nfc_normalize("s")).alias("nfc_md5"),
+    )

@@ -589,3 +589,14 @@ def test_pq_adc_recall_beats_chance(spark):
     # distances are non-negative and ranks are dense 1..10 per query
     assert adc.filter(F.col("adc_dist") < 0).count() == 0
     assert adc.groupBy("qid").count().filter(F.col("count") != 10).count() == 0
+
+
+def test_nfc_normalize_composes(spark):
+    from frontpage_spark.ext.textstats import nfc_normalize
+
+    rows = [(1, "Café"), (2, "Café"), (3, None), (4, "plain")]
+    df = spark.createDataFrame(rows, ["i", "s"])
+    got = {r.i: r.n for r in df.select("i", nfc_normalize("s").alias("n")).collect()}
+    assert got[1] == got[2] == "Café"  # decomposed and composed converge
+    assert got[3] is None
+    assert got[4] == "plain"
