@@ -4166,3 +4166,171 @@ def nfc_normalization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(textstats.nfc_normalize("s")).cast("long").alias("len_nfc"),
         F.md5(textstats.nfc_normalize("s")).alias("nfc_md5"),
     )
+
+
+# ---- incremental view maintenance (aggregate state merge) -----------------
+@register(
+    "ivm_merge_revenue",
+    """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(max(o_orderdate) AS VARCHAR) AS last_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def ivm_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-customer revenue aggregate
+    is maintained as a STATE TABLE (count/sum/max are all mergeable),
+    and each delta batch folds in with aggregate-of-union — never a
+    fact-table rescan. Here the state is seeded from orders before
+    1997 and the 1997+ delta is merged; the oracle is the full
+    recompute, which the merge must equal exactly (integer cents, max
+    as string). At 100 TB the merge cost is |state| + |delta|, not
+    |history| — the foundation of every streaming materialized view;
+    the same algebra runs under foreachBatch in ``incremental``."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def agg_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    cut = "1997-01-01"
+    state = agg_state(o.filter(F.col("o_orderdate") < cut))
+    delta = agg_state(o.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+            F.max("last_order").alias("last_order"),
+        )
+    )
+    return merged.withColumn(
+        "last_order", F.date_format("last_order", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
+# ---- group-wise least squares from exact moments --------------------------
+@register(
+    "regression_price_qty",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(l_quantity AS BIGINT) *
+                      CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) /
+             CAST(n * sxx - sx * sx AS DOUBLE) / 100 AS slope,
+           (CAST(sy AS DOUBLE) / n -
+            (CAST(n * sxy - sx * sy AS DOUBLE) /
+             CAST(n * sxx - sx * sx AS DOUBLE)) * sx / n) / 100 AS intercept
+    FROM m
+    """,
+)
+def regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (price ~ quantity) computed
+    from EXACT integer moments in one scan — the closed form every
+    distributed regression reduces to: slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²).
+    Quantities are small ints, prices integer cents, so every moment
+    is an exact BIGINT at bench scale, and the cross terms (n·Σxy —
+    only ~2x headroom in int64 at sf0.1, gone by sf1) are computed in
+    DECIMAL(38,0) so the closed form stays exact at any corpus size;
+    the two final divisions are IEEE-deterministic. Single shuffle,
+    map-side partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(x * y).cast("long").alias("sxy"),
+    )
+
+    def d(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
+    den = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") / F.col("n")
+        - slope * F.col("sx") / F.col("n")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        (slope / 100).alias("slope"),
+        (intercept / 100).alias("intercept"),
+    )
+
+
+# ---- IQR outlier fences ----------------------------------------------------
+@register(
+    "iqr_outliers_by_status",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ), q AS (
+      SELECT o_orderstatus,
+             quantile_cont(v, 0.25) AS q1,
+             quantile_cont(v, 0.75) AS q3
+      FROM c GROUP BY o_orderstatus
+    )
+    SELECT c.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN c.v < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR c.v > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(min(CASE WHEN c.v < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR c.v > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN c.v END) AS BIGINT) AS min_outlier_cents,
+           CAST(max(CASE WHEN c.v < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR c.v > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN c.v END) AS BIGINT) AS max_outlier_cents
+    FROM c JOIN q USING (o_orderstatus)
+    GROUP BY c.o_orderstatus
+    """,
+)
+def iqr_outliers_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per order status: exact interpolated
+    quartiles over integer cents (distributed mergeable
+    ``F.percentile`` — bit-identical across engines on integer input,
+    same guarantee ``equidepth_price_deciles`` relies on), fences at
+    1.5·IQR broadcast back onto the scan, one keyed count. Two scans
+    (quartiles, then flags), zero global sorts, no row leaves its
+    partition unkeyed."""
+    o = _t(spark, sf_dir, "orders")
+    v = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = o.select("o_orderstatus", v.alias("v"))
+    q = c.groupBy("o_orderstatus").agg(
+        F.percentile("v", F.lit(0.25)).alias("q1"),
+        F.percentile("v", F.lit(0.75)).alias("q3"),
+    )
+    j = c.join(F.broadcast(q), "o_orderstatus")
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("v") < F.col("q1") - 1.5 * iqr) | (
+        F.col("v") > F.col("q3") + 1.5 * iqr
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.min(F.when(is_out, F.col("v"))).cast("long").alias("min_outlier_cents"),
+        F.max(F.when(is_out, F.col("v"))).cast("long").alias("max_outlier_cents"),
+    )
