@@ -4334,3 +4334,33 @@ def iqr_outliers_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(is_out, F.col("v"))).cast("long").alias("min_outlier_cents"),
         F.max(F.when(is_out, F.col("v"))).cast("long").alias("max_outlier_cents"),
     )
+
+
+# ---- count-min heavy hitters (rows-only: sketch built on xxhash64) --------
+@register("cms_heavy_hitters")
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter audit with the self-built count-min sketch
+    (``ext.sketch``): estimate the corpus frequency of the exact top-15
+    tokens from a d×w counter grid instead of a full-cardinality
+    groupBy. Deterministic (integer adds commute) but xxhash64 has no
+    DuckDB twin, so this is rows-only like the other sketch entries;
+    the overcount-only invariant (est ≥ true, bounded excess) is
+    pinned in test_ext."""
+    from .ext import sketch as cms
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    sk = cms.cms_build(toks, "t")
+    top = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "t")
+        .limit(15)
+    )
+    est = cms.cms_estimate(top, sk, "t")
+    return est.select(
+        "t",
+        "true_count",
+        F.col("est").alias("cms_estimate"),
+        (F.col("est") - F.col("true_count")).alias("overcount"),
+    ).orderBy(F.desc("true_count"), "t")

@@ -19,6 +19,7 @@ def test_contract_shape():
         "ann_recall_eval",
         "approx_percentiles_price",
         "pq_compression_stats",
+        "cms_heavy_hitters",
     }
 
 

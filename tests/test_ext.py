@@ -600,3 +600,21 @@ def test_nfc_normalize_composes(spark):
     assert got[1] == got[2] == "Café"  # decomposed and composed converge
     assert got[3] is None
     assert got[4] == "plain"
+
+
+def test_cms_overcount_only_and_merge_invariance(spark):
+    from frontpage_spark.ext import sketch as cms
+
+    rows = [(f"k{i % 37}",) for i in range(5000)] + [("rare",)]
+    df = spark.createDataFrame(rows, ["t"])
+    truth = {r.t: r.c for r in df.groupBy("t").agg(F.count("*").alias("c")).collect()}
+    cand = df.distinct()
+    sk = cms.cms_build(df, "t", width=512, depth=4)
+    est = {r.t: r.est for r in cms.cms_estimate(cand, sk, "t", width=512, depth=4).collect()}
+    n = sum(truth.values())
+    for t, c in truth.items():
+        assert est[t] >= c                      # never undercounts
+        assert est[t] <= c + 0.02 * n           # eps ~ e/512
+    # partitioning must not change a single counter
+    sk2 = cms.cms_build(df.repartition(13), "t", width=512, depth=4)
+    assert sk.first().cms == sk2.first().cms
