@@ -171,3 +171,47 @@ def test_balanced_scan_matches_stdlib_parser(inner, filler):
     got = _extract(html_src, "post_body")
     want = _reference_div_text(html_src, "postingBody")
     assert got == want
+
+
+def model_entropy(text: str) -> float:
+    import math
+    from collections import Counter
+
+    if not text:
+        return 0.0
+    n = len(text)
+    s = sum(k * math.log2(k) for k in Counter(text).values())
+    return math.log2(n) - s / n
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abcde €ß\n", max_size=40), min_size=1, max_size=12))
+def test_char_entropy_matches_model(spark, texts):
+    from frontpage_spark.ext.textstats import char_entropy, with_char_entropy
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    fold = {r["i"]: r["e"] for r in df.select("i", char_entropy("t").alias("e")).collect()}
+    prof = {r["i"]: r["e"] for r in with_char_entropy(df, "t", "e").select("i", "e").collect()}
+    for i, t in enumerate(texts):
+        want = model_entropy(t)
+        assert abs(fold[i] - want) < 1e-9, (t, fold[i], want)
+        assert abs(prof[i] - want) < 1e-9, (t, prof[i], want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=300),
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=0, max_size=50),
+)
+def test_bloom_prune_property(spark, big_keys, small_keys):
+    from frontpage_spark.plans import bloom_prune
+
+    big = spark.createDataFrame([(k,) for k in big_keys], "k long")
+    small = spark.createDataFrame([(k,) for k in small_keys] or [(0,)], "sk long")
+    if not small_keys:
+        small = small.filter("sk != 0")
+    kept = {r.k for r in bloom_prune(big, small, "k", "sk", num_bits=1 << 12).collect()}
+    # no false negatives, ever
+    assert (set(big_keys) & set(small_keys)) <= kept
+    if not small_keys:
+        assert kept == set()
