@@ -80,6 +80,45 @@ SELECTED = {
         "over 8 candidates, final aggregate exchanges ~8 rows of partial sums. The corpus "
         "itself is scanned once and never shuffled."
     ),
+    "pagerank_part_supplier": (
+        "Fixed-point PageRank, 3 iterations: per iteration one shuffle joins ranks onto the "
+        "edge list (src) and one keyed aggregation collects contributions (dst) — the same "
+        "two exchanges a Pregel superstep pays; node-sized rank/degree tables broadcast. "
+        "Integer mass units make every iteration bit-exact."
+    ),
+    "bloom_prune_join": (
+        "Bloom semi-join reduction: the selective order keys fold into per-task uint64 "
+        "bitmaps (mapInPandas) reduced by a zip_with OR; the one-row bitmap broadcasts and "
+        "lineitem rows die at scan time on k array-index probes — before any shuffle. The "
+        "exact join then runs on survivors only."
+    ),
+    "char_entropy_by_source": (
+        "Alphabet-profiled char entropy: one tiny charset-bounded aggregate broadcasts the "
+        "alphabet; per-row counts are JVM length/replace intrinsics inside the scan stage "
+        "(no explode, no per-char shuffle); micro-bit integers make the rollup exact. The "
+        "only wide op is the final (lang,source) groupBy."
+    ),
+    "encode_token_ids": (
+        "Tokenizer apply: top-256 vocab via one count shuffle + TakeOrdered; the vocab folds "
+        "into ONE broadcast map column and every document encodes narrowly "
+        "(transform + element_at) — the corpus is never exploded for encoding."
+    ),
+    "bigram_xentropy_by_source": (
+        "Char-bigram LM: model pass shuffles ≤ alphabet² partial counts per task; the "
+        "finished model (and its context marginals) broadcast back, so the scoring pass "
+        "only shuffles per-doc integer totals, never raw bigrams of the corpus."
+    ),
+    "embedding_centroids": (
+        "Mean-pool centroids: map-side partial combine folds each task's vectors into one "
+        "int64 sum-vector per (task,label); the exchange carries tasks×labels rows "
+        "regardless of corpus size; zip_with folds partials, one division at the end."
+    ),
+    "dq_orders_report": (
+        "Expectations gate: all five row-local constraints compile into ONE aggregate scan "
+        "(one 1-row exchange); uniqueness adds the unavoidable key shuffle; the FK check is "
+        "an anti join against the broadcast customer key set. Constraint count does not "
+        "change the number of fact-table reads."
+    ),
 }
 
 
