@@ -279,3 +279,56 @@ def test_windowed_counts_drops_late_data(spark, tmp_path):
     # the 01:00 window saw both its rows (one per batch, merged by state)
     assert ("2024-01-01T01:00:00", 2) in out
     assert not any(w == "2024-01-01T00:00:00" and n != 2 for w, n in out)
+
+
+def test_streaming_ivm_state_merge(spark, tmp_path):
+    """The ivm_merge_revenue algebra under foreachBatch: a per-key
+    (count, sum, max) state table maintained across micro-batches by
+    aggregate-of-union merge must equal the batch recompute — the
+    streaming materialized-view foundation."""
+    from pyspark.sql import functions as F
+    from frontpage_spark.incremental import stream_pipeline
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    state_path = str(tmp_path / "state")
+    rows = [(i % 7, (i * 37) % 100, i) for i in range(60)]
+    df = spark.createDataFrame(rows, ["k", "v", "seq"])
+    # 3 files -> up to 3 micro-batches with maxFilesPerTrigger=1
+    df.repartition(3).write.parquet(src)
+
+    def agg(b):
+        return b.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+            F.max("seq").cast("long").alias("m"),
+        )
+
+    def merge_batch(batch, _eid):
+        delta = agg(batch)
+        try:
+            state = spark.read.parquet(state_path)
+            merged = (
+                state.unionByName(delta)
+                .groupBy("k")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("s").cast("long").alias("s"),
+                    F.max("m").cast("long").alias("m"),
+                )
+            )
+        except Exception:
+            merged = delta
+        # state swap: write aside, then replace (same pattern as
+        # pipeline.merge_upsert_path)
+        merged.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    q = stream_pipeline(
+        spark, src, chk, merge_batch, schema=df.schema,
+        max_files_per_trigger=1, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {r.k: (r.n, r.s, r.m) for r in spark.read.parquet(state_path).collect()}
+    want = {r.k: (r.n, r.s, r.m) for r in agg(df).collect()}
+    assert got == want
