@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
 
+    pr = sub.add_parser(
+        "prep", help="training-data prep: quality→dedup→decontam→tokenize→split"
+    )
+    pr.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
+    pr.add_argument("--benchmark", help="parquet with (text) to decontaminate against")
+    pr.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -158,6 +165,19 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"unknown query {args.name!r}; available: {', '.join(sorted(QUERIES))}")
                 return 2
             QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        elif args.cmd == "prep":
+            from .ext.prep import prep_corpus
+
+            docs = spark.read.parquet(args.docs).select("doc_id", "text")
+            bench = (
+                spark.read.parquet(args.benchmark).select("text")
+                if args.benchmark
+                else spark.createDataFrame([], "text string")
+            )
+            _, funnel = prep_corpus(docs, bench, out_path=args.out)
+            for r in funnel.orderBy("stage_no").collect():
+                print(f"prep: {r.stage:15s} {r.n}")
+            print(f"prep: wrote split corpus to {args.out}")
         return 0
     finally:
         if preexisting is None:

@@ -1,0 +1,173 @@
+"""End-to-end training-data preparation: the full corpus-to-splits
+pipeline a pretraining run needs, composed from this package's
+operators into one driveable job.
+
+    quality gate → exact dedup → near dedup (LSH + verify) →
+    benchmark decontamination → tokenize to ids → train/val/test split
+
+Every stage is the scale shape its operator documents (no collects,
+no all-pairs, broadcast models/vocabularies, deterministic hashes),
+and the funnel report is itself a small DataFrame — auditable the way
+`quality_filter_funnel` is.
+
+Determinism: every stage is a pure function of the input corpus
+(md5-derived sampling, sorted-tiebreak vocab, min-doc_id cluster
+representatives), so reruns — on any partitioning — produce the same
+corpus byte-for-byte. The pipeline test pins this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import dedup
+from .sampling import assign_split
+from .textstats import distinct_ratio, with_char_entropy
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_distinct_ratio: float = 0.2,
+    min_entropy_u: int = 2_000_000,
+) -> DataFrame:
+    """Row-local quality filters in one narrow pass (plus the tiny
+    alphabet aggregate for entropy). Thresholds compare integer
+    micro-entropy, so the gate is engine-exact."""
+    n_toks = F.size(F.split(F.col(text_col), " "))
+    ent_u = F.round(F.col("__ent") * 1e6).cast("long")
+    return (
+        with_char_entropy(docs, text_col, "__ent")
+        .filter(
+            (n_toks >= min_tokens)
+            & (n_toks <= max_tokens)
+            & (distinct_ratio(text_col) >= min_distinct_ratio)
+            & (ent_u >= min_entropy_u)
+        )
+        .drop("__ent")
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id doc per exact text (md5 groupBy, one shuffle)."""
+    w = docs.select(id_col, F.md5(F.col(text_col)).alias("__h"))
+    keep = w.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
+def near_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Drop LSH-discovered near-duplicates, keeping each candidate
+    pair's lower id (transitively: anything that loses any pairing is
+    dropped — conservative, single pass over the bounded candidate
+    set; full cluster analytics live in `dup_clusters`)."""
+    pairs = dedup.lsh_candidate_pairs(docs, id_col=id_col, text_col=text_col)
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Drop any doc sharing an n-gram (n consecutive tokens) with the
+    benchmark: benchmark n-grams are distinct'd (small side) and the
+    corpus is probed with a left-anti inverted-index join on the
+    n-gram hash — the `benchmark_contamination` shape as a filter."""
+    def grams(col):
+        # guard short docs: sequence(1, negative) counts DOWN, not empty
+        return F.expr(
+            f"if(size(split({col}, ' ')) >= {n}, "
+            f"transform(sequence(1, size(split({col}, ' ')) - {n - 1}), "
+            f"i -> array_join(slice(split({col}, ' '), i, {n}), ' ')), "
+            f"array())"
+        )
+
+    bench_g = (
+        benchmark.select(F.explode(grams(bench_text_col)).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    doc_g = docs.select(
+        F.col("doc_id"), F.explode(grams(text_col)).alias("g")
+    ).select("doc_id", F.md5("g").alias("gh"))
+    contaminated = doc_g.join(F.broadcast(bench_g), "gh", "left_semi").select(
+        "doc_id"
+    ).distinct()
+    return docs.join(contaminated, "doc_id", "left_anti")
+
+
+def tokenize_ids(
+    docs: DataFrame, text_col: str = "text", vocab_size: int = 4096
+) -> DataFrame:
+    """Top-K frequency vocab (count desc, token asc) folded into one
+    broadcast map; narrow per-row encode, OOV → 0. Adds ``ids``."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(F.explode(F.split(text_col, " ")).alias("t"))
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(vocab_size)
+        .select(
+            "t",
+            F.row_number().over(Window.orderBy(F.desc("c"), "t")).cast("long").alias("id"),
+        )
+    )
+    vmap = vocab.agg(
+        F.map_from_entries(F.sort_array(F.collect_list(F.struct("t", "id")))).alias(
+            "__vm"
+        )
+    )
+    ids = F.transform(
+        F.split(text_col, " "),
+        lambda t: F.coalesce(F.element_at(F.col("__vm"), t), F.lit(0).cast("long")),
+    )
+    return docs.crossJoin(F.broadcast(vmap)).withColumn("ids", ids).drop("__vm")
+
+
+def prep_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    out_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_ratios: tuple[float, float] = (0.8, 0.1),
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full pipeline. Returns (prepared, funnel) where
+    prepared has (id, text, ids, n_tokens, split) and funnel counts
+    survivors per stage. When ``out_path`` is set the corpus is also
+    written hive-partitioned by split (one pass)."""
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    cur = quality_gate(docs, text_col)
+    stages.append(("quality", cur))
+    cur = exact_dedup(cur, id_col, text_col)
+    stages.append(("exact_dedup", cur))
+    cur = near_dedup(cur, id_col, text_col)
+    stages.append(("near_dedup", cur))
+    cur = decontaminate(cur, benchmark, text_col)
+    stages.append(("decontaminated", cur))
+    prepared = tokenize_ids(cur, text_col).select(
+        id_col,
+        text_col,
+        "ids",
+        F.size("ids").cast("long").alias("n_tokens"),
+        assign_split(F.col(id_col).cast("string"), split_ratios).alias("split"),
+    )
+    funnel_parts = [
+        s.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(name).alias("stage"), "n", F.lit(i).alias("stage_no")
+        )
+        for i, (name, s) in enumerate(stages)
+    ]
+    funnel = funnel_parts[0]
+    for p in funnel_parts[1:]:
+        funnel = funnel.unionByName(p)
+    if out_path is not None:
+        prepared.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    return prepared, funnel

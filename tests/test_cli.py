@@ -58,3 +58,16 @@ def test_cli_ingest_etl_conform(spark, tmp_path):
     assert spark.read.parquet(conf_dir).count() == 2
     # refuses to clobber its own input
     assert main(["conform", "--clean", clean_dir, "--raw", raw_dir, "--out", clean_dir]) == 2
+
+
+def test_cli_prep(spark, tmp_path):
+    from frontpage_spark.__main__ import main
+
+    out = str(tmp_path / "prep_out")
+    code = main([
+        "prep", "--docs", "/root/testdata/sf0.001/documents.parquet", "--out", out,
+    ])
+    assert code == 0
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert {"doc_id", "text", "ids", "n_tokens", "split"} <= set(back.columns)

@@ -1,0 +1,69 @@
+"""End-to-end training-data prep pipeline (ext/prep.py): funnel
+monotonicity, stage semantics on planted rows, split write, and
+bit-level rerun determinism."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontpage_spark.ext import prep
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    first = docs.orderBy("doc_id").first()
+    planted = spark.createDataFrame(
+        [
+            (900001, first.text),                  # exact dup of doc 0 (higher id loses)
+            (900002, "tiny doc"),                  # fails min_tokens
+            (900003, "spam " * 40),                # fails distinct_ratio + entropy
+            (900004, "the secret benchmark answer is forty two exactly here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    return docs.unionByName(planted)
+
+
+@pytest.fixture(scope="module")
+def bench_df(spark):
+    return spark.createDataFrame(
+        [("the secret benchmark answer is forty two exactly",)], ["text"]
+    )
+
+
+def test_prep_corpus_funnel_and_stages(spark, corpus, bench_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("prep") / "corpus")
+    prepared, funnel = prep.prep_corpus(corpus, bench_df, out_path=out)
+    stages = {r.stage: r.n for r in funnel.collect()}
+    n_in = corpus.count()
+    assert stages["input"] == n_in
+    # monotone funnel
+    order = ["input", "quality", "exact_dedup", "near_dedup", "decontaminated"]
+    for a, b in zip(order, order[1:]):
+        assert stages[a] >= stages[b]
+
+    kept = {r.doc_id for r in prepared.select("doc_id").collect()}
+    assert 900001 not in kept  # exact dup dropped (lower id kept)
+    assert 900002 not in kept  # too short
+    assert 900003 not in kept  # degenerate repetition
+    assert 900004 not in kept  # contaminated by benchmark 8-gram
+    assert 0 in kept
+
+    # written split partitions are disjoint+exhaustive and readable
+    back = spark.read.parquet(out)
+    assert back.count() == prepared.count()
+    assert set(r.split for r in back.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    # ids column actually encodes: no nulls, OOV marked 0
+    assert back.filter(F.col("ids").isNull()).count() == 0
+
+    # rerun determinism, any partitioning: same rows, same ids
+    prepared2, _ = prep.prep_corpus(corpus.repartition(7), bench_df)
+    a = sorted((r.doc_id, tuple(r.ids), r.split) for r in prepared.collect())
+    b = sorted((r.doc_id, tuple(r.ids), r.split) for r in prepared2.collect())
+    assert a == b
