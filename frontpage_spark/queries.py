@@ -4364,3 +4364,86 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("cms_estimate"),
         (F.col("est") - F.col("true_count")).alias("overcount"),
     ).orderBy(F.desc("true_count"), "t")
+
+
+# ---- window-rank breadth (ntile / percent_rank / cume_dist) ---------------
+@register(
+    "balance_bands_by_nation",
+    """
+    WITH w AS (
+      SELECT c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+             ntile(4) OVER ord AS band,
+             percent_rank() OVER ord AS pr,
+             cume_dist() OVER ord AS cd
+      FROM customer
+      WINDOW ord AS (PARTITION BY c_nationkey
+                     ORDER BY round(c_acctbal * 100), c_custkey)
+    )
+    SELECT c_nationkey, band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(bal) AS BIGINT) AS min_bal,
+           CAST(max(bal) AS BIGINT) AS max_bal,
+           max(pr) AS max_pr,
+           max(cd) AS max_cd
+    FROM w GROUP BY 1, 2
+    """,
+)
+def balance_bands_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile banding per nation with the rank-family windows
+    (ntile/percent_rank/cume_dist) — all computed in ONE window pass
+    (same partition+order spec, so Catalyst plans a single Window
+    operator over one exchange+sort per nation). Unique (bal,
+    custkey) tiebreak makes ntile assignment engine-exact."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.round(F.col("c_acctbal") * 100), F.col("c_custkey")
+    )
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    per = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        bal.alias("bal"),
+        F.ntile(4).over(w).alias("band"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return per.groupBy("c_nationkey", "band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("bal").alias("min_bal"),
+        F.max("bal").alias("max_bal"),
+        F.max("pr").alias("max_pr"),
+        F.max("cd").alias("max_cd"),
+    )
+
+
+# ---- null-safe equality join (<=>) ----------------------------------------
+@register(
+    "nullsafe_join_groups",
+    """
+    WITH a AS (
+      SELECT nullif(o_orderkey % 7, 3) AS g,
+             CAST(count(*) AS BIGINT) AS na
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT nullif(o_orderkey % 7, 3) AS g,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT a.g, a.na, b.cents
+    FROM a JOIN b ON a.g IS NOT DISTINCT FROM b.g
+    """,
+)
+def nullsafe_join_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the NULL
+    group must MATCH itself, where a plain `=` would silently drop it
+    — the classic nullable-dimension-key trap. Spark hash-partitions
+    null-safe keys like any other (nulls co-locate), so this stays a
+    regular shuffle/broadcast hash join, not a nested loop."""
+    o = _t(spark, sf_dir, "orders")
+    g = F.nullif(F.col("o_orderkey") % 7, F.lit(3))
+    a = o.select(g.alias("ga")).groupBy("ga").agg(F.count(F.lit(1)).alias("na"))
+    b = o.select(
+        g.alias("gb"), F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    ).groupBy("gb").agg(F.sum("c").cast("long").alias("cents"))
+    return a.join(b, a["ga"].eqNullSafe(b["gb"])).select(
+        F.col("ga").alias("g"), "na", "cents"
+    )
