@@ -4447,3 +4447,35 @@ def nullsafe_join_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["ga"].eqNullSafe(b["gb"])).select(
         F.col("ga").alias("g"), "na", "cents"
     )
+
+
+# ---- VariantType semi-structured path -------------------------------------
+@register(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's native VariantType:
+    ``parse_json`` once into a variant column (binary-encoded, NOT
+    re-parsed per access), then typed ``variant_get`` paths feed a
+    plain aggregate. At 100 TB the variant parse happens inside the
+    scan stage and each field access is a buffer offset lookup — the
+    engine-native answer to schema-on-read JSON (contrast
+    `json_props_extract`, which string-parses per get_json_object
+    call). Oracle uses DuckDB's JSON operators on the same strings."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )

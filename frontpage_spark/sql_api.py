@@ -100,4 +100,41 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     register_functions(spark)
+    register_udtfs(spark)
     register_views(spark, sf_dir)
+
+
+class ChunkTokens:
+    """Python UDTF (Spark 3.5+ table function): overlapping token-window
+    chunker as a LATERAL-joinable table function —
+
+        SELECT d.doc_id, c.* FROM docs d,
+        LATERAL chunk_tokens(d.text, 128, 32) c
+
+    One emitted row per chunk (chunk_no, chunk, n_tokens). The
+    expression-based twin (`queries.chunk_documents`) is the codegen
+    fast path; the UDTF form exists for the API surface — users who
+    need imperative per-row fan-out logic SQL-side — and is
+    differential-tested against a Python model. Stateless eval:
+    embarrassingly parallel, no shuffle."""
+
+    def eval(self, text: str, size: int = 128, overlap: int = 32):
+        if text is None or size <= 0 or overlap >= size:
+            return
+        toks = text.split(" ")
+        step = size - overlap
+        no = 0
+        for i in range(0, max(len(toks) - overlap, 1), step):
+            chunk = toks[i : i + size]
+            yield no, " ".join(chunk), len(chunk)
+            no += 1
+
+
+def register_udtfs(spark: SparkSession) -> list[str]:
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(
+        "chunk_tokens",
+        udtf(ChunkTokens, returnType="chunk_no int, chunk string, n_tokens int"),
+    )
+    return ["chunk_tokens"]

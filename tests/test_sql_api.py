@@ -99,3 +99,52 @@ def test_pure_sql_end_to_end(spark):
     n_sql = spark.sql("SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'").first().n
     n_df = spark.read.parquet(f"{sf_dir}/orders.parquet").filter("o_orderstatus = 'F'").count()
     assert n_sql == n_df
+
+
+def test_chunk_tokens_udtf(spark):
+    from frontpage_spark.sql_api import ChunkTokens, register_udtfs
+
+    register_udtfs(spark)
+    text = " ".join(f"w{i}" for i in range(10))
+    rows = spark.sql(
+        f"SELECT * FROM chunk_tokens('{text}', 4, 1)"
+    ).collect()
+    want = list(ChunkTokens().eval(text, 4, 1))
+    assert [(r.chunk_no, r.chunk, r.n_tokens) for r in rows] == want
+    # windows overlap by 1 token and cover every token
+    chunks = [r.chunk.split(" ") for r in rows]
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-1] == b[0]
+    assert [t for c in chunks for t in c[:-1]] + [chunks[-1][-1]] == text.split(" ")[:len(
+        [t for c in chunks for t in c[:-1]]
+    ) + 1]
+    # lateral join fan-out over a table
+    spark.createDataFrame([(1, text), (2, "a b")], ["doc_id", "text"]).createOrReplaceTempView("__docs")
+    lat = spark.sql(
+        "SELECT doc_id, c.chunk_no FROM __docs, LATERAL chunk_tokens(text, 4, 1) c"
+    ).collect()
+    assert sum(1 for r in lat if r.doc_id == 1) == len(want)
+    assert sum(1 for r in lat if r.doc_id == 2) == 1
+
+
+def test_observe_metrics(spark):
+    """df.observe: pipeline metrics ride the job (no second scan)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("gate")
+    df = spark.range(0, 1000).observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum(F.when(F.col("id") % 10 == 0, 1).otherwise(0)).alias("hits")
+    )
+    assert df.filter("id >= 0").count() == 1000
+    assert obs.get == {"n": 1000, "hits": 100}
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution on read: mergeSchema unions columns across files."""
+    p = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a")], ["id", "x"]).write.parquet(p + "/b1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "x", "y"]).write.parquet(p + "/b2")
+    df = spark.read.option("mergeSchema", True).parquet(p + "/b1", p + "/b2")
+    assert set(df.columns) == {"id", "x", "y"}
+    rows = {r.id: (r.x, r.y) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
