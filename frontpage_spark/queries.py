@@ -4479,3 +4479,47 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+# ---- recursive CTE (Spark 4 WITH RECURSIVE) -------------------------------
+@register(
+    "recursive_ancestor_depths",
+    """
+    WITH RECURSIVE anc(start, cur, d) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT start, cur // 10, d + 1 FROM anc WHERE cur > 0
+    )
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(start) AS BIGINT) AS sum_start,
+           CAST(count(DISTINCT cur) AS BIGINT) AS n_distinct_nodes
+    FROM anc GROUP BY d
+    """,
+)
+def recursive_ancestor_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4): every customer key walks its
+    ancestor chain k → k div 10 → … → 0 in a decimal-tree hierarchy —
+    the org-chart/BOM traversal shape — and the result profiles the
+    tree by depth. The recursion is a per-row bounded chain (≤ log10
+    of the key space), so the working set is rows × depth with NO
+    frontier explosion; each recursive step is one self-join the
+    engine executes iteratively. Exact integer arithmetic end to end;
+    the oracle is the identical ANSI recursion in DuckDB."""
+    from .sql_api import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(start, cur, d) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer
+          UNION ALL
+          SELECT start, cur div 10, d + 1 FROM anc WHERE cur > 0
+        )
+        SELECT d,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(start) AS BIGINT) AS sum_start,
+               CAST(count(DISTINCT cur) AS BIGINT) AS n_distinct_nodes
+        FROM anc GROUP BY d
+        """
+    )
