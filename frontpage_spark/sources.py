@@ -19,25 +19,30 @@ from .schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects outright (PARQUET_TYPE_ILLEGAL). We read them as raw
-# nano longs (legacy.parquet.nanosAsLong) and convert to micros —
-# identical to what DuckDB's ns→us cast does, so oracle parity holds.
-NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns whose physical parquet encoding has varied across
+# testdata generations: TIMESTAMP(NANOS) (Spark's vectorized reader
+# needs legacy.parquet.nanosAsLong → bigint), or TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) (Spark reads timestamp_ntz). Either way we
+# normalize to TimestampType; the session time zone is UTC, so the
+# wall-clock values match DuckDB's naive read and oracle parity holds.
+NORMALIZE_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One testdata parquet table. Vectorized reader; pruning/pushdown free."""
-    nano_cols = NANO_TS_COLUMNS.get(name, ())
-    if nano_cols:
+    ts_cols = NORMALIZE_TS_COLUMNS.get(name, ())
+    if ts_cols:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in nano_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+    for c in ts_cols:
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":  # raw nanos
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":  # micros, no zone — UTC session makes this exact
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
