@@ -159,6 +159,57 @@ def decode_y4m(b: bytes) -> tuple[int, int, int]:
 # operators
 # --------------------------------------------------------------------------
 
+def read_media_dir(
+    spark: "SparkSession",  # noqa: F821
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest raw media FILES into the ``MEDIA_SCHEMA`` via Spark's
+    ``binaryFile`` source — the front door for corpora that arrive as
+    objects on a store rather than pre-packed parquet.
+
+    The reader parallelizes over files (one row per file: path, length,
+    modificationTime, content) and supports ``pathGlobFilter`` +
+    ``recursiveFileLookup``, so partition-directory layouts prune at the
+    listing. Kind classification is JVM-side on the magic bytes — no
+    Python touches payloads that fail classification. ``media_id`` is
+    ``xxhash64(path)``: deterministic, collision-resistant enough for
+    corpus-scale keys, and computable without reading content.
+
+    Scale notes: binaryFile caps at ``spark.sql.sources.binaryFile.maxLength``
+    (2 GB); each file is one task's row, so millions of small files need
+    the listing parallelism binaryFile already has, while huge files
+    should be sharded upstream.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    raw = reader.load(path)
+    magic = F.expr("substring(content, 1, 9)")
+    kind = (
+        F.when(F.expr("substring(content, 1, 2)") == F.lit(b"BM"), "image")
+        .when(
+            (F.expr("substring(content, 1, 4)") == F.lit(b"RIFF"))
+            & (F.expr("substring(content, 9, 4)") == F.lit(b"WAVE")),
+            "audio",
+        )
+        .when(magic == F.lit(b"YUV4MPEG2"), "video")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        kind.alias("kind"),
+        F.col("content").alias("payload"),
+        F.create_map(
+            F.lit("path"), F.col("path"),
+            F.lit("length"), F.col("length").cast("string"),
+            F.lit("mtime"), F.col("modificationTime").cast("string"),
+        ).alias("meta"),
+    )
+
 def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic media table from any string column — *spec-valid*
     BMP/WAV/Y4M payloads whose dimensions are pure functions of the text

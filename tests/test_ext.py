@@ -165,6 +165,38 @@ def test_multimodal_plumbing(spark):
     assert resized[1]["width"] == -1  # pass-through for non-image kinds
 
 
+def test_read_media_dir_binary_file_source(spark, tmp_path):
+    """binaryFile ingestion: raw files on disk → MEDIA_SCHEMA rows with
+    JVM-side magic-byte classification, then the normal decode path."""
+    seed = b"0123456789abcdef"
+    (tmp_path / "a.bmp").write_bytes(multimodal.make_bmp(20, 10, seed))
+    (tmp_path / "b.wav").write_bytes(multimodal.make_wav(77, seed))
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    (sub / "c.y4m").write_bytes(multimodal.make_y4m(8, 4, 2, seed))
+    (tmp_path / "junk.bin").write_bytes(b"\x00\x01not-a-container")
+
+    media = multimodal.read_media_dir(spark, str(tmp_path))
+    rows = {r["meta"]["path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert rows["a.bmp"]["kind"] == "image"
+    assert rows["b.wav"]["kind"] == "audio"
+    assert rows["c.y4m"]["kind"] == "video"  # recursiveFileLookup found it
+    assert rows["junk.bin"]["kind"] is None  # unclassified, not dropped
+    assert rows["a.bmp"]["meta"]["length"] == str(54 + ((20 * 3 + 3) // 4) * 4 * 10)
+
+    decoded = {
+        r["media_id"]: r
+        for r in multimodal.decode_media(media.filter(F.col("kind").isNotNull())).collect()
+    }
+    assert {(d["width"], d["height"], d["frames"]) for d in decoded.values()} == {
+        (20, 10, 1), (77, 1, 1), (8, 4, 2)
+    }
+
+    # glob filter prunes at the listing — only the wav survives
+    only_wav = multimodal.read_media_dir(spark, str(tmp_path), glob="*.wav")
+    assert [r["kind"] for r in only_wav.collect()] == ["audio"]
+
+
 def test_rolling_hash_fingerprint(spark):
     from frontpage_spark.ext import textstats as ts
     from pyspark.sql import functions as F
