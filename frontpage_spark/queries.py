@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution needs module scope)
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -4522,4 +4523,233 @@ def recursive_ancestor_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(DISTINCT cur) AS BIGINT) AS n_distinct_nodes
         FROM anc GROUP BY d
         """
+    )
+
+
+# ---- TPC-H Q17 shape: correlated scalar subquery, decorrelated -------------
+@register(
+    "small_qty_revenue_q17ish",
+    """
+    WITH pk AS (SELECT p_partkey FROM part WHERE p_brand IN ('Brand#1', 'Brand#2')),
+         li AS (SELECT l_partkey,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+                FROM lineitem JOIN pk ON l_partkey = p_partkey),
+         pa AS (SELECT l_partkey, CAST(SUM(qc) AS BIGINT) AS sum_qc,
+                       CAST(COUNT(*) AS BIGINT) AS n_li
+                FROM li GROUP BY l_partkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           round(CAST(SUM(li.pc) AS DOUBLE) / 100.0 / 7.0, 4) AS avg_yearly
+    FROM li JOIN pa USING (l_partkey)
+    WHERE 5 * li.qc * pa.n_li < pa.sum_qc
+    """,
+)
+def small_qty_revenue_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — "revenue from orders far below the part's
+    average quantity" — the classic CORRELATED SCALAR SUBQUERY
+    (l_quantity < 0.2 * avg over the same part), expressed directly in
+    its decorrelated form: per-part pre-aggregation joined back to the
+    detail rows, which is exactly the plan Catalyst's subquery
+    decorrelation would produce. Scale shape: the brand filter prunes
+    part to a broadcastable key set; lineitem is semi-reduced by that
+    broadcast BEFORE any shuffle; the per-part aggregate (one row per
+    surviving part) broadcasts back onto the detail rows, so the fact
+    table is never shuffled at all. The 0.2*avg threshold is evaluated
+    in INTEGER form (5*qty_cents*n < sum_cents) — no float compare can
+    flip a borderline row between engines."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2")
+    ).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        )
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("qc").alias("sum_qc"), F.count("*").alias("n_li")
+    )
+    small = li.join(F.broadcast(pa), "l_partkey").filter(
+        F.lit(5) * F.col("qc") * F.col("n_li") < F.col("sum_qc")
+    )
+    return small.agg(
+        F.count("*").alias("n_small"),
+        F.round(F.sum("pc").cast("double") / 100.0 / 7.0, 4).alias("avg_yearly"),
+    )
+
+
+# ---- SCD2: changelog -> validity intervals ---------------------------------
+@register(
+    "scd2_user_state",
+    """
+    WITH ch AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id < 40
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts, event_id FROM ch
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           coalesce(strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             '%Y-%m-%d %H:%M:%S.%f'), 'current') AS valid_to
+    FROM changes
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 from a changelog: collapse consecutive same-state
+    events per key (lag-compare), then close each surviving version
+    with the next version's start (lead) — open versions get a
+    'current' sentinel. This is the warehouse dimension-history build:
+    both window passes share ONE partitioning (user_id), so Catalyst
+    plans a single shuffle + sort and the second Window rides the
+    first's ordering. At 100 TB the state table is partitioned by key
+    — no global sort anywhere. Sub-second timestamps cross the oracle
+    boundary as microsecond-formatted strings."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+    )
+    changes = ch.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return changes.select(
+        "user_id", "state",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w), fmt), F.lit("current")
+        ).alias("valid_to"),
+    )
+
+
+# ---- key-skew profile (pre-join diagnostics) -------------------------------
+@register(
+    "key_skew_profile",
+    """
+    WITH k AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                      CAST(SUM(c) AS BIGINT) AS total,
+                      CAST(MAX(c) AS BIGINT) AS max_c,
+                      quantile_cont(c, 0.5) AS p50_c,
+                      quantile_cont(c, 0.99) AS p99_c
+               FROM k),
+         top AS (SELECT CAST(SUM(c) AS BIGINT) AS top10
+                 FROM (SELECT c FROM k ORDER BY c DESC LIMIT 10))
+    SELECT n_keys, total, max_c,
+           round(CAST(max_c AS DOUBLE) / total, 6) AS max_share,
+           round(CAST(top10 AS DOUBLE) / total, 6) AS top10_share,
+           round(p99_c / p50_c, 6) AS p99_over_p50
+    FROM t, top
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW DIAGNOSTICS — the query you run BEFORE deciding
+    whether a join needs salting or AQE skew handling: per-key counts
+    reduced to max/top-10 share and a p99/p50 tail ratio. The key
+    histogram is one map-side-combinable groupBy; the profile is an
+    aggregate over ONE ROW PER KEY (tiny); top-10 is TakeOrdered (no
+    global sort). At 100 TB this runs as a fraction of the join it
+    protects, which is why skew checks belong in the pipeline, not in
+    post-mortems."""
+    ev = _t(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    t = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.max("c").alias("max_c"),
+        F.percentile("c", F.lit(0.5)).alias("p50_c"),
+        F.percentile("c", F.lit(0.99)).alias("p99_c"),
+    )
+    top = k.orderBy(F.col("c").desc()).limit(10).agg(F.sum("c").alias("top10"))
+    return t.crossJoin(F.broadcast(top)).select(
+        "n_keys", "total", "max_c",
+        F.round(F.col("max_c").cast("double") / F.col("total"), 6).alias("max_share"),
+        F.round(F.col("top10").cast("double") / F.col("total"), 6).alias("top10_share"),
+        F.round(F.col("p99_c") / F.col("p50_c"), 6).alias("p99_over_p50"),
+    )
+
+
+# ---- grouped-agg pandas UDF: median absolute deviation ---------------------
+@register(
+    "mad_price_by_status",
+    """
+    WITH m AS (SELECT o_orderstatus, median(o_totalprice) AS med
+               FROM orders GROUP BY o_orderstatus)
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(median(abs(o.o_totalprice - m.med)), 6) AS mad_price
+    FROM orders o JOIN m USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def mad_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group via a GROUPED-AGG PANDAS UDF
+    — the Arrow-vectorized custom-aggregate API (SQL needs two
+    dependent median passes; the UDF does both on the group in one
+    numpy pass). Scale contract: each group's column ships to Python
+    as one Arrow batch, so this is for BOUNDED group sizes/counts
+    (status codes, languages, shards); unbounded keys belong to the
+    sketch path (approx_percentiles_price). Both engines interpolate
+    even-length medians identically; round(6) absorbs the last ULP."""
+    @F.pandas_udf("double")
+    def _mad(v: pd.Series) -> float:
+        med = v.median()
+        return float((v - med).abs().median())
+
+    @F.pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return len(v)
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        _n("o_totalprice").alias("n"),
+        F.round(_mad("o_totalprice"), 6).alias("mad_price"),
+    )
+
+
+# ---- cohort retention matrix ----------------------------------------------
+@register(
+    "cohort_retention",
+    """
+    WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+         e AS (SELECT ev.user_id,
+                      CAST(floor(epoch(f.first_ts)) AS BIGINT) // 604800 AS cohort_week,
+                      (CAST(floor(epoch(ev.ts)) AS BIGINT)
+                       - CAST(floor(epoch(f.first_ts)) AS BIGINT)) // 604800 AS week_offset
+               FROM events ev JOIN f USING (user_id))
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort RETENTION MATRIX: users bucketed by first-seen week,
+    counted distinct in each subsequent week offset — the product
+    analytics staple. first-seen is a map-side-combinable MIN; the
+    cohort assignment joins back BROADCAST (one row per user, narrow);
+    the matrix is a two-key distinct count. Epoch seconds are floored
+    to integers before any bucketing, so week boundaries are bit-exact
+    across engines."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    week = 604800
+    e = ev.join(F.broadcast(f), "user_id").select(
+        "user_id",
+        (F.unix_timestamp("first_ts") / week).cast("long").alias("cohort_week"),
+        (
+            (F.unix_timestamp("ts") - F.unix_timestamp("first_ts")) / week
+        ).cast("long").alias("week_offset"),
+    )
+    return e.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
     )

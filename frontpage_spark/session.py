@@ -95,5 +95,10 @@ def get_spark(app_name: str = "frontpage_spark", master: str | None = None) -> S
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Static conf: the generated-class cache defaults to 100 entries;
+        # a 46-query suite overflows it, so every "warm" run silently
+        # recompiles its whole-stage-codegen classes (~0.1-0.5s/query).
+        # Production sessions running a query mix hit the same cliff.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     return builder.getOrCreate()

@@ -28,8 +28,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NORMALIZE_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+# Plan cache: spark.read.parquet pays file listing + footer schema
+# inference (~0.1s/table) at PLAN time, every call. The testdata dirs
+# are immutable and DataFrame plans are immutable values, so reusing
+# the logical plan per (session, dir, table) is semantics-free — it
+# removes a per-query constant that a long-lived production session
+# would never pay either (tables would live in a catalog).
+_plan_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One testdata parquet table. Vectorized reader; pruning/pushdown free."""
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+    except Exception:
+        key = None
+    if key is not None and key in _plan_cache:
+        return _plan_cache[key]
+    df = _load_table_uncached(spark, sf_dir, name)
+    if key is not None:
+        _plan_cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ts_cols = NORMALIZE_TS_COLUMNS.get(name, ())
     if ts_cols:
         try:
