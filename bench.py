@@ -66,6 +66,11 @@ HEADLINE = [
     "dq_orders_report",
     "pagerank_part_supplier",
     "embedding_centroids",
+    "small_qty_revenue_q17ish",
+    "scd2_user_state",
+    "key_skew_profile",
+    "mad_price_by_status",
+    "cohort_retention",
 ]
 
 

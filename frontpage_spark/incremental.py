@@ -205,6 +205,79 @@ def stateful_user_counts(stream: DataFrame, timeout_minutes: int | None = None) 
     )
 
 
+def stateful_seen_filter(
+    stream: DataFrame,
+    key: str = "uniq_id",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """ST-extension — first-seen filter via ``transformWithStateInPandas``
+    (Spark 4's arbitrary-state operator, the successor to
+    applyInPandasWithState): emit each key's FIRST row only, remember
+    the key in a per-key ValueState, optionally TTL'd.
+
+    This is the third point on the streaming-dedup spectrum:
+
+    - ``pipeline.dedup_new_keys`` (foreachBatch anti-join): exact
+      against all history, rescans the sink keys per batch;
+    - ``stream_dedup`` (dropDuplicatesWithinWatermark): bounded state,
+      but eviction is tied to EVENT-TIME watermark progress;
+    - this: explicit state with PROCESSING-TIME TTL — the shape for
+      keyspaces where event time is unreliable (crawler re-fetches)
+      but memory must stay bounded. State lives in the checkpointed
+      state store (use the RocksDB provider at scale — disk-backed,
+      changelog-checkpointed; per-key state here is a single long).
+
+    Runtime dependency: transformWithState's Python driver worker
+    imports ``google.protobuf`` (absent from this container, so the
+    test is skipif-gated; the operator is exercised wherever protobuf
+    is installed).
+
+    Also counts how many duplicates each first row absorbed so far is
+    NOT possible in this emit-once shape (the first row is already
+    out) — that variant is ``stateful_user_counts``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField(key, StringType()), StructField("n_bytes", LongType())]
+    )
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen",
+                StructType([StructField("one", LongType())]),
+                ttlDurationMs=ttl_minutes * 60 * 1000 if ttl_minutes else None,
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            if not self._seen.exists():
+                for pdf in rows:
+                    if len(pdf):
+                        first = pdf.iloc[:1]
+                        self._seen.update((1,))
+                        yield pd.DataFrame(
+                            {
+                                key: [str(first[key].iloc[0])],
+                                "n_bytes": [int(first["n_bytes"].iloc[0])],
+                            }
+                        )
+                        break
+            else:  # drain the iterator; nothing to emit
+                for _ in rows:
+                    pass
+
+        def close(self) -> None:
+            pass
+
+    prepared = stream.select(F.col(key).cast("string").alias(key), F.col("n_bytes").cast("long").alias("n_bytes"))
+    return prepared.groupBy(key).transformWithStateInPandas(
+        FirstSeen(), out_schema, "append", "none"
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Session assignment (batch): a new session starts when the gap to
     the previous event of the same user exceeds ``gap_seconds``.

@@ -332,3 +332,67 @@ def test_streaming_ivm_state_merge(spark, tmp_path):
     got = {r.k: (r.n, r.s, r.m) for r in spark.read.parquet(state_path).collect()}
     want = {r.k: (r.n, r.s, r.m) for r in agg(df).collect()}
     assert got == want
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python worker needs google.protobuf (absent in container)",
+)
+def test_stateful_seen_filter_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): only the
+    first row per key is emitted, the seen-set persists in the RocksDB
+    state store across micro-batches via the checkpoint."""
+    from pyspark.sql import functions as F
+    from frontpage_spark.incremental import stateful_seen_filter
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        chk = str(tmp_path / "chk")
+        base = spark.createDataFrame(
+            [("a", 10), ("a", 11), ("b", 20)], ["uniq_id", "n_bytes"]
+        )
+        base.write.parquet(src)
+
+        seen: list = []
+
+        def sink(df, _eid):
+            seen.extend((r["uniq_id"], r["n_bytes"]) for r in df.collect())
+
+        def run_once():
+            stream = spark.readStream.schema(base.schema).parquet(src)
+            q = (
+                stateful_seen_filter(stream)
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        assert sorted(seen) == [("a", 10), ("b", 20)]  # one row per key
+
+        # new file: repeat key suppressed BY STATE (not by offset replay),
+        # new key passes
+        spark.createDataFrame([("a", 12), ("c", 30)], ["uniq_id", "n_bytes"]).write.mode(
+            "append"
+        ).parquet(src)
+        seen.clear()
+        run_once()
+        assert sorted(seen) == [("c", 30)]
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -159,3 +159,35 @@ def test_orc_and_jsonlines_roundtrip(spark, tmp_path):
     # ORC carries pushdown too
     plan = orc_back.filter(F.col("grp") == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "orc" in plan.lower()
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 built-in XML source: write rows as <row> elements, read
+    them back by rowTag with an explicit schema (no inference pass) —
+    the interchange format for feed-style corpora (sitemaps, dumps)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 50).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("grp"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("title"),
+    )
+    path = str(tmp_path / "x.xml")
+    df.write.format("xml").option("rowTag", "row").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(df.schema)
+        .load(path)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # nested elements land as structs
+    nested = str(tmp_path / "n.xml")
+    (tmp_path / "n.xml").mkdir()
+    (tmp_path / "n.xml" / "part-0.xml").write_text(
+        "<rows><row><id>1</id><meta><lang>en</lang><score>3</score></meta></row>"
+        "<row><id>2</id><meta><lang>de</lang><score>5</score></meta></row></rows>"
+    )
+    ndf = spark.read.format("xml").option("rowTag", "row").load(nested)
+    got = {r["id"]: (r["meta"]["lang"], r["meta"]["score"]) for r in ndf.collect()}
+    assert got == {1: ("en", 3), 2: ("de", 5)}
