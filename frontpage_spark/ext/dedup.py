@@ -211,3 +211,101 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    min_len: int = 30,
+) -> DataFrame:
+    """EXACT-SUBSTRING dedup, stage 1: content-defined chunking (CDC).
+
+    The suffix-array approach to exact substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better") needs a
+    global sorted index; the distributed-friendly equivalent is the
+    rsync/LBFS trick — cut every document at positions where a rolling
+    window's hash satisfies a fixed predicate. Because the cut rule
+    depends only on LOCAL content, a long substring shared by two
+    documents produces IDENTICAL interior chunks in both regardless of
+    its offset in either — so repeated passages become equal chunk
+    hashes, discoverable with one groupBy, no alignment search.
+
+    Portable determinism: the breakpoint predicate is
+    ``md5(window) starts with '0'`` (expected cut rate 1/16 → mean
+    chunk ≈ window+16 chars) — md5 and 1-based char substring behave
+    identically in Spark and DuckDB, so the whole operator is
+    oracle-checkable. Everything is per-row JVM array math (sequence →
+    transform → filter → explode): zero Python, zero shuffle until the
+    chunk-hash groupBy, which distributes on content.
+
+    Returns one row per chunk of length >= min_len:
+    (id, chunk_hash, chunk_len).
+    """
+    w = int(window)
+    expr = f"""
+    CASE WHEN length({text_col}) >= {w}
+         THEN filter(sequence(1, length({text_col}) - {w} + 1),
+                     i -> substring(md5(substring({text_col}, i, {w})), 1, 1) = '0')
+         ELSE array()
+    END
+    """
+    bps = F.expr(expr)
+    starts = F.array_distinct(F.concat(F.array(F.lit(1)), bps))
+    chunks = F.expr(
+        f"""
+        transform(sequence(1, size(__starts)),
+          i -> substring({text_col},
+                         element_at(__starts, i),
+                         IF(i < size(__starts),
+                            element_at(__starts, i + 1) - 1,
+                            length({text_col}))
+                         - element_at(__starts, i) + 1))
+        """
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col), starts.alias("__starts"))
+        .select(F.col(id_col), F.explode(chunks).alias("chunk"))
+        .filter(F.length("chunk") >= min_len)
+        .select(
+            id_col,
+            F.md5(F.col("chunk")).alias("chunk_hash"),
+            F.length("chunk").alias("chunk_len"),
+        )
+    )
+
+
+def cdc_chunks_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    min_len: int = 30,
+) -> str:
+    """DuckDB mirror of :func:`cdc_chunks` (list lambdas + md5)."""
+    w = int(window)
+    return f"""
+    WITH b AS (
+      SELECT {id_col}, {text_col},
+             list_prepend(1, list_filter(
+               CASE WHEN length({text_col}) >= {w}
+                    THEN range(1, length({text_col}) - {w} + 2)
+                    ELSE [] END,
+               i -> substring(md5(substring({text_col}, i, {w})), 1, 1) = '0')) AS starts0
+      FROM {table}
+    ), s AS (
+      -- DuckDB's list_distinct does NOT preserve order; sort to restore
+      -- ascending cut positions (Spark's array_distinct is order-stable)
+      SELECT {id_col}, {text_col}, list_sort(list_distinct(starts0)) AS starts FROM b
+    ), c AS (
+      SELECT {id_col},
+             unnest(list_transform(range(1, len(starts) + 1),
+               i -> substring({text_col}, starts[i],
+                              (CASE WHEN i < len(starts) THEN starts[i + 1] - 1
+                                    ELSE length({text_col}) END) - starts[i] + 1))) AS chunk
+      FROM s
+    )
+    SELECT {id_col}, md5(chunk) AS chunk_hash, length(chunk) AS chunk_len
+    FROM c WHERE length(chunk) >= {min_len}
+    """

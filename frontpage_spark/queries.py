@@ -4753,3 +4753,64 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct("user_id").alias("n_users")
     )
+
+
+# ---- exact-substring dedup via content-defined chunking --------------------
+@register(
+    "cdc_substring_dups",
+    f"""
+    WITH c AS ({dedup.cdc_chunks_oracle_sql()}),
+         per AS (
+           SELECT chunk_hash,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                  CAST(COUNT(*) AS BIGINT) AS n_inst,
+                  CAST(MAX(chunk_len) AS BIGINT) AS chunk_len
+           FROM c GROUP BY chunk_hash
+         ),
+         affected AS (
+           SELECT CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_docs_affected
+           FROM c JOIN per USING (chunk_hash) WHERE per.n_docs > 1
+         )
+    SELECT CAST(SUM(n_inst) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN n_inst * chunk_len ELSE 0 END) AS BIGINT)
+             AS dup_chars,
+           (SELECT n_docs_affected FROM affected) AS n_docs_affected
+    FROM per
+    """,
+)
+def cdc_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplication audit: content-defined chunks shared
+    verbatim across documents (see dedup.cdc_chunks for why CDC makes
+    offset-independent repeated passages collide). The corpus-level
+    report is the number you watch before training: how many characters
+    are verbatim repeats of another document.
+
+    Scale shape: chunking is per-row JVM array math; the only wide ops
+    are groupBys keyed on chunk md5 (uniform by construction). The
+    affected-docs count semi-joins the chunk table against dup hashes —
+    at 100 TB that join is shuffle-on-content-hash, skew-free."""
+    docs = _tw(spark, sf_dir, "documents")
+    c = dedup.cdc_chunks(docs)
+    per = c.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_inst"),
+        F.max("chunk_len").alias("chunk_len"),
+    )
+    dup_hashes = per.filter(F.col("n_docs") > 1).select("chunk_hash")
+    affected = (
+        c.join(dup_hashes, "chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs_affected"))
+    )
+    report = per.agg(
+        F.sum("n_inst").alias("n_chunks"),
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        F.sum(
+            F.when(F.col("n_docs") > 1, F.col("n_inst") * F.col("chunk_len")).otherwise(0)
+        ).alias("dup_chars"),
+    )
+    return report.crossJoin(F.broadcast(affected)).select(
+        "n_chunks", "n_distinct_chunks", "n_dup_chunks", "dup_chars", "n_docs_affected"
+    )

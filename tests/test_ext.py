@@ -650,3 +650,36 @@ def test_cms_overcount_only_and_merge_invariance(spark):
     # partitioning must not change a single counter
     sk2 = cms.cms_build(df.repartition(13), "t", width=512, depth=4)
     assert sk.first().cms == sk2.first().cms
+
+
+def test_cdc_chunks_offset_independent(spark):
+    """A passage shared verbatim at DIFFERENT offsets in two docs yields
+    identical interior chunk hashes — the CDC property that makes
+    exact-substring dedup a groupBy instead of an alignment search."""
+    import hashlib
+    passage = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "penguins audit the quarterly shuffle partition report in triplicate."
+    )
+    a = "PREFIX-A " + passage + " suffix one"
+    b = "a completely different and much longer prefix here >>> " + passage + " tail"
+    docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    from frontpage_spark.ext.dedup import cdc_chunks
+
+    c = cdc_chunks(docs, min_len=20).collect()
+    by_doc = {}
+    for r in c:
+        by_doc.setdefault(r["doc_id"], set()).add(r["chunk_hash"])
+    shared = by_doc.get(1, set()) & by_doc.get(2, set())
+    assert shared, "shared passage produced no common chunk hash"
+    # chunks reassemble the full text when min_len=0
+    full = cdc_chunks(docs, min_len=0)
+    from pyspark.sql import functions as F
+
+    lens = {r["doc_id"]: r["s"] for r in full.groupBy("doc_id").agg(F.sum("chunk_len").alias("s")).collect()}
+    assert lens == {1: len(a), 2: len(b)}
+    # hashes are real md5 of content (spot-check against hashlib on a
+    # doc short enough to be one chunk)
+    single = cdc_chunks(spark.createDataFrame([(3, "tiny doc under window")], ["doc_id", "text"]), min_len=1).collect()
+    assert len(single) == 1
+    assert single[0]["chunk_hash"] == hashlib.md5(b"tiny doc under window").hexdigest()
