@@ -191,26 +191,39 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_passes: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into Voronoi
     cells around ``n_centroids`` centroid vectors, probe each query's
     ``nprobe`` nearest cells, exact-score only within probed cells.
 
-    Centroids are a deterministic corpus sample (the first n_centroids
-    ids) — a stand-in for a k-means codebook, which would be trained
-    offline and broadcast the same way. Plan shape: one broadcast of the
-    centroids, one narrow argmin pass per side, then an equi-join on
-    cell id — the corpus shuffles once on its cell assignment, exactly
-    how a 100 TB IVF index would be bucketed/bucketed-written.
+    Centroids: with ``train_passes=0`` a deterministic corpus sample
+    (first n_centroids ids); with ``train_passes>=2`` a REAL k-means
+    codebook trained in-plan by ``kmeans_lloyd`` (that many assignment
+    passes with exact centroid updates between) — the trained cells are
+    tighter, so recall at fixed nprobe rises. Plan shape either way: one
+    broadcast of the centroids, one narrow argmin pass per side, then an
+    equi-join on cell id — the corpus shuffles once on its cell
+    assignment, exactly how a 100 TB IVF index would be
+    bucketed/bucketed-written (training adds one argmax shuffle per
+    pass, typically over a sample).
     Output: (qid, cid, cosine, rank) — approximate (recall < 1).
     """
     from pyspark.sql.window import Window
 
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent"), _norm2(vec_col).alias("cent_n"))
-    )
+    if train_passes >= 2:
+        _assigned, trained = kmeans_lloyd(
+            corpus, id_col, vec_col, k=n_centroids, assign_passes=train_passes
+        )
+        cents = trained.select(
+            "cent_id", F.col("ce").alias("cent"), _norm2("ce").alias("cent_n")
+        )
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent"), _norm2(vec_col).alias("cent_n"))
+        )
 
     def assign(df: DataFrame, idc: str, vc: str, nc: str, out: str, probes: int) -> DataFrame:
         # The precomputed vector norm rides through cell assignment as a
@@ -589,3 +602,77 @@ def mean_pool(
             "sum_u", lambda s: s.cast("double") / F.col("n") / F.lit(float(micro))
         ).alias("centroid"),
     )
+
+
+def assign_cosine(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties → lowest
+    cent_id). ``cents`` must have (cent_id, ce). The argmax is a
+    map-side-combinable ``max(struct(sim, -cent_id))`` groupBy — the
+    shuffle carries ONE row per vector, not one per (vector, centroid)
+    (a row_number window would sort k× the corpus). Keeps the vector
+    column so the Lloyd update can consume the output directly."""
+    c = cents.select(
+        F.col("cent_id"), F.col("ce"), _norm2("ce").alias("cn")
+    )
+    v = df.select(
+        F.col(id_col), F.col(vec_col).alias("e"), _norm2(vec_col).alias("en")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(e, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "sim", dot / (F.sqrt("en") * F.sqrt("cn"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("sim"), (-F.col("cent_id")).alias("nc"))).alias("b"),
+        F.first("e").alias("e"),
+    )
+    return best.select(
+        id_col,
+        (-F.col("b.nc")).cast("long").alias("cent_id"),
+        F.col("b.sim").alias("sim"),
+        "e",
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    assign_passes: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Full LLOYD k-means (spherical/cosine): deterministic seed
+    centroids (first k by id), then alternating assignment and exact
+    centroid update for ``assign_passes`` assignment rounds
+    (updates run between rounds). Returns (assigned, centroids) after
+    the final assignment.
+
+    Every step is the scale-safe kernel: assignment is a broadcast
+    fan-out + map-side-combinable argmax (corpus never shuffles wider
+    than 1 row/vector); the update is mean_pool's micro-int partial
+    combine (shuffle = tasks × k sum-vectors). Iteration count is a
+    small constant — the classic trade at 100 TB is few Lloyd rounds
+    over sampled data to build an IVF codebook, then one global
+    assignment pass; this operator is both halves.
+
+    Exactness: updates accumulate integer micro-units (see mean_pool),
+    so centroid doubles — and therefore every downstream similarity —
+    are bit-identical across partitionings and engines; the unrolled
+    SQL oracle in queries.kmeans_lloyd_counts replays the same
+    recurrence."""
+    cents = df.orderBy(id_col).limit(k).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("ce")
+    )
+    assigned = assign_cosine(df, cents, id_col, vec_col)
+    for _ in range(assign_passes - 1):
+        upd = mean_pool(assigned, "cent_id", "e")
+        cents = upd.select("cent_id", F.col("centroid").alias("ce"))
+        assigned = assign_cosine(df, cents, id_col, vec_col)
+    return assigned, cents

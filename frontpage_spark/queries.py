@@ -4814,3 +4814,76 @@ def cdc_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.crossJoin(F.broadcast(affected)).select(
         "n_chunks", "n_distinct_chunks", "n_dup_chunks", "dup_chars", "n_docs_affected"
     )
+
+
+# ---- full Lloyd k-means (2 assignment passes, exact update) ----------------
+@register(
+    "kmeans_lloyd_counts",
+    f"""
+    WITH cents0 AS (
+      SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+      ORDER BY vec_id LIMIT 8
+    ),
+    s1 AS (
+      SELECT v.vec_id, v.e, c.cent_id,
+             {_KM_DOT} / (sqrt({_KM_EN}) * sqrt({_KM_CN})) AS sim
+      FROM (SELECT vec_id, embedding AS e FROM embeddings) v
+      CROSS JOIN cents0 c
+    ),
+    a1 AS (
+      SELECT vec_id, e, cent_id FROM (
+        SELECT vec_id, e, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS r
+        FROM s1) WHERE r = 1
+    ),
+    el AS (
+      SELECT cent_id, generate_subscripts(e, 1) AS pos,
+             CAST(round(CAST(unnest(e) AS DOUBLE) * 1e6) AS BIGINT) AS v
+      FROM a1
+    ),
+    su AS (
+      SELECT cent_id, pos, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(count(*) AS BIGINT) AS n
+      FROM el GROUP BY 1, 2
+    ),
+    cents1 AS (
+      SELECT cent_id,
+             list_transform(list(sv ORDER BY pos), x -> CAST(x AS DOUBLE) / n / 1e6) AS ce
+      FROM su GROUP BY cent_id, n
+    ),
+    s2 AS (
+      SELECT v.vec_id, c.cent_id,
+             {_KM_DOT} / (sqrt({_KM_EN}) * sqrt({_KM_CN})) AS sim
+      FROM (SELECT vec_id, embedding AS e FROM embeddings) v
+      CROSS JOIN cents1 c
+    ),
+    a2 AS (
+      SELECT vec_id, cent_id, sim FROM (
+        SELECT vec_id, cent_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS r
+        FROM s2) WHERE r = 1
+    )
+    SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(SUM(CAST(round(sim * 1000000000000) AS BIGINT)) / 1e12 / COUNT(*), 9)
+             AS avg_sim
+    FROM a2 GROUP BY cent_id
+    """,
+)
+def kmeans_lloyd_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Lloyd k-means over the embedding corpus — completes the
+    one-step kmeans_assign_counts into the real training loop (assign →
+    exact micro-int centroid update → re-assign) and replaces the
+    'deterministic sample stands in for the trained codebook' caveat on
+    the IVF index with trainable centroids (similarity.kmeans_lloyd).
+    The oracle replays the identical recurrence as unrolled SQL, so
+    assignment counts and picos-summed mean similarity match bit-for-
+    bit after a full iteration. Per round the corpus shuffles exactly
+    once (argmax combine), the update shuffles tasks×k sum-vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _cents = similarity.kmeans_lloyd(emb, "vec_id", "embedding", k=8, assign_passes=2)
+    return assigned.groupBy("cent_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            F.sum(F.round(F.col("sim") * 1e12).cast("long")) / F.lit(1e12) / F.count("*"), 9
+        ).alias("avg_sim"),
+    )

@@ -683,3 +683,39 @@ def test_cdc_chunks_offset_independent(spark):
     single = cdc_chunks(spark.createDataFrame([(3, "tiny doc under window")], ["doc_id", "text"]), min_len=1).collect()
     assert len(single) == 1
     assert single[0]["chunk_hash"] == hashlib.md5(b"tiny doc under window").hexdigest()
+
+
+def test_kmeans_lloyd_blobs(spark):
+    """Lloyd on two tight blobs: assignments separate the blobs and the
+    updated centroids are the exact micro-int blob means."""
+    a = [[1.0, 0.05 * i, 0.0, 0.0] for i in range(5)]
+    b = [[0.0, 0.0, 1.0, 0.03 * i] for i in range(5)]
+    rows = [(0, a[0]), (1, b[0])] + [(2 + i, a[i]) for i in range(1, 5)] + [
+        (10 + i, b[i]) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    assigned, cents = similarity.kmeans_lloyd(df, k=2, assign_passes=2)
+    got = {r["vec_id"]: r["cent_id"] for r in assigned.collect()}
+    assert all(got[i] == 0 for i in [0, 3, 4, 5, 6])
+    assert all(got[i] == 1 for i in [1, 11, 12, 13, 14])
+
+    import numpy as np
+    cent = {r["cent_id"]: r["ce"] for r in cents.collect()}
+    for cid, blob in [(0, a), (1, b)]:
+        m32 = np.array(blob, dtype=np.float32).astype(float)
+        want = np.round(m32 * 1e6).sum(axis=0) / len(blob) / 1e6
+        assert np.allclose(cent[cid], want, atol=0, rtol=0)
+
+
+def test_ivf_trained_codebook(spark, vectors):
+    """IVF with in-plan Lloyd training still recalls the planted exact
+    duplicate and emits well-formed ranks."""
+    out = similarity.ivf_topk(
+        vectors, vectors.filter(F.col("vec_id") == 5), k=3,
+        n_centroids=4, nprobe=2, train_passes=2,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows and rows[0]["cid"] == 100 and abs(rows[0]["cosine"] - 1.0) < 1e-9
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
