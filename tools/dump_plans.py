@@ -119,6 +119,32 @@ SELECTED = {
         "an anti join against the broadcast customer key set. Constraint count does not "
         "change the number of fact-table reads."
     ),
+    "small_qty_revenue_q17ish": (
+        "TPC-H Q17 (correlated scalar subquery), hand-decorrelated: brand filter prunes part "
+        "to a broadcast key set; lineitem is semi-reduced at its scan by that broadcast; the "
+        "per-part aggregate (≤ filtered parts rows) broadcasts BACK onto the detail rows — "
+        "the fact table is never shuffled. Threshold compares in integers, immune to float "
+        "ordering."
+    ),
+    "scd2_user_state": (
+        "SCD2 interval build: both window passes (lag change-collapse, lead close-out) share "
+        "one (user_id) partitioning — a single exchange + sort serves the whole dimension-"
+        "history rewrite."
+    ),
+    "cdc_substring_dups": (
+        "Exact-substring dedup: content-defined chunking is per-row JVM array math inside the "
+        "scan stage (sequence→filter→transform, one md5 per window position); the only wide "
+        "ops are groupBys keyed on chunk md5 — uniform by construction, skew-free."
+    ),
+    "kmeans_lloyd_counts": (
+        "Full Lloyd iteration: each assignment is a broadcast fan-out + map-side-combinable "
+        "max(struct) argmax (corpus shuffles 1 row/vector, not k); the centroid update's "
+        "exchange carries tasks×k int64 sum-vectors regardless of corpus size."
+    ),
+    "key_skew_profile": (
+        "Skew diagnostics: one map-side-combinable key histogram; the profile aggregates one "
+        "row per key; top-10 is TakeOrdered. Costs a fraction of the join it protects."
+    ),
 }
 
 
