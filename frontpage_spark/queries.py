@@ -2584,6 +2584,13 @@ def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .persist()
     )
+    return _component_fixpoint(pairs)
+
+
+def _component_fixpoint(pairs: DataFrame) -> DataFrame:
+    """Connected components over an (a, b) pair list (a < b) by
+    iterative min-label propagation — returns (id, comp). Each round is
+    one join + one keyed min-agg; see dup_clusters for plan notes."""
     # undirected edge list + self-loops seed each node with its own label
     edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
@@ -4886,4 +4893,108 @@ def kmeans_lloyd_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.round(F.col("sim") * 1e12).cast("long")) / F.lit(1e12) / F.count("*"), 9
         ).alias("avg_sim"),
+    )
+
+
+# ---- SemDeDup: semantic dedup within embedding clusters --------------------
+_SEM_DOT = (
+    "list_sum([CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) "
+    "for i in generate_series(1, len(ea))])"
+)
+_SEM_NA = "list_sum([CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE) for i in generate_series(1, len(ea))])"
+_SEM_NB = "list_sum([CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) for i in generate_series(1, len(eb))])"
+
+
+@register(
+    "semantic_dedup_report",
+    f"""
+    WITH RECURSIVE cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+      ORDER BY vec_id LIMIT 8
+    ),
+    s1 AS (
+      SELECT v.vec_id, v.e, c.cent_id,
+             {_KM_DOT} / (sqrt({_KM_EN}) * sqrt({_KM_CN})) AS sim
+      FROM (SELECT vec_id, embedding AS e FROM embeddings) v
+      CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, e, cent_id FROM (
+        SELECT vec_id, e, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS r
+        FROM s1) WHERE r = 1
+    ),
+    pairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM (SELECT cent_id, vec_id, e AS ea FROM assigned) x
+      JOIN (SELECT cent_id, vec_id, e AS eb FROM assigned) y USING (cent_id)
+      WHERE x.vec_id < y.vec_id
+        AND {_SEM_DOT} / (sqrt({_SEM_NA}) * sqrt({_SEM_NB})) > 0.5
+    ),
+    nodes AS (SELECT DISTINCT x AS id FROM (SELECT a AS x FROM pairs UNION SELECT b FROM pairs)),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    walk(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.a, least(w.comp, e.b) FROM walk w JOIN edges e ON w.id = e.b
+    ),
+    labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+           CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) - COUNT(DISTINCT comp) AS BIGINT) AS n_dropped
+    FROM labels
+    """,
+)
+def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning —
+    cluster the embedding space (k-means cells bound the candidate set,
+    exactly as in the paper), compare pairs ONLY within a cell, link
+    pairs above the cosine threshold, keep one representative per
+    connected group (min id), drop the rest. The report is the corpus
+    audit: vectors, over-threshold pairs, groups, and how many vectors
+    semantic dedup would remove.
+
+    Scale shape: assignment is the broadcast argmax (1 row/vector
+    shuffle); the pair stage joins each cell against itself — cell
+    population is controlled by k (k grows with corpus so cells stay
+    bounded, the paper's own knob) and the join shuffles on cent_id;
+    components run on the pair graph, which is tiny relative to the
+    corpus by construction. Threshold compares identical deterministic
+    dot-product folds, so no float flip across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    assigned = similarity.assign_cosine(emb, cents)
+    pa = assigned.select(
+        "cent_id", F.col("vec_id").alias("a"), F.col("e").alias("ea"),
+        similarity._norm2("e").alias("na"),
+    )
+    pb = assigned.select(
+        "cent_id", F.col("vec_id").alias("b"), F.col("e").alias("eb"),
+        similarity._norm2("e").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        pa.join(pb, "cent_id")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", dot / (F.sqrt("na") * F.sqrt("nb")))
+        .filter(F.col("cos") > 0.5)
+        .select("a", "b")
+        .persist()
+    )
+    labels = _component_fixpoint(pairs)
+    stats = labels.agg(
+        F.countDistinct("comp").alias("n_groups"),
+        (F.count("*") - F.countDistinct("comp")).alias("n_dropped"),
+    )
+    totals = emb.agg(F.count("*").alias("n_vectors")).crossJoin(
+        F.broadcast(pairs.agg(F.count("*").alias("n_pairs")))
+    )
+    return totals.crossJoin(F.broadcast(stats)).select(
+        "n_vectors", "n_pairs", "n_groups", "n_dropped"
     )

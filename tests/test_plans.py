@@ -193,3 +193,22 @@ def test_bigram_xentropy_closed_form(spark):
     assert got[1] == (-1_000_000, 1)
     assert got[2] == (-1_000_000, 1)
     assert 3 not in got  # too short to emit a bigram
+
+
+def test_no_cartesian_product_in_any_query(spark):
+    """Plan-invariant sweep over EVERY registered query: no
+    CartesianProduct may appear in an executed plan. Intentional cross
+    joins (cities_x_categories, scalar fan-outs, profile joins) must be
+    broadcast nested loops (bounded small side), never a partitioned
+    cartesian — the operator that dies first at 100 TB. Plans are built,
+    not executed, so the sweep is cheap."""
+    from frontpage_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], f"cartesian products in: {offenders}"
