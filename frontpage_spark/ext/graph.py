@@ -37,6 +37,7 @@ def pagerank_fixedpoint(
     damping_num: int = 85,
     damping_den: int = 100,
     checkpoint_every: int = 4,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)`` in exact
     integer arithmetic. Returns ``(node, r)`` with Σr ≤ PR_SCALE.
@@ -44,15 +45,28 @@ def pagerank_fixedpoint(
     Every node present as src or dst participates; nodes with no
     out-edges contribute nothing (their mass leaks — standard
     simplified treatment; feed a bidirected edge list if the graph
-    should be leak-free)."""
-    edges = edges.select("src", "dst")
+    should be leak-free).
+
+    ``broadcast_state=True`` hints the node-sized sides (ranks,
+    out-degrees, contributions) into broadcast joins so each iteration
+    costs ONE shuffle (the dst aggregation) and the edge list never
+    moves — required when AQE is off, since rank tables sit behind
+    shuffles where static planning can't see their (small) size. Set
+    False for billion-node graphs where ranks exceed broadcast limits;
+    the joins then shuffle on src/node and AQE handles skew."""
+    # The edge list, node set, and out-degrees are loop INVARIANTS —
+    # without a persist every iteration's join replays their whole
+    # upstream plan (scan + distinct per round). Caching invariants is
+    # the standard Pregel contract; callers drop them with clearCache.
+    edges = edges.select("src", "dst").persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     n_df = nodes.agg(F.count(F.lit(1)).alias("__N"))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
 
     # r0 = SCALE div N; jump = (100-damping)·SCALE div (den·N)
     r = (
@@ -63,10 +77,11 @@ def pagerank_fixedpoint(
         f"CAST({(damping_den - damping_num) * PR_SCALE} AS BIGINT) div "
         f"(CAST({damping_den} AS BIGINT) * __N)"
     )
+    maybe_b = F.broadcast if broadcast_state else (lambda df: df)
     for i in range(iterations):
         contrib = (
-            edges.join(r.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            edges.join(maybe_b(r.withColumnRenamed("node", "src")), "src")
+            .join(maybe_b(outdeg), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr(
@@ -78,7 +93,7 @@ def pagerank_fixedpoint(
             .agg(F.sum("c").alias("c"))
         )
         r = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(maybe_b(contrib), "node", "left")
             .crossJoin(F.broadcast(n_df))
             .select(
                 "node",
