@@ -2587,10 +2587,18 @@ def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _component_fixpoint(pairs)
 
 
-def _component_fixpoint(pairs: DataFrame) -> DataFrame:
+def _component_fixpoint(pairs: DataFrame, broadcast_state: bool = True) -> DataFrame:
     """Connected components over an (a, b) pair list (a < b) by
     iterative min-label propagation — returns (id, comp). Each round is
-    one join + one keyed min-agg; see dup_clusters for plan notes."""
+    one join + one keyed min-agg; see dup_clusters for plan notes.
+
+    ``broadcast_state=True`` hints the label table (one row per node IN
+    the pair graph — near-dup nodes only, tiny relative to the corpus)
+    into broadcast joins, making each round shuffle-free up to the
+    min-agg. For pair graphs whose node set itself exceeds broadcast
+    limits (billions of dups), pass False: rounds then shuffle on the
+    label key and AQE splits any hot component."""
+    maybe_b = F.broadcast if broadcast_state else (lambda df: df)
     # undirected edge list + self-loops seed each node with its own label
     edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
@@ -2608,12 +2616,15 @@ def _component_fixpoint(pairs: DataFrame) -> DataFrame:
         # propagate the min label across edges, keep the smaller of
         # (current, best neighbor)
         prop = (
-            edges.join(labels.withColumnRenamed("id", "b").withColumnRenamed("comp", "nbr"), "b")
+            edges.join(
+                maybe_b(labels.withColumnRenamed("id", "b").withColumnRenamed("comp", "nbr")),
+                "b",
+            )
             .groupBy("a")
             .agg(F.min("nbr").alias("best_nbr"))
         )
         nxt = (
-            labels.join(prop.withColumnRenamed("a", "id"), "id", "left")
+            labels.join(maybe_b(prop.withColumnRenamed("a", "id")), "id", "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("best_nbr"), F.col("comp"))).alias("comp"),
