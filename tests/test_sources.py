@@ -191,3 +191,42 @@ def test_xml_roundtrip(spark, tmp_path):
     ndf = spark.read.format("xml").option("rowTag", "row").load(nested)
     got = {r["id"]: (r["meta"]["lang"], r["meta"]["score"]) for r in ndf.collect()}
     assert got == {1: ("en", 3), 2: ("de", 5)}
+
+
+def test_csv_permissive_corrupt_records(spark, tmp_path):
+    """Ingestion robustness: PERMISSIVE mode parks malformed CSV rows in
+    a _corrupt_record column instead of failing the scan — the file-side
+    analogue of the pipeline's dead-letter quarantine; DROPMALFORMED
+    drops them; FAILFAST surfaces the error."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("qty", IntegerType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(str(p))
+        .cache()  # corrupt-record column requires the raw row to survive pruning
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    assert [r["_corrupt_record"] for r in bad.collect()] == ["2,notanumber"]
+
+    dropped = (
+        spark.read.option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .schema(StructType(schema.fields[:2]))
+        .csv(str(p))
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
