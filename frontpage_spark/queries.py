@@ -1248,13 +1248,68 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) per group; rounded to 6
-    decimals to absorb cross-engine interpolation ULPs."""
+    """Exact percentiles (linear interpolation) per group via the
+    builtin F.percentile — an ObjectAggregate that buffers each group's
+    values in executor memory: the fastest exact form while groups are
+    BOUNDED (a handful of status codes here). For unbounded group sizes
+    the scale-safe twin is ``percentiles_by_status_windowed`` (ordered-
+    position selection: spillable sort instead of in-memory buffers);
+    for unbounded group COUNTS use the sketch path
+    (approx_percentiles_price). Rounded to 6 to absorb cross-engine
+    interpolation ULPs."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@register(
+    "percentiles_by_status_windowed",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p50,
+           round(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def percentiles_by_status_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles computed by ORDERED-POSITION SELECTION: one
+    window sort ranks each group, the two rows flanking pos = p·(n-1)
+    contribute (1-frac)/frac weights, and a map-side-combinable SUM
+    collapses everything else to zero. This is the form that survives
+    100 TB groups — the builtin F.percentile buffers EVERY group value
+    in executor memory, while this pays a sort (spillable, mergeable)
+    and an ordinary aggregation. Same interpolation formula, same
+    oracle; the float sum is exact because all non-flanking
+    contributions are literal 0.0 (adding 0.0 introduces no rounding)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    ranked = orders.select(
+        "o_orderstatus",
+        F.col("o_totalprice").alias("v"),
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+
+    def pick(p: float) -> Column:
+        pos = F.lit(p) * (F.col("n") - 1)
+        lo = F.floor(pos)
+        frac = pos - lo
+        return F.sum(
+            F.when((F.col("rn") == lo) & (frac == 0), F.col("v"))
+            .when(F.col("rn") == lo, F.col("v") * (F.lit(1.0) - frac))
+            .when(F.col("rn") == lo + 1, F.col("v") * frac)
+            .otherwise(F.lit(0.0))
+        )
+
+    return ranked.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n"),
+        F.round(pick(0.5), 6).alias("p50"),
+        F.round(pick(0.95), 6).alias("p95"),
     )
 
 

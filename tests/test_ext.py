@@ -719,3 +719,24 @@ def test_ivf_trained_codebook(spark, vectors):
     rows = sorted(out.collect(), key=lambda r: r["rank"])
     assert rows and rows[0]["cid"] == 100 and abs(rows[0]["cosine"] - 1.0) < 1e-9
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_hll_sketch_union_set_arithmetic(spark):
+    """Spark 4 DataSketches surface: hll_sketch_agg builds mergeable
+    sketches per cohort, hll_union combines them WITHOUT rescanning,
+    and inclusion-exclusion estimates the overlap — the scale pattern
+    for set-overlap questions across partitioned corpora (sketches
+    merge associatively; raw keys never move)."""
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(1000, 3500).select(F.col("id").alias("k"))  # overlap = 1000
+    sa = a.agg(F.expr("hll_sketch_agg(k)").alias("s"))
+    sb = b.agg(F.expr("hll_sketch_agg(k)").alias("s"))
+    both = sa.crossJoin(sb.withColumnRenamed("s", "t")).select(
+        F.expr("hll_sketch_estimate(s)").alias("na"),
+        F.expr("hll_sketch_estimate(t)").alias("nb"),
+        F.expr("hll_sketch_estimate(hll_union(s, t))").alias("nu"),
+    ).first()
+    est_overlap = both["na"] + both["nb"] - both["nu"]
+    assert abs(both["na"] - 2000) / 2000 < 0.05
+    assert abs(both["nb"] - 2500) / 2500 < 0.05
+    assert abs(est_overlap - 1000) / 1000 < 0.15  # union error compounds
