@@ -5064,3 +5064,104 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.crossJoin(F.broadcast(stats)).select(
         "n_vectors", "n_pairs", "n_groups", "n_dropped"
     )
+
+
+# ---- UNPIVOT / melt --------------------------------------------------------
+@register(
+    "unpivot_order_metrics",
+    """
+    WITH wide AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (n_orders, n_customers, revenue_cents))
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-status metrics reshaped to long
+    (status, metric, value) — the inverse of pivot_status_by_year and
+    the standard feed shape for metric stores. Spark's unpivot is a
+    zero-shuffle projection (each input row expands to k rows in
+    place); the only exchange is the upstream aggregate's. Values are
+    integer (counts + exact cents) so the melt is type-stable."""
+    wide = _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "n_customers", "revenue_cents"],
+        "metric",
+        "value",
+    )
+
+
+# ---- triangle counting -----------------------------------------------------
+@register(
+    "triangle_count_copurchase",
+    """
+    WITH pk AS (
+      SELECT p_partkey FROM part WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    ),
+    li AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem JOIN pk ON l_partkey = p_partkey
+    ),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.a = e1.b
+    JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING over a brand-sliced co-purchase graph (parts
+    sharing an order). The ordered-edge trick (a < b everywhere) counts
+    each triangle exactly once with two equi-joins and no orientation
+    dedup — the standard distributed formulation (MR 'node-iterator').
+    Scale honesty: the wedge join is Σ deg² — on a DENSE co-purchase
+    graph (popular-part hubs) that explodes, which is why the operator
+    runs on an interest slice (brand subgraph here; category/domain
+    subgraphs in practice) and why production triangle counts add
+    degree ordering (orient edges low→high degree, bounding work by
+    O(m^1.5)). Pair generation itself is bounded by order size²; the
+    triangle joins shuffle the distinct edge list on its endpoints."""
+    pk = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .persist()
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = pairs.agg(F.count("*").alias("n_edges"))
+    return edges.crossJoin(F.broadcast(tri)).select("n_edges", "n_triangles")
