@@ -5165,3 +5165,75 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.agg(F.count("*").alias("n_edges"))
     return edges.crossJoin(F.broadcast(tri)).select("n_edges", "n_triangles")
+
+
+# ---- fastText-shape hashed n-gram linear scorer ---------------------------
+@register(
+    "hashed_ngram_quality_score",
+    """
+    WITH feats AS (
+      SELECT doc_id, source,
+             list_concat(
+               toks,
+               list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                              i -> toks[i] || '_' || toks[i + 1])
+             ) AS grams
+      FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(len(grams) AS BIGINT) AS n_feat,
+             CAST(list_sum(list_transform(grams,
+               g -> (('0x' || substring(md5(g), 1, 7))::BIGINT % 4096) % 17 - 8
+             )) AS BIGINT) AS w_sum
+      FROM feats
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(w_sum) AS BIGINT) AS total_w,
+           CAST(SUM(n_feat) AS BIGINT) AS total_feat
+    FROM scored GROUP BY source
+    """,
+)
+def hashed_ngram_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-SHAPE quality classifier INFERENCE (the CCNet/quality-
+    filter pattern): featurize each document into hashed unigram+bigram
+    buckets (md5 7-hex → 28-bit int → mod table size, the hashing
+    trick), score with a linear model over bucket weights, threshold at
+    zero. The model here is a deterministic function of the bucket (a
+    stand-in for trained weights — production swaps in a broadcast
+    int-weight array without touching the plan shape). Everything is
+    per-row JVM array math inside the scan stage; the one exchange is
+    the per-source rollup. Integer weights make the score an exact sum
+    — no float ordering anywhere."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    # sequence(1, 0) DESCENDS in Spark ([1,0]) rather than being empty,
+    # so single-token docs need an explicit guard
+    grams = F.expr(
+        "concat(__toks, IF(size(__toks) >= 2,"
+        " transform(sequence(1, size(__toks) - 1),"
+        " i -> concat(element_at(__toks, i), '_', element_at(__toks, i + 1))),"
+        " CAST(array() AS array<string>)))"
+    )
+    wexpr = F.expr(
+        "aggregate(transform(__grams,"
+        " g -> (CAST(conv(substring(md5(g), 1, 7), 16, 10) AS BIGINT) % 4096) % 17 - 8),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = (
+        docs.select("doc_id", "source", toks.alias("__toks"))
+        .select("doc_id", "source", grams.alias("__grams"))
+        .select(
+            "doc_id", "source",
+            F.size("__grams").cast("long").alias("n_feat"),
+            wexpr.alias("w_sum"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("w_sum") > 0, 1).otherwise(0)).alias("n_pass"),
+        F.sum("w_sum").alias("total_w"),
+        F.sum("n_feat").alias("total_feat"),
+    )
