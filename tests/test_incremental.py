@@ -396,3 +396,57 @@ def test_stateful_seen_filter_transform_with_state(spark, tmp_path):
         assert sorted(seen) == [("c", 30)]
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_partitioned_parquet_file_sink(spark, tmp_path):
+    """Native file sink: readStream → writeStream.format('parquet')
+    .partitionBy(...) with a checkpoint. The sink's transaction log
+    (_spark_metadata) plus source offsets give exactly-once files; a
+    restart with the same checkpoint re-reads and re-writes NOTHING,
+    and new source files land in the right partition directories."""
+    import os
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    base = spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "click")], ["event_id", "event_type"]
+    )
+    base.write.parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(base.schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .partitionBy("event_type")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert sorted(os.listdir(out + "/event_type=click")) != []  # hive layout
+
+    # restart: no duplication
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+
+    # new data: appended once, partition-pruned reads work
+    spark.createDataFrame([(4, "purchase")], ["event_id", "event_type"]).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    after = spark.read.parquet(out)
+    assert after.count() == 4
+    plan = (
+        after.filter(F.col("event_type") == "purchase")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert after.filter(F.col("event_type") == "purchase").count() == 1
