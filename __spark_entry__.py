@@ -4,8 +4,8 @@ entry(spark)  — flagship query (F6 phone-mining pipeline) on sf0.001.
 queries()     — one callable per implemented operator (SURVEY.md §2 +
                 training-data extensions), from frontpage_spark.queries.
 oracle_sql()  — matching DuckDB SQL for every SQL-expressible query;
-                rows-only operators (HTML UDFs, approximate ANN,
-                multimodal stub) intentionally have no oracle entry.
+                rows-only operators (HTML UDFs, approximate ANN/sketch
+                estimates) intentionally have no oracle entry.
 """
 
 from __future__ import annotations

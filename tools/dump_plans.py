@@ -145,6 +145,22 @@ SELECTED = {
         "Skew diagnostics: one map-side-combinable key histogram; the profile aggregates one "
         "row per key; top-10 is TakeOrdered. Costs a fraction of the join it protects."
     ),
+    "semantic_dedup_report": (
+        "SemDeDup: broadcast-argmax cluster assignment (1 row/vector shuffle), pair cosine "
+        "ONLY within a cell (join keyed on cent_id), min-label components on the tiny pair "
+        "graph with broadcast label state. The corpus never self-joins unclustered."
+    ),
+    "hashed_ngram_quality_score": (
+        "fastText-shape classifier inference: hashing-trick featurization and the integer "
+        "linear scorer are per-row JVM array expressions inside the scan stage; the only "
+        "exchange is the per-source rollup of exact integer sums."
+    ),
+    "triangle_count_copurchase": (
+        "Ordered-edge node-iterator triangles on a brand-sliced co-purchase graph: two "
+        "equi-joins on the distinct edge list count each triangle once; wedge cost is "
+        "Σ deg², which is why the operator runs on interest slices and notes the "
+        "degree-ordering bound for dense graphs."
+    ),
 }
 
 
