@@ -2448,7 +2448,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lsh = recall(similarity.lsh_topk(emb, q, k=k, planes=4), "lsh")
     ivf = recall(similarity.ivf_topk(emb, q, k=k, n_centroids=16, nprobe=4), "ivf")
-    return lsh.unionByName(ivf)
+    ivf_t = recall(
+        similarity.ivf_topk(emb, q, k=k, n_centroids=16, nprobe=4, train_passes=2),
+        "ivf_trained",
+    )
+    return lsh.unionByName(ivf).unionByName(ivf_t)
 
 
 # ---- PII scrub audit -------------------------------------------------------
