@@ -5241,3 +5241,54 @@ def hashed_ngram_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_sum").alias("total_w"),
         F.sum("n_feat").alias("total_feat"),
     )
+
+
+# ---- ANSI-safe ingestion: try_* family ------------------------------------
+@register(
+    "try_cast_safety_audit",
+    """
+    WITH x AS (
+      SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             TRY_CAST(substring(props, 1, 1) AS BIGINT) AS junk,
+             value
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_k,
+           CAST(SUM(CASE WHEN junk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_junk,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN CAST(floor(value) AS BIGINT) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_value
+    FROM x GROUP BY event_type
+    """,
+)
+def try_cast_safety_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-SAFE ingestion audit with the try_* family: Spark 4 runs
+    ANSI mode by default, where a single malformed cast KILLS the whole
+    job — try_cast turns per-row poison into NULLs you can count and
+    quarantine (the scan-side twin of the dead-letter channel). The
+    '{'-prefixed props string is a guaranteed-malformed cast, proving
+    the non-poisoning path; the JSON k extraction is the happy path.
+    All narrow expressions in the scan stage; one rollup exchange."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
+        F.substring("props", 1, 1).try_cast("bigint").alias("junk"),
+        "value",
+    )
+    return x.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_bad_k"),
+        F.sum(F.when(F.col("junk").isNull(), 1).otherwise(0)).alias("n_bad_junk"),
+        F.sum("k").alias("sum_k"),
+        # floor() BEFORE the integer cast: Spark's double->long cast
+        # truncates toward zero while DuckDB's rounds half-to-even, so a
+        # bare CAST silently disagrees between engines; floor pins the
+        # semantics on both sides
+        F.sum(
+            F.when(F.floor("value").cast("long") == 0, 1).otherwise(0)
+        ).alias("n_zero_value"),
+    )
