@@ -2624,14 +2624,9 @@ def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = d.select(F.col("doc_id").alias("a"), "blk", F.col("prefix").alias("pa"))
     b = d.select(F.col("doc_id").alias("b"), "blk", F.col("prefix").alias("pb"))
-    # The pair graph is tiny relative to the corpus (near-dups are rare);
-    # repartition(1) — an exchange AFTER the parallel levenshtein join,
-    # unlike coalesce which would collapse the join itself — makes each
-    # propagation round one task instead of shuffle-partitions × rounds
-    # of empty-task scheduling. At a scale where the pair graph itself is
-    # big, drop it — the loop is partition-count-agnostic. The join pays
-    # a free length-difference prefilter plus the BOUNDED levenshtein
-    # (early-exit banded DP).
+    # The join pays a free length-difference prefilter plus the BOUNDED
+    # levenshtein (early-exit banded DP). Partitioning of the resulting
+    # pair graph is size-gated inside _component_fixpoint.
     pairs = (
         a.join(b, "blk")
         .filter(
@@ -2640,67 +2635,112 @@ def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.levenshtein("pa", "pb", 12) >= 0)
         )
         .select("a", "b")
-        .repartition(1)
         .persist()
     )
     return _component_fixpoint(pairs)
 
 
-def _component_fixpoint(pairs: DataFrame, broadcast_state: bool = True) -> DataFrame:
-    """Connected components over an (a, b) pair list (a < b) by
-    iterative min-label propagation — returns (id, comp). Each round is
-    one join + one keyed min-agg; see dup_clusters for plan notes.
+# Pair graphs at or below this row count collapse to one partition for the
+# contraction loop (one task/round instead of shuffle-partitions empty
+# tasks); above it, natural partitioning is kept so no single-task
+# serialization point exists at scale.
+_SMALL_PAIR_GRAPH_ROWS = 100_000
 
-    ``broadcast_state=True`` hints the label table (one row per node IN
-    the pair graph — near-dup nodes only, tiny relative to the corpus)
-    into broadcast joins, making each round shuffle-free up to the
-    min-agg. For pair graphs whose node set itself exceeds broadcast
-    limits (billions of dups), pass False: rounds then shuffle on the
-    label key and AQE splits any hot component."""
-    maybe_b = F.broadcast if broadcast_state else (lambda df: df)
-    # undirected edge list + self-loops seed each node with its own label
-    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (
-        pairs.select(F.col("a").alias("id"))
-        .union(pairs.select("b"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-    )
-    # Convergence probe: labels only ever DECREASE (least of self and
-    # neighbors), so sum(comp) is strictly monotone until fixpoint — one
-    # cheap aggregate per round instead of a join-and-count.
-    prev_sum = None
+
+def _gated_pair_edges(pairs: DataFrame, small_rows: int = _SMALL_PAIR_GRAPH_ROWS) -> DataFrame:
+    """Orient an (a, b) a<b pair list as (u, v) with u > v, collapsing to
+    one partition ONLY when a bounded probe shows the graph is small.
+    The probe is a limit(N+1).count() — it never materializes more than
+    N+1 rows, so it is safe on a billion-pair graph."""
+    oriented = pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    probe = pairs.limit(small_rows + 1).count()
+    if probe <= small_rows:
+        return oriented.repartition(1)
+    return oriented
+
+
+def _component_fixpoint(pairs: DataFrame, small_rows: int = _SMALL_PAIR_GRAPH_ROWS) -> DataFrame:
+    """Connected components over an (a, b) pair list (a < b) — returns
+    (id, comp) with comp = the minimum id in the component, covering
+    exactly the nodes that appear in ``pairs``.
+
+    Algorithm: alternating large-star / small-star contraction (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond") —
+    converges in O(log^2 n) rounds regardless of component DIAMETER,
+    unlike plain min-label propagation whose round count follows the
+    longest path. Every round is keyed min-aggs + equi-joins on the
+    node id: map-side combinable, AQE-splittable, no broadcast of
+    anything proportional to the graph, no driver collect beyond a
+    2-scalar convergence probe. Edges keep the invariant u > v, which
+    both star operations preserve (each emitted edge points a node at
+    something strictly smaller).
+
+    Partitioning is size-gated (see _gated_pair_edges): the common case
+    — near-dups are rare, the pair graph is thousands of rows — runs
+    the loop in one partition; a huge pair graph keeps its natural
+    partitioning end to end."""
+    edges = _gated_pair_edges(pairs, small_rows).persist()
+    empty_labels = edges.select(F.col("u").alias("id"), F.col("v").alias("comp")).limit(0)
+    # Convergence probe: (edge count, order-insensitive checksum). The
+    # edge set is distinct-ified every round, so equality of the
+    # (count, xor-of-hash) pair between rounds == fixpoint. bit_xor
+    # (not sum) keeps the fold overflow-free under ANSI mode.
+    def _probe(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _probe(edges)
+    if prev[0] == 0:
+        edges.unpersist()
+        return empty_labels
     rounds = 0
     while True:
-        # propagate the min label across edges, keep the smaller of
-        # (current, best neighbor)
-        prop = (
-            edges.join(
-                maybe_b(labels.withColumnRenamed("id", "b").withColumnRenamed("comp", "nbr")),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("nbr").alias("best_nbr"))
+        # -- large-star: for each node u, hang every LARGER neighbor v
+        # off m = min(neighbors(u) + {u}). Emitted as (v, m), v > m.
+        und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.least(F.col("u"), F.col("mn")).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
+        # -- small-star: for each node u, hang u and all its (smaller)
+        # neighbors off m = min of those neighbors. Emitted (x, m), x > m.
+        smins = large.groupBy("u").agg(F.min("v").alias("mn"))
         nxt = (
-            labels.join(maybe_b(prop.withColumnRenamed("a", "id")), "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("best_nbr"), F.col("comp"))).alias("comp"),
-            )
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(smins.select(F.col("u"), F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
             .persist()
         )
-        cur_sum = nxt.agg(F.sum("comp")).collect()[0][0]
-        labels.unpersist()
-        labels = nxt
-        if cur_sum == prev_sum:
+        cur = _probe(nxt)
+        edges.unpersist()
+        edges = nxt
+        if cur == prev:
             break
-        prev_sum = cur_sum
+        prev = cur
         rounds += 1
-        if rounds % 5 == 0:
-            # iterative plans grow one join of lineage per round; truncate
-            # so round N's plan doesn't replay rounds 1..N-1 on a cache miss
-            labels = labels.localCheckpoint()
+        if rounds % 3 == 0:
+            # iterative plans grow joins of lineage per round; truncate so
+            # round N's plan doesn't replay rounds 1..N-1 on a cache miss
+            ck = edges.localCheckpoint()
+            edges.unpersist()
+            edges = ck
+    # Fixpoint is a forest of stars rooted at each component's min id:
+    # leaves are (u -> root); roots label themselves.
+    labels = (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+        .union(edges.select(F.col("v").alias("id"), F.col("v").alias("comp")))
+        .distinct()
+        .localCheckpoint()  # eager: lets us release the edge cache now
+    )
+    edges.unpersist()
     return labels
 
 

@@ -740,3 +740,63 @@ def test_hll_sketch_union_set_arithmetic(spark):
     assert abs(both["na"] - 2000) / 2000 < 0.05
     assert abs(both["nb"] - 2500) / 2500 < 0.05
     assert abs(est_overlap - 1000) / 1000 < 0.15  # union error compounds
+
+
+# ---- connected-components fixpoint (star contraction) ----------------------
+def _cc_expected(pairs):
+    """Driver-side union-find for tiny oracles."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_component_fixpoint_high_diameter_and_mixed(spark):
+    """Star contraction labels a 40-node path (worst case for plain
+    min-label propagation: diameter == n), plus disjoint components and
+    a cycle, with comp == min(component)."""
+    from frontpage_spark.queries import _component_fixpoint
+
+    path = [(i, i + 1) for i in range(100, 140)]           # one long path
+    blob = [(1, 2), (2, 3), (1, 3), (3, 4)]                # small dense blob
+    cycle = [(50, 51), (51, 52), (52, 53), (50, 53)]       # cycle
+    pairs = sorted(set((min(a, b), max(a, b)) for a, b in path + blob + cycle))
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r["id"]: r["comp"] for r in _component_fixpoint(df).collect()}
+    assert got == _cc_expected(pairs)
+
+
+def test_component_fixpoint_empty_and_single(spark):
+    from frontpage_spark.queries import _component_fixpoint
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert _component_fixpoint(empty).collect() == []
+    one = spark.createDataFrame([(7, 3)], "a long, b long")
+    got = {r["id"]: r["comp"] for r in _component_fixpoint(one).collect()}
+    assert got == {7: 3, 3: 3}
+
+
+def test_pair_graph_partitioning_is_size_gated(spark):
+    """VERDICT r2 item 1: a pair graph over the small-rows threshold must
+    NOT collapse to one partition (no single-task serialization point at
+    scale); under the threshold it should (one task per round)."""
+    from frontpage_spark.queries import _component_fixpoint, _gated_pair_edges
+
+    big = spark.range(0, 500).select(
+        (F.col("id") * 2).alias("a"), (F.col("id") * 2 + 1).alias("b")
+    ).repartition(4)
+    assert _gated_pair_edges(big, small_rows=100).rdd.getNumPartitions() > 1
+    assert _gated_pair_edges(big, small_rows=10_000).rdd.getNumPartitions() == 1
+    # and the fixpoint is still correct when the gate keeps >1 partition
+    got = {r["id"]: r["comp"] for r in _component_fixpoint(big, small_rows=100).collect()}
+    assert len(got) == 1000 and all(got[2 * i] == 2 * i and got[2 * i + 1] == 2 * i for i in range(500))
