@@ -101,25 +101,33 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (a < b) sharing any band bucket.
 
-    Single-pass plan: signatures are computed once (narrow), one shuffle
-    groups them into buckets, and the a<b pairs are generated *per
-    bucket row* with transform/slice — no self-join, so the expensive
-    shingle+minhash subplan is never re-evaluated. Buckets larger than
-    ``max_bucket`` are dropped so a boilerplate cluster cannot produce a
-    quadratic pair explosion. (collect_list does hold one bucket's ids
-    in memory before the cap filter; at extreme skew — one hash value
-    owning a significant fraction of the corpus — pre-filter those few
-    known-degenerate keys, e.g. the empty-text signature, before
-    grouping.)
+    Plan: signatures are computed once (narrow); a count aggregate per
+    (band, minhash) — map-side combinable, constant memory per key —
+    decides which buckets are usable (2..max_bucket members), and only
+    THOSE signatures flow into the collect_list that materializes a
+    bucket's id list. The guard is structural, not advisory: a
+    degenerate signature (empty text, boilerplate) owning half the
+    corpus is dropped by the count stage and never reaches an
+    aggregation buffer. Both the count and the collect shuffle on the
+    same (band, minhash) key, so the signature subplan's exchange is
+    reused rather than recomputed. Pairs (a < b) are generated *per
+    bucket row* with transform/slice — no self-join — so bucket caps
+    bound the quadratic pair work.
     """
     if shingles_df is not None:
         sigs = signatures_from_shingles(shingles_df, id_col, "shingles", bands)
     else:
         sigs = minhash_signatures(df, id_col, text_col, bands)
-    buckets = (
+    usable_keys = (
         sigs.groupBy("band", "minhash")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band", "minhash")
+    )
+    buckets = (
+        sigs.join(usable_keys, ["band", "minhash"], "left_semi")
+        .groupBy("band", "minhash")
         .agg(F.collect_list(id_col).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     ids = F.array_sort(F.col("ids"))
     pairs = F.flatten(

@@ -800,3 +800,25 @@ def test_pair_graph_partitioning_is_size_gated(spark):
     # and the fixpoint is still correct when the gate keeps >1 partition
     got = {r["id"]: r["comp"] for r in _component_fixpoint(big, small_rows=100).collect()}
     assert len(got) == 1000 and all(got[2 * i] == 2 * i and got[2 * i + 1] == 2 * i for i in range(500))
+
+
+def test_lsh_degenerate_bucket_guard(spark):
+    """VERDICT r2 item 2: a planted mega-cluster (one signature owning
+    most of the corpus) must be dropped BEFORE any id list is
+    materialized — the plan gates the collect_list behind a count-based
+    semi join — and its members produce no candidate pairs."""
+    from frontpage_spark.ext import dedup
+
+    mega = [(i, "the same boilerplate text repeated everywhere") for i in range(300)]
+    pair = [(1000, "a genuinely unique document about spark engines"),
+            (1001, "a genuinely unique document about spark engines")]
+    df = spark.createDataFrame(mega + pair, "doc_id long, text string")
+    out = dedup.lsh_candidate_pairs(df, max_bucket=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    collect_pos = plan.find("collect_list")
+    semi_pos = plan.find("LeftSemi")
+    assert semi_pos != -1 and collect_pos != -1 and semi_pos > collect_pos, (
+        "semi-join guard must sit BELOW (after in printed plan) the collect_list"
+    )
+    rows = out.collect()
+    assert {(r["a"], r["b"]) for r in rows} == {(1000, 1001)}
