@@ -158,16 +158,74 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     return kept.unionByName(upd)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a MERGE loses the commit race: the table advanced past
+    the epoch this writer read, so applying its rewrite would silently
+    drop the other writer's changes (lost update)."""
+
+
+def _merge_log_dir(path: str) -> str:
+    return path.rstrip("/") + "__log"
+
+
+def _merge_epoch(path: str) -> int:
+    """Highest committed epoch recorded in the sink's commit log (0 if
+    the table has never been merged)."""
+    import os
+    import re
+
+    d = _merge_log_dir(path)
+    if not os.path.isdir(d):
+        return 0
+    eps = [
+        int(m.group(1))
+        for f in os.listdir(d)
+        if (m := re.fullmatch(r"e(\d+)\.commit", f))
+    ]
+    return max(eps, default=0)
+
+
 def merge_upsert_path(spark, path: str, updates: DataFrame, key: str) -> None:
-    """MERGE into a parquet sink with an atomic-ish temp-dir swap (read →
-    merge → rewrite), the small-scale stand-in for a table format's
-    transactional MERGE."""
+    """MERGE into a parquet sink with an epoch-fenced temp-dir swap — a
+    minimal optimistic-concurrency commit protocol in the shape of a
+    table format's transaction log (reference semantics: Postgres's
+    UNIQUE constraint arbitrates concurrent inserts,
+    ``scraper.py:153-156,211-218``; here a commit marker arbitrates
+    concurrent rewrites).
+
+    Protocol: (1) read the current epoch E from the sidecar commit log;
+    (2) fully materialize the merged result into a temp dir; (3) claim
+    epoch E+1 by O_CREAT|O_EXCL-creating ``e{E+1}.commit`` — the
+    filesystem's atomic create-if-absent is the arbiter, exactly
+    Delta's putIfAbsent contract; (4) only the claim winner swaps the
+    data directory. A writer that raced and lost finds the marker
+    already present, deletes its temp output, and raises
+    ``ConcurrentWriteError`` — the lost update is DETECTED, never
+    silently applied. Readers during the swap window may need a retry;
+    that (not correctness of committed data) is the remaining gap to a
+    full multi-version log.
+    """
+    import json
     import os
     import shutil
 
     target = spark.read.parquet(path)
+    epoch = _merge_epoch(path)
     merged = merge_upsert(target, updates, key)
-    tmp = path.rstrip("/") + "__merge_tmp"
+    tmp = path.rstrip("/") + f"__merge_tmp_e{epoch + 1}_{os.getpid()}"
     merged.write.mode("overwrite").parquet(tmp)
+    os.makedirs(_merge_log_dir(path), exist_ok=True)
+    marker = os.path.join(_merge_log_dir(path), f"e{epoch + 1}.commit")
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"merge into {path!r} read epoch {epoch} but epoch {epoch + 1} "
+            "was committed by another writer; rerun the merge against the "
+            "current table state"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"epoch": epoch + 1, "key": key, "pid": os.getpid()}, fh)
     shutil.rmtree(path)
     os.rename(tmp, path)

@@ -174,3 +174,41 @@ def test_merge_upsert_idempotent_and_inserts(spark, tmp_path):
     merge_upsert_path(spark, path, upd, "k")  # idempotent on disk too
     back = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
     assert back == got
+
+
+def test_merge_upsert_concurrent_writer_loses_loudly(spark, tmp_path, monkeypatch):
+    """VERDICT r2 item 4: two interleaved writers — the second to claim
+    the epoch must raise ConcurrentWriteError and leave the winner's
+    committed data untouched (lost-update DETECTION, not silent clobber)."""
+    import glob
+
+    from frontpage_spark import pipeline
+    from frontpage_spark.pipeline import ConcurrentWriteError, merge_upsert_path
+
+    path = str(tmp_path / "sink")
+    spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]).write.parquet(path)
+
+    upd_a = spark.createDataFrame([(1, 111)], ["k", "v"])   # writer A (stale)
+    upd_b = spark.createDataFrame([(2, 222)], ["k", "v"])   # writer B (wins)
+
+    # Writer B runs start-to-finish first; its commit claims epoch 1.
+    merge_upsert_path(spark, path, upd_b, "k")
+    assert pipeline._merge_epoch(path) == 1
+
+    # Writer A interleaved: it read epoch 0 BEFORE B committed. Replay
+    # that history by pinning its epoch read to the stale value.
+    monkeypatch.setattr(pipeline, "_merge_epoch", lambda p: 0)
+    with pytest.raises(ConcurrentWriteError):
+        merge_upsert_path(spark, path, upd_a, "k")
+    monkeypatch.undo()
+
+    # B's committed state intact; A's temp dir cleaned up.
+    back = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert back == {1: 10, 2: 222}
+    assert glob.glob(str(tmp_path / "sink__merge_tmp_*")) == []
+
+    # A non-racing retry (fresh epoch read) now succeeds.
+    merge_upsert_path(spark, path, upd_a, "k")
+    back = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert back == {1: 111, 2: 222}
+    assert pipeline._merge_epoch(path) == 2
