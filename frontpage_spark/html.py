@@ -48,15 +48,33 @@ def _balanced_inner(html: str, open_end: int, tag: str) -> str:
     return html[open_end:]
 
 
-def _div_by_class(html: str, cls: str) -> str | None:
-    m = re.search(
-        rf'<div[^>]*class="[^"]*\b{re.escape(cls)}\b[^"]*"[^>]*>', html, re.S | re.I
+def _class_re(cls: str) -> str:
+    """Regex fragment matching a class attribute that CONTAINS ``cls``
+    under all three HTML attribute syntaxes bs4 accepts (reference
+    parses with BeautifulSoup, etl_process.py:31): double-quoted,
+    single-quoted, and unquoted (where the value is one token)."""
+    c = re.escape(cls)
+    return (
+        rf'class\s*=\s*(?:"[^"]*\b{c}\b[^"]*"'
+        rf"|'[^']*\b{c}\b[^']*'"
+        rf"|{c}(?=[\s/>]))"
     )
+
+
+def _id_re(elem_id: str) -> str:
+    """Regex fragment matching an id attribute EQUAL to ``elem_id`` in
+    double-quoted, single-quoted, or unquoted form."""
+    i = re.escape(elem_id)
+    return rf"id\s*=\s*(?:\"{i}\"|'{i}'|{i}(?=[\s/>]))"
+
+
+def _div_by_class(html: str, cls: str) -> str | None:
+    m = re.search(rf"<div[^>]*{_class_re(cls)}[^>]*>", html, re.S | re.I)
     return _balanced_inner(html, m.end(), "div") if m else None
 
 
 def _elem_by_id(html: str, elem_id: str) -> str | None:
-    m = re.search(rf'<([a-z0-9]+)[^>]*id="{re.escape(elem_id)}"[^>]*>', html, re.S | re.I)
+    m = re.search(rf"<([a-z0-9]+)[^>]*{_id_re(elem_id)}[^>]*>", html, re.S | re.I)
     return _balanced_inner(html, m.end(), m.group(1)) if m else None
 
 
@@ -85,7 +103,7 @@ def _extract(html: str | None, field: str) -> str | None:
             return _clean_text(_div_by_class(html, "postingBody"))
         if field == "poster_age":  # F10: p.metaInfoDisplay minus label
             m = re.search(
-                r'<p[^>]*class="[^"]*metaInfoDisplay[^"]*"[^>]*>', html, re.S | re.I
+                rf"<p[^>]*{_class_re('metaInfoDisplay')}[^>]*>", html, re.S | re.I
             )
             t = _clean_text(_balanced_inner(html, m.end(), "p") if m else None)
             return t.replace("Poster's age:", "").strip() if t is not None else None
@@ -97,15 +115,19 @@ def _extract(html: str | None, field: str) -> str | None:
             return t.replace("Location:", "").strip() if t is not None else None
         if field == "other_ads":  # F5: hrefs of div.cat under #OtherAdsByThisUser
             m = re.search(
-                r'id="OtherAdsByThisUser"[^>]*>(.*)', html, re.S | re.I
+                rf"{_id_re('OtherAdsByThisUser')}[^>]*>(.*)", html, re.S | re.I
             )
             if not m:
                 return None
-            hrefs = re.findall(
-                r'<div[^>]*class="[^"]*\bcat\b[^"]*"[^>]*>.*?<a[^>]+href="([^"]+)"',
-                m.group(1),
-                re.S | re.I,
-            )
+            hrefs = [
+                next(g for g in hm.groups() if g is not None)
+                for hm in re.finditer(
+                    rf"<div[^>]*{_class_re('cat')}[^>]*>.*?"
+                    r"<a[^>]+href\s*=\s*(?:\"([^\"]+)\"|'([^']+)'|([^\s>'\"][^\s>]*))",
+                    m.group(1),
+                    re.S | re.I,
+                )
+            ]
             return ";".join(hrefs) if hrefs else None
     except Exception:
         return None

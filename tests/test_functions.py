@@ -105,3 +105,46 @@ def test_html_unclosed_div_lenient():
     assert _extract('<div class="postingBody">no close tag here', "post_body") == (
         "no close tag here"
     )
+
+
+def test_html_attr_quote_styles():
+    """VERDICT r2 item 5: bs4 (the reference's parser, etl_process.py:31)
+    accepts double-quoted, single-quoted, and unquoted attribute values;
+    the selector regexes must too."""
+    from frontpage_spark.html import _extract
+
+    for body_div in (
+        '<div class="postingBody">hello world</div>',
+        "<div class='postingBody'>hello world</div>",
+        "<div class=postingBody>hello world</div>",
+        "<div class = 'extra postingBody more'>hello world</div>",
+    ):
+        assert _extract(f"<html>{body_div}</html>", "post_body") == "hello world", body_div
+    # class token must still match exactly (no substring hits)
+    assert _extract('<div class="postingBodyX">x</div>', "post_body") is None
+    assert _extract("<div class=postingBodyX>x</div>", "post_body") is None
+
+    for title in (
+        '<div id="postingTitle">Big Sale Report Ad</div>',
+        "<div id='postingTitle'>Big Sale Report Ad</div>",
+        "<div id=postingTitle>Big Sale Report Ad</div>",
+    ):
+        assert _extract(f"<html>{title}</html>", "post_title") == "Big Sale", title
+    assert _extract("<div id=postingTitleX>x</div>", "post_title") is None
+
+    for age in (
+        '<p class="metaInfoDisplay">Poster\'s age: 25</p>',
+        "<p class='metaInfoDisplay'>Poster's age: 25</p>",
+        "<p class=metaInfoDisplay>Poster's age: 25</p>",
+    ):
+        assert _extract(f"<html>{age}</html>", "poster_age") == "25", age
+
+    for section in (
+        '<div id="OtherAdsByThisUser"><div class="cat"><a href="/ad/1">x</a></div>'
+        '<div class=cat><a href=/ad/2>y</a></div>'
+        "<div class='cat'><a href='/ad/3'>z</a></div></div>",
+        "<div id=OtherAdsByThisUser><div class=cat><a href=/ad/1>x</a></div>"
+        '<div class="cat"><a href="/ad/2">y</a></div>'
+        "<div class='cat'><a href='/ad/3'>z</a></div></div>",
+    ):
+        assert _extract(f"<html>{section}</html>", "other_ads") == "/ad/1;/ad/2;/ad/3", section
