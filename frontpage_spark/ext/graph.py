@@ -102,4 +102,10 @@ def pagerank_fixedpoint(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             r = r.localCheckpoint()
-    return r
+    # eager checkpoint materializes the final ranks so the loop
+    # invariants can be RELEASED here instead of leaking cached blocks
+    # into long multi-query sessions (ADVICE r2)
+    out = r.localCheckpoint()
+    for inv in (edges, nodes, outdeg):
+        inv.unpersist()
+    return out

@@ -211,6 +211,14 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
+    if train_passes == 1:
+        # a single "pass" cannot both assign and update — a silent
+        # fallback to sampled centroids here would hand the caller an
+        # untrained codebook while looking trained (ADVICE r2)
+        raise ValueError(
+            "train_passes=1 is ambiguous: use 0 for sampled centroids or >=2 "
+            "for a Lloyd-trained codebook (passes alternate assign/update)"
+        )
     if train_passes >= 2:
         _assigned, trained = kmeans_lloyd(
             corpus, id_col, vec_col, k=n_centroids, assign_passes=train_passes
@@ -299,13 +307,20 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by hyperplane
     signature, exact-score only within matching buckets.
 
-    Recall is traded for a ~2^planes reduction in comparisons; the
-    corpus-side shuffle key is the signature (uniform for random data).
-    Output: (qid, cid, cosine, rank) — rank within retrieved candidates.
+    ``probe_bits=1`` enables standard multiprobe: each query probes its
+    own bucket PLUS every Hamming-distance-1 neighbor (planes+1 buckets
+    total) — near-misses where one hyperplane split a close pair are
+    recovered, the dominant LSH recall failure. Comparisons grow from
+    N/2^planes to (planes+1)·N/2^planes — still exponential savings,
+    and only the (tiny, broadcast) query side fans out; the corpus is
+    hashed and shuffled exactly once. ``probe_bits=0`` probes the exact
+    bucket only. Output: (qid, cid, cosine, rank) — rank within
+    retrieved candidates.
     """
     planes_lit = _plane_literals(planes, dim)
     # Norms computed once per side before the bucket join (cosine_topk's
@@ -321,6 +336,14 @@ def lsh_topk(
     ).withColumn("__planes", planes_lit).withColumn(
         "sig", lsh_signature("qe", planes, dim)
     ).drop("__planes")
+    if probe_bits:
+        flips = F.expr(
+            f"transform(sequence(1, {planes}), i -> concat("
+            "substring(sig, 1, i - 1), "
+            "CASE WHEN substring(sig, i, 1) = '1' THEN '0' ELSE '1' END, "
+            f"substring(sig, i + 1, {planes} - i)))"
+        )
+        q = q.withColumn("sig", F.explode(F.array_insert(flips, 1, F.col("sig"))))
     scored = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("cid") != F.col("qid"))
@@ -550,13 +573,12 @@ def mean_pool(
     task folds ITS rows to one (group, int64-sum-vector, count) row,
     so the shuffle carries one vector per (task, group), not one row
     per input vector (and never dim× exploded rows). The reduce side
-    folds the few partial vectors with zip_with. At 100 TB the wide
-    stage moves ~(tasks × groups × dim × 8) bytes — independent of
-    row count."""
+    folds the few partial vectors with zip_with, seeding the fold with
+    the FIRST partial (so the vector dimension never needs probing —
+    no plan-time driver job). At 100 TB the wide stage moves
+    ~(tasks × groups × dim × 8) bytes — independent of row count."""
     import numpy as np
     import pandas as pd
-
-    dim = len(df.select(vec_col).first()[0])
 
     def combine(batches):
         acc: dict = {}
@@ -586,14 +608,18 @@ def mean_pool(
     partial = df.select(F.col(group_col), micro_ints.alias("__vu")).mapInPandas(
         combine, schema=f"{group_col} {gtype}, psum array<bigint>, pn bigint"
     )
-    zeros = F.array_repeat(F.lit(0).cast("long"), dim)
-    folded = partial.groupBy(group_col).agg(
-        F.aggregate(
-            F.collect_list("psum"),
-            zeros,
-            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-        ).alias("sum_u"),
-        F.sum("pn").alias("n"),
+    folded = (
+        partial.groupBy(group_col)
+        .agg(F.collect_list("psum").alias("__ps"), F.sum("pn").alias("n"))
+        .select(
+            group_col,
+            "n",
+            F.aggregate(
+                F.expr("slice(__ps, 2, size(__ps) - 1)"),
+                F.element_at("__ps", 1),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("sum_u"),
+        )
     )
     return folded.select(
         group_col,

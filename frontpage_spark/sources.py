@@ -11,6 +11,7 @@ pruning and predicate pushdown reach the parquet scan.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -34,20 +35,34 @@ NORMALIZE_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 # the logical plan per (session, dir, table) is semantics-free — it
 # removes a per-query constant that a long-lived production session
 # would never pay either (tables would live in a catalog).
+# Hygiene (ADVICE r2): guarded by a lock for concurrent load_table
+# calls; entries keyed by any OTHER applicationId are evicted on access
+# (a stopped session's plans must not pin JVM references for the
+# process lifetime), and the dict is hard-capped as a leak backstop.
 _plan_cache: dict[tuple[str, str, str], DataFrame] = {}
+_plan_cache_lock = threading.Lock()
+_PLAN_CACHE_MAX = 512
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One testdata parquet table. Vectorized reader; pruning/pushdown free."""
     try:
-        key = (spark.sparkContext.applicationId, sf_dir, name)
+        app_id = spark.sparkContext.applicationId
+        key = (app_id, sf_dir, name)
     except Exception:
         key = None
-    if key is not None and key in _plan_cache:
-        return _plan_cache[key]
+    if key is not None:
+        with _plan_cache_lock:
+            for stale in [k for k in _plan_cache if k[0] != app_id]:
+                del _plan_cache[stale]
+            if key in _plan_cache:
+                return _plan_cache[key]
     df = _load_table_uncached(spark, sf_dir, name)
     if key is not None:
-        _plan_cache[key] = df
+        with _plan_cache_lock:
+            if len(_plan_cache) >= _PLAN_CACHE_MAX:
+                _plan_cache.clear()
+            _plan_cache[key] = df
     return df
 
 

@@ -83,6 +83,11 @@ def main() -> int:
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # queries persist loop invariants / shared subplans scoped to
+            # their own execution; a 123-query session must not accumulate
+            # those cached blocks (ADVICE r2)
+            spark.catalog.clearCache()
         t_spark = time.time() - t0
         if name not in ORACLES:
             print(f"ok   {name}: rows-only, {len(sdf)} rows ({t_spark:.1f}s)")
