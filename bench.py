@@ -71,6 +71,13 @@ HEADLINE = [
     "key_skew_profile",
     "mad_price_by_status",
     "cohort_retention",
+    # heavy round-2 additions (VERDICT r2 item 6 — bench the long tail)
+    "cdc_substring_dups",
+    "kmeans_lloyd_counts",
+    "semantic_dedup_report",
+    "benchmark_contamination",
+    "recursive_ancestor_depths",
+    "triangle_count_copurchase",
 ]
 
 
