@@ -171,3 +171,85 @@ def prep_corpus(
     if out_path is not None:
         prepared.write.mode("overwrite").partitionBy("split").parquet(out_path)
     return prepared, funnel
+
+
+# ---- learned-merge BPE ------------------------------------------------------
+BPE_SEP = "•"  # '•' — never appears in [a-z]+ word symbols
+
+
+def _bpe_state_expr(word_col: str) -> F.Column:
+    """Initial BPE state string for a word: symbols are single chars,
+    '•'-anchored and '••'-separated — 'abc' → '•a••b••c•'. The double
+    separator makes greedy left-to-right ``replace`` of
+    '•a••b•' → '•ab•' EXACTLY the classic BPE non-overlapping merge
+    application ('a a a a' merges to 'aa aa', not 'aa a a'), and the
+    same replace semantics hold in DuckDB, so the oracle can replay the
+    learned merge table verbatim."""
+    s = BPE_SEP
+    return F.concat(
+        F.lit(s), F.array_join(F.split(F.col(word_col), ""), s + s), F.lit(s)
+    )
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 12
+) -> tuple[list[tuple[int, str, str]], DataFrame]:
+    """Train a REAL byte-pair-encoding merge table (learned merges, not
+    hash buckets) on the corpus's [a-z]+ words. Returns
+    ``(merges, states)``: merges as [(rank, lhs, rhs)], and the
+    distinct-word state table (word, st, wc) AFTER all merges — join it
+    back to occurrence counts to encode the corpus.
+
+    Scale shape (the standard distributed-BPE factorization): training
+    runs on the DISTINCT-WORD frequency table, not the corpus — one
+    corpus-wide shuffle builds (word, wc), then every merge round
+    touches only |vocab| rows: an adjacent-pair explode + weighted
+    count (map-side combinable) + a LIMIT 1 argmax whose single row is
+    the only thing the driver ever collects. Merge application is one
+    narrow ``replace``. At 100 TB the word table is millions of rows
+    regardless of corpus size — rounds cost seconds, and the corpus
+    itself is touched exactly twice (word count, final encode join).
+
+    Determinism: pair argmax breaks ties by (count DESC, lhs ASC,
+    rhs ASC) over binary string order — identical in Spark and DuckDB,
+    so the learned table is engine-exact.
+    """
+    s = BPE_SEP
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    state = words.select("word", _bpe_state_expr("word").alias("st"), "wc").persist()
+    prev: DataFrame | None = None
+    syms = f"split(trim(BOTH '{s}' FROM st), '{s}{s}')"
+    pair_structs = (
+        f"transform(sequence(1, size({syms}) - 1), "
+        f"i -> struct(element_at({syms}, i) AS a, element_at({syms}, i + 1) AS b))"
+    )
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            state.filter(F.expr(f"size({syms}) >= 2"))
+            .select("wc", F.explode(F.expr(pair_structs)).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "wc")
+            .groupBy("a", "b")
+            .agg(F.sum("wc").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if prev is not None:
+            prev.unpersist()
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((rank, a, b))
+        pat, rep = f"{s}{a}{s}{s}{b}{s}", f"{s}{a}{b}{s}"
+        prev, state = state, (
+            state.select(
+                "word", F.expr(f"replace(st, '{pat}', '{rep}')").alias("st"), "wc"
+            ).persist()
+        )
+    return merges, state

@@ -67,3 +67,32 @@ def test_prep_corpus_funnel_and_stages(spark, corpus, bench_df, tmp_path_factory
     a = sorted((r.doc_id, tuple(r.ids), r.split) for r in prepared.collect())
     b = sorted((r.doc_id, tuple(r.ids), r.split) for r in prepared2.collect())
     assert a == b
+
+
+def test_bpe_train_hand_corpus(spark):
+    """Learned merges on a hand-checkable corpus: 'low low low lower
+    newest newest' — classic BPE example. Pair counts: (l,o)x4, (o,w)x4,
+    (w,e)x2(lower,newest)... argmax ties break on (lhs, rhs) binary order."""
+    from frontpage_spark.ext.prep import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower newest newest")], ["doc_id", "text"]
+    )
+    merges, state = bpe_train(docs, "text", n_merges=3)
+    state.unpersist()
+    # (l,o):4 and (o,w):4 tie -> 'l'<'o' wins; then (lo,w):4 unique max;
+    # then ties at 2: (e,s),(e,w),(s,t),(n,e),(w,e) -> 'e','s' first
+    assert merges == [(1, "l", "o"), (2, "lo", "w"), (3, "e", "s")]
+
+
+def test_bpe_encode_counts(spark):
+    """After merging 'low' into one symbol, each 'low' word is 1 BPE
+    token; chars are preserved."""
+    from frontpage_spark.ext.prep import bpe_train
+
+    docs = spark.createDataFrame([(1, "low low low")], ["doc_id", "text"])
+    merges, state = bpe_train(docs, "text", n_merges=2)
+    row = state.first()
+    assert merges == [(1, "l", "o"), (2, "lo", "w")]
+    assert row["word"] == "low" and row["st"] == "•low•" and row["wc"] == 3
+    state.unpersist()
