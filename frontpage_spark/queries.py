@@ -5454,3 +5454,344 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n_syms")).cast("long").alias("n_bpe_tokens"),
         F.sum(F.col("n") * F.col("n_ch")).cast("long").alias("n_chars"),
     )
+
+
+# ==========================================================================
+# Round-3 coverage widening
+# ==========================================================================
+
+# ---- URL canonicalization + dedup ------------------------------------------
+# Messy-variant synthesis shared by both engines: two syntactic variants
+# per doc that must canonicalize identically.
+_URL_V1_SQL = (
+    "'HTTP://WWW.' || upper(source) || '.Example.COM:80/Ads/' || doc_id || "
+    "'/?utm_source=feed&b=2&a=1&utm_campaign=x#frag'"
+)
+_URL_V2_SQL = (
+    "'http://www.' || lower(source) || '.example.com/Ads/' || doc_id || '?a=1&b=2'"
+)
+
+
+@register(
+    "url_canonicalize_dedup",
+    f"""
+    WITH u AS (
+      SELECT doc_id, source, unnest([{_URL_V1_SQL}, {_URL_V2_SQL}]) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT source, url,
+             split_part(url, '#', 1) AS nf
+      FROM u
+    ),
+    split1 AS (
+      SELECT source, url,
+             lower(split_part(nf, '://', 1)) AS scheme,
+             split_part(nf, '://', 2) AS rest
+      FROM parts
+    ),
+    split2 AS (
+      SELECT source, url, scheme,
+             lower(split_part(rest, '/', 1)) AS hostport,
+             CASE WHEN contains(rest, '/')
+                  THEN '/' || split_part(rest, '/', 2) ||
+                       CASE WHEN contains(split_part(rest, '/', 3), '') AND len(string_split(rest, '/')) > 2
+                            THEN '/' || array_to_string(string_split(rest, '/')[3:], '/')
+                            ELSE '' END
+                  ELSE '' END AS pathq
+      FROM split1
+    ),
+    split3 AS (
+      SELECT source, url, scheme,
+             CASE WHEN scheme = 'http' AND ends_with(hostport, ':80')
+                       THEN split_part(hostport, ':', 1)
+                  WHEN scheme = 'https' AND ends_with(hostport, ':443')
+                       THEN split_part(hostport, ':', 1)
+                  ELSE hostport END AS host,
+             rtrim(split_part(pathq, '?', 1), '/') AS path,
+             CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2) ELSE '' END AS q
+      FROM split2
+    ),
+    canon AS (
+      SELECT source, url,
+             scheme || '://' || host || path ||
+             CASE WHEN qp <> '' THEN '?' || qp ELSE '' END AS canonical
+      FROM (
+        SELECT source, url, scheme, host, path,
+               array_to_string(
+                 list_sort(list_filter(string_split(q, '&'),
+                           p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS qp
+        FROM split3
+      )
+    )
+    SELECT source,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT url) AS n_distinct_raw,
+           COUNT(DISTINCT canonical) AS n_canonical
+    FROM canon GROUP BY source
+    """,
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the first stage of any crawl dedup
+    (reference context: every record carries an ad URL,
+    scraper.py:94-102): lowercase scheme/host, strip default ports and
+    fragments, drop utm_* tracking params, sort surviving query params,
+    strip trailing slashes. Two messy syntactic variants per doc are
+    synthesized in-query (the corpus has no URL column) and must
+    collapse to ONE canonical form — n_canonical == corpus rows while
+    n_distinct_raw == 2x. Entirely codegen'd string/array expressions;
+    one narrow pass plus the keyed count agg."""
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        "source",
+        F.explode(F.array(F.expr(_URL_V1_SQL), F.expr(_URL_V2_SQL))).alias("url"),
+    )
+    nf = F.expr("split_part(url, '#', 1)")
+    u = u.withColumn("scheme", F.lower(F.expr("split_part(split_part(url, '#', 1), '://', 1)")))
+    u = u.withColumn("rest", F.expr("split_part(split_part(url, '#', 1), '://', 2)"))
+    u = u.withColumn("hostport", F.lower(F.expr("split_part(rest, '/', 1)")))
+    u = u.withColumn(
+        "pathq",
+        F.expr("CASE WHEN contains(rest, '/') THEN substr(rest, length(split_part(rest, '/', 1)) + 1) ELSE '' END"),
+    )
+    u = u.withColumn(
+        "host",
+        F.expr(
+            "CASE WHEN scheme = 'http' AND endswith(hostport, ':80') THEN split_part(hostport, ':', 1) "
+            "WHEN scheme = 'https' AND endswith(hostport, ':443') THEN split_part(hostport, ':', 1) "
+            "ELSE hostport END"
+        ),
+    )
+    u = u.withColumn("path", F.expr("rtrim('/', split_part(pathq, '?', 1))"))
+    u = u.withColumn(
+        "qp",
+        F.expr(
+            "array_join(array_sort(filter(split(CASE WHEN contains(pathq, '?') "
+            "THEN split_part(pathq, '?', 2) ELSE '' END, '&'), "
+            "p -> p <> '' AND NOT startswith(p, 'utm_'))), '&')"
+        ),
+    )
+    canon = u.withColumn(
+        "canonical",
+        F.expr(
+            "concat(scheme, '://', host, path, CASE WHEN qp <> '' THEN concat('?', qp) ELSE '' END)"
+        ),
+    )
+    return canon.groupBy("source").agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct("url").alias("n_distinct_raw"),
+        F.count_distinct("canonical").alias("n_canonical"),
+    )
+
+
+# ---- analytic-function coverage: ntile / percent_rank / cume_dist ----------
+@register(
+    "ntile_analytics_orders",
+    """
+    WITH r AS (
+      SELECT o_totalprice,
+             ntile(10) OVER w AS decile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM orders
+      WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n,
+           round(MIN(o_totalprice), 2) AS min_price,
+           round(MAX(o_totalprice), 2) AS max_price,
+           round(MAX(pr), 12) AS max_pct_rank,
+           round(MAX(cd), 12) AS max_cume_dist
+    FROM r GROUP BY decile
+    """,
+)
+def ntile_analytics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family analytic functions (ntile/percent_rank/cume_dist)
+    over a deterministic total order. Per-decile MIN/MAX are exact
+    (no float accumulation); pr/cd are positional ratios, identical in
+    any engine. Note the global ORDER BY window: one range-partitioned
+    sort — the operator Spark executes as a single total-order exchange
+    (acceptable for ranked reporting; at 100 TB prefer keyed windows
+    like topn_per_segment's)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    r = o.select(
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.max("pr"), 12).alias("max_pct_rank"),
+        F.round(F.max("cd"), 12).alias("max_cume_dist"),
+    )
+
+
+# ---- CUBE / GROUPING() -----------------------------------------------------
+@register(
+    "cube_order_stats",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() ids — all four aggregation granularities in
+    ONE pass (Spark expands grouping sets inside a single shuffle with
+    partial aggregation; a UNION ALL of 4 groupbys would scan 4x).
+    Money sums in exact integer cents via floor() (pinned cast
+    semantics, see try_cast audit)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "cents",
+        )
+    )
+
+
+# ---- Matryoshka truncation audit -------------------------------------------
+_MRL_DIMS = (8, 16, 32)
+
+
+@register(
+    "matryoshka_truncation_audit",
+    f"""
+    WITH per_k AS (
+      SELECT k,
+             CAST(round(1000000.0 *
+               list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                         for i in generate_series(1, k)]) /
+               list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                         for i in generate_series(1, len(embedding))])
+             ) AS BIGINT) AS retained_ppm
+      FROM embeddings, unnest([{", ".join(str(k) for k in _MRL_DIMS)}]) AS t(k)
+    )
+    SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n_vecs,
+           CAST(SUM(retained_ppm) AS BIGINT) AS sum_retained_ppm
+    FROM per_k GROUP BY k
+    """,
+)
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: for each candidate truncation
+    dim k, what fraction of each vector's L2 energy survives keeping
+    only the first k dims (= squared cosine between the vector and its
+    truncation). The decision input for shipping truncated embeddings —
+    storage/compute at dim k vs retrieval quality. Per-row ratios
+    become integer ppm BEFORE summation (engine-exact, same micro-unit
+    discipline as mean_pool); one narrow pass, k-way explode of a
+    3-element literal, keyed count/sum agg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    full = F.expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    head = F.expr(
+        "aggregate(slice(embedding, 1, k), CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    per_k = emb.select(
+        F.explode(F.array(*[F.lit(k) for k in _MRL_DIMS])).alias("k"), "embedding"
+    ).select("k", F.round(F.lit(1000000.0) * head / full).cast("long").alias("retained_ppm"))
+    return per_k.groupBy(F.col("k").cast("long").alias("k")).agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("retained_ppm").cast("long").alias("sum_retained_ppm"),
+    )
+
+
+# ---- MinHash estimate vs exact Jaccard -------------------------------------
+@register(
+    "minhash_jaccard_estimate",
+    f"""
+    WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM docs),
+    hashed AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+    sigs AS ({_MINHASH_SIGS_SQL}),
+    ok AS (
+      SELECT band, minhash FROM sigs GROUP BY band, minhash
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {dedup.DEFAULT_MAX_BUCKET}
+    ),
+    bounded AS (SELECT sigs.* FROM sigs JOIN ok USING (band, minhash)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bounded a JOIN bounded b USING (band, minhash)
+      WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.a, p.b,
+             SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS n_match_bands
+      FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.a
+      JOIN sigs sb ON sb.doc_id = p.b AND sb.band = sa.band
+      GROUP BY p.a, p.b
+    ),
+    sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+    exact AS (
+      SELECT p.a, p.b,
+             CAST(len(list_intersect(xa.s, xb.s)) AS BIGINT) AS n_inter,
+             CAST(len(xa.s) + len(xb.s) - len(list_intersect(xa.s, xb.s)) AS BIGINT) AS n_union
+      FROM pairs p JOIN sets xa ON xa.doc_id = p.a JOIN sets xb ON xb.doc_id = p.b
+    )
+    SELECT e.a, e.b, CAST(e.n_match_bands AS BIGINT) AS n_match_bands,
+           x.n_inter, x.n_union
+    FROM est e JOIN exact x ON e.a = x.a AND e.b = x.b
+    """,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration: for every LSH candidate pair, the banded
+    signature agreement (the estimator LSH retrieval is built on) next
+    to the EXACT shingle-set intersection/union — all integers, so the
+    comparison is engine-exact with no float tolerance. The exact side
+    touches only candidate pairs (the verify-stage discipline: never
+    all-pairs); shingles and signatures are computed once each."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", dedup.shingles_col("text").alias("shingles"))
+    pairs = dedup.lsh_candidate_pairs(docs, shingles_df=sh)
+    sigs = dedup.signatures_from_shingles(sh, "doc_id", "shingles")
+    sa = sigs.select(F.col("doc_id").alias("a"), "band", F.col("minhash").alias("ma"))
+    sb = sigs.select(F.col("doc_id").alias("b"), "band", F.col("minhash").alias("mb"))
+    est = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "band"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)).alias("n_match_bands"))
+    )
+    sets = sh.select("doc_id", F.array_distinct("shingles").alias("s"))
+    xa = sets.select(F.col("doc_id").alias("a"), F.col("s").alias("sa_set"))
+    xb = sets.select(F.col("doc_id").alias("b"), F.col("s").alias("sb_set"))
+    exact = (
+        pairs.join(xa, "a")
+        .join(xb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sa_set", "sb_set")).cast("long").alias("n_inter"),
+            (
+                F.size("sa_set") + F.size("sb_set") - F.size(F.array_intersect("sa_set", "sb_set"))
+            ).cast("long").alias("n_union"),
+        )
+    )
+    return est.join(exact, ["a", "b"]).select(
+        "a", "b", F.col("n_match_bands").cast("long").alias("n_match_bands"), "n_inter", "n_union"
+    )
