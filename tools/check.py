@@ -6,11 +6,16 @@ order-insensitive values (exact where possible; floats compared
 bit-exact first, then with tolerance reporting so mismatches are
 diagnosable).
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, writes the full per-query matrix (status, rows, timings,
+problems) so each round can publish CORRECTNESS_full_r{N}.json in-repo
+(VERDICT r2 item 3).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -63,8 +68,13 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     from frontpage_spark.queries import ORACLES, QUERIES
     from frontpage_spark.session import get_spark
@@ -73,14 +83,17 @@ def main() -> int:
     con = duckdb_con(sf_dir)
 
     n_pass = n_fail = 0
+    matrix: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        rec = matrix[name] = {"status": None, "rows": None, "oracle": name in ORACLES}
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            rec.update(status="spark_error", error=f"{type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         finally:
@@ -89,8 +102,10 @@ def main() -> int:
             # those cached blocks (ADVICE r2)
             spark.catalog.clearCache()
         t_spark = time.time() - t0
+        rec.update(rows=len(sdf), spark_s=round(t_spark, 2))
         if name not in ORACLES:
             print(f"ok   {name}: rows-only, {len(sdf)} rows ({t_spark:.1f}s)")
+            rec["status"] = "rows_only"
             n_pass += 1
             continue
         t0 = time.time()
@@ -98,17 +113,30 @@ def main() -> int:
             odf = con.execute(ORACLES[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            rec.update(status="oracle_error", error=f"{type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         t_duck = time.time() - t0
+        rec["duckdb_s"] = round(t_duck, 3)
         problems = compare(name, sdf, odf)
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems))
+            rec.update(status="mismatch", problems=problems)
             n_fail += 1
         else:
             print(f"PASS {name}: {len(sdf)} rows (spark {t_spark:.1f}s, duckdb {t_duck:.2f}s)")
+            rec["status"] = "pass"
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail, "queries": matrix},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
