@@ -47,6 +47,7 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_same: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -56,18 +57,23 @@ def cosine_topk(
     them per pair — so scoring a pair costs one dot product plus two
     cached lookups. The only shuffle is on qid for the top-k ranking.
     Output: (qid, cid, cosine, rank).
+
+    ``exclude_same``: name of a column present in BOTH inputs; pairs
+    whose values are equal are dropped BEFORE ranking. This is the
+    hard-negative-mining shape for contrastive training: neighbors
+    that score high but carry a different label.
     """
-    q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), _norm2(vec_col).alias("qn")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"), _norm2(vec_col).alias("cn")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("cid") != F.col("qid"))
-        .withColumn("cosine", _dot("qe", "ce") / (F.sqrt("qn") * F.sqrt("cn")))
-    )
+    q_cols = [F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), _norm2(vec_col).alias("qn")]
+    c_cols = [F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"), _norm2(vec_col).alias("cn")]
+    if exclude_same is not None:
+        q_cols.append(F.col(exclude_same).alias("qlab"))
+        c_cols.append(F.col(exclude_same).alias("clab"))
+    q = queries.select(*q_cols)
+    c = corpus.select(*c_cols)
+    scored = c.crossJoin(F.broadcast(q)).filter(F.col("cid") != F.col("qid"))
+    if exclude_same is not None:
+        scored = scored.filter(F.col("clab") != F.col("qlab"))
+    scored = scored.withColumn("cosine", _dot("qe", "ce") / (F.sqrt("qn") * F.sqrt("cn")))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))

@@ -5795,3 +5795,256 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, ["a", "b"]).select(
         "a", "b", F.col("n_match_bands").cast("long").alias("n_match_bands"), "n_inter", "n_union"
     )
+
+
+# ==========================================================================
+# Round-3 additions: correlated-subquery joins, interval algebra,
+# contrastive mining, asymmetric containment dedup
+# ==========================================================================
+
+# ---- TPC-H Q21 shape: EXISTS + NOT EXISTS, decorrelated -------------------
+@register(
+    "late_supplier_q21ish",
+    """
+    WITH ls AS (
+      SELECT l_orderkey AS ok, l_suppkey AS sk, MAX(l_shipdate) AS max_ship
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    j AS (
+      SELECT ok, sk,
+             (max_ship > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM ls JOIN orders ON ok = o_orderkey
+    )
+    SELECT sk AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM j w
+    WHERE late
+      AND EXISTS (SELECT 1 FROM j x WHERE x.ok = w.ok AND x.sk <> w.sk)
+      AND NOT EXISTS (SELECT 1 FROM j y WHERE y.ok = w.ok AND y.sk <> w.sk AND y.late)
+    GROUP BY sk
+    ORDER BY numwait DESC, suppkey
+    LIMIT 20
+    """,
+)
+def late_supplier_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape on the available columns: suppliers who were the
+    SOLE late shipper (max ship > order date + 60d) in a multi-supplier
+    order. The reference's incremental loop never needs this; it is the
+    canonical EXISTS + NOT-EXISTS correlated pair, included for join
+    coverage.
+
+    DECORRELATED: the two correlated subqueries (exists-other,
+    not-exists-other-late) would naively be a semi join plus an anti
+    join against the same per-(order,supplier) relation — two extra
+    shuffles of the big side. One grouped aggregate per order
+    (n_suppliers, n_late) joined back answers both predicates:
+    ``n_supp > 1 AND n_late == 1`` for a row that is itself late. At
+    100 TB that is two co-partitioned exchanges on l_orderkey instead
+    of three, and AQE picks broadcast for the orders side prune."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    ls = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("max_ship"))
+    j = ls.join(od, ls.l_orderkey == od.o_orderkey).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
+        (F.col("max_ship") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    per_order = j.groupBy("ok").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
+    )
+    winners = (
+        j.filter(F.col("late"))
+        .join(per_order, "ok")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        winners.groupBy("sk")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "sk")
+        .limit(20)
+        .select(F.col("sk").alias("suppkey"), F.col("numwait").cast("long").alias("numwait"))
+    )
+
+
+# ---- interval union / coverage (sweep via running max) --------------------
+@register(
+    "interval_coverage_users",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                       OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    per_island AS (
+      SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(en - st) AS BIGINT) AS covered_s
+    FROM per_island GROUP BY user_id
+    """,
+)
+def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per user: each event opens a 5-minute
+    interval; overlapping intervals merge into islands (running-max
+    sweep), and the output is islands count + exact covered seconds.
+    The complement of ``sessionize_users`` (gap-based) and
+    ``peak_concurrent_sessions`` (point-in-time): this is the measure
+    of the union of intervals.
+
+    Scale shape: ONE shuffle on user_id serves both window passes and
+    the island aggregate (same partitioning key); islands are detected
+    by comparing each start to the running max of prior ends — no
+    self-join, no explode of the timeline. Ties on (s, e) are
+    island-stable, so the result is deterministic under any partition
+    order. All integer seconds end-to-end."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("s")
+    )
+    iv = ev.withColumn("e", F.col("s") + 300)
+    order = [F.col("s"), F.col("e")]
+    w_prev = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "is_new", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    )
+    w_run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    isl = flagged.withColumn("island", F.sum("is_new").over(w_run))
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("en") - F.col("st")).alias("covered_s"),
+    )
+
+
+# ---- contrastive hard-negative mining -------------------------------------
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id % 97 = 1
+    ),
+    c AS (SELECT vec_id AS cid, embedding AS ce, label AS cl FROM embeddings),
+    scored AS (
+      SELECT qid, cid,
+             {_DOT_SQL} / (sqrt({_QNORM_SQL}) * sqrt({_CNORM_SQL})) AS cosine
+      FROM c CROSS JOIN q
+      WHERE cid <> qid AND cl <> ql
+    ),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, round(cosine, 12) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (1-in-97 sample), the top-5 most-similar corpus vectors with
+    a DIFFERENT label — the near-miss negatives that make embedding
+    training batches informative. Same broadcast-Q × scan-N shape as
+    ``embedding_topk_cosine`` with the label-inequality pushed below
+    the ranking window (``cosine_topk(exclude_same="label")``); at
+    corpus scale swap the exact scan for ``ivf_topk``/``lsh_topk``
+    candidates and keep this as the scoring stage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 97 == 1), k=5, exclude_same="label"
+    )
+    return out.select(
+        "qid",
+        "cid",
+        F.round("cosine", 12).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---- asymmetric shingle containment (doc-inside-doc) ----------------------
+@register(
+    "shingle_containment_pairs",
+    f"""
+    WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM docs),
+    hashed AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+    sigs AS ({_MINHASH_SIGS_SQL}),
+    ok AS (
+      SELECT band, minhash FROM sigs GROUP BY band, minhash
+      HAVING COUNT(*) <= {dedup.DEFAULT_MAX_BUCKET}
+    ),
+    bounded AS (SELECT sigs.* FROM sigs JOIN ok USING (band, minhash)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bounded a JOIN bounded b USING (band, minhash)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT p.a, p.b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter,
+           CAST(LEAST(len(sa.shingles), len(sb.shingles)) AS BIGINT) AS sz_small,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / CAST(LEAST(len(sa.shingles), len(sb.shingles)) AS DOUBLE) AS containment
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.a
+    JOIN sh sb ON sb.doc_id = p.b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(LEAST(len(sa.shingles), len(sb.shingles)) AS DOUBLE) >= 0.3
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: containment |A∩B| / min(|A|,|B|) over
+    distinct 3-gram shingles, verified on LSH candidate pairs. Jaccard
+    misses a short document embedded in a long one (the union term
+    swamps it); containment is the standard fix (quote inclusion,
+    boilerplate wrapping, chunk-of-train-doc contamination). Same
+    two-stage discipline as ``near_dup_verified`` — LSH discovery,
+    exact verify touching only candidates — so the full corpus is
+    covered without an all-pairs join; only the similarity measure at
+    the verify stage differs. Exact integer intersection; one double
+    division at the boundary."""
+    docs = _tw(spark, sf_dir, "documents")
+    sh = docs.select(F.col("doc_id"), dedup.shingles_col("text").alias("shingles")).persist()
+    pairs = dedup.lsh_candidate_pairs(docs, shingles_df=sh)
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    sz_small = F.least(F.size("sh_a"), F.size("sh_b"))
+    out = (
+        sb.join(sa.join(pairs, "a"), "b")
+        .withColumn("containment", inter.cast("double") / sz_small.cast("double"))
+        .filter(F.col("containment") >= 0.3)
+        .select(
+            "a",
+            "b",
+            inter.cast("long").alias("n_inter"),
+            sz_small.cast("long").alias("sz_small"),
+            "containment",
+        )
+    )
+    return out

@@ -857,3 +857,43 @@ def test_mean_pool_plan_build_launches_no_job(spark, vectors):
     assert set(st.getJobIdsForGroup()) == before  # lazy: no job at build time
     row = df.first()  # and the result is still correct
     assert row["n"] == 21 and len(row["centroid"]) == 8
+
+
+def test_containment_vs_jaccard_doc_inside_doc(spark):
+    """A short doc fully embedded in a long one: containment flags it
+    (1.0) while Jaccard stays below common thresholds — the asymmetric
+    measure is the point of shingle_containment_pairs."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, short), (2, long_)], "doc_id long, text string")
+    sets = docs.select("doc_id", dedup.shingles_col("text").alias("s"))
+    a = sets.filter("doc_id = 1").select(F.col("s").alias("sa"))
+    b = sets.filter("doc_id = 2").select(F.col("s").alias("sb"))
+    row = (
+        a.crossJoin(b)
+        .select(
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            F.size("sa").alias("sza"),
+            F.size("sb").alias("szb"),
+        )
+        .first()
+    )
+    containment = row["inter"] / min(row["sza"], row["szb"])
+    jaccard = row["inter"] / (row["sza"] + row["szb"] - row["inter"])
+    assert containment == 1.0
+    assert jaccard < 0.1
+
+
+def test_cosine_topk_exclude_same_label(spark, vectors):
+    """exclude_same drops same-label pairs BEFORE ranking: every
+    returned neighbor has a different label than its query, and ranks
+    stay dense from 1."""
+    labeled = vectors.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    out = similarity.cosine_topk(
+        labeled, labeled.filter("vec_id = 0"), k=5, exclude_same="label"
+    )
+    rows = out.collect()
+    assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    lab = {r["vec_id"]: r["label"] for r in labeled.collect()}
+    for r in rows:
+        assert lab[r["cid"]] != lab[0]
