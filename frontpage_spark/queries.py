@@ -6048,3 +6048,316 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---- BM25 keyword retrieval ----------------------------------------------
+def _bm25_term_sql(term: str) -> str:
+    """DuckDB tf for one query term (token-exact match)."""
+    return f"len(list_filter(string_split(text, ' '), x -> x = '{term}'))"
+
+
+_BM25_TERMS = ("join", "hash", "window")
+
+
+def _eq_lit(term: str):
+    """One-arg lambda factory for F.filter (closure-captures the term)."""
+    return lambda x: x == F.lit(term)
+
+
+@register(
+    "bm25_keyword_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             {", ".join(f"CAST({_bm25_term_sql(t)} AS BIGINT) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+             {", ".join(f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
+      FROM d
+    ),
+    scored AS (
+      SELECT doc_id,
+        {" + ".join(
+            f"((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+            f" * (CAST(tf{i} AS DOUBLE) * 2.2)"
+            f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+            for i in range(len(_BM25_TERMS))
+        )} AS score
+      FROM d CROSS JOIN stats
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT doc_id, round(score, 10) AS score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term keyword query (k1=1.2, b=0.75) —
+    the lexical-retrieval side of a hybrid search stack.
+
+    Engine-exact determinism WITHOUT float tolerance: the usual
+    ``ln``-based idf is replaced by its rational core
+    ``(N - df + 0.5)/(df + 0.5)`` (same ordering, no transcendental),
+    every input is an exact integer (tf, dl, N, df), and the per-term
+    scores are added in FIXED term order rather than SUM-aggregated —
+    so both engines execute the identical IEEE operation sequence and
+    the doubles match bitwise (rounded to 10 only for display; rank is
+    computed on the unrounded value).
+
+    Scale shape: one corpus scan computes (dl, tf*) per doc; a
+    single-row stats aggregate (N, Σdl, df*) is broadcast back via
+    cross join; top-20 is TakeOrderedAndProject. No per-term scan, no
+    inverted index needed below ~1e4 query terms."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            # NB: the predicate lambda must take exactly ONE arg — a
+            # second arg would be interpreted by F.filter as the index
+            F.size(F.filter(toks, _eq_lit(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sumdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("long").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    nD, sumdlD = F.col("n").cast("double"), F.col("sumdl").cast("double")
+    avgdl = sumdlD / nD
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tfD, dfD = F.col(f"tf{i}").cast("double"), F.col(f"df{i}").cast("double")
+        idf = (nD - dfD + F.lit(0.5)) / (dfD + F.lit(0.5))
+        term = (
+            idf
+            * (tfD * F.lit(2.2))
+            / (tfD + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)))
+        )
+        score = term if score is None else score + term
+    from pyspark.sql.window import Window
+
+    scored = d.crossJoin(F.broadcast(stats)).withColumn("score", score)
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition heaps,
+    # no global sort), then the rank window runs over 20 rows, not the
+    # corpus (WindowExec with no partition key would single-thread the
+    # whole table)
+    top = scored.select("doc_id", "score").orderBy(F.col("score").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        F.round("score", 10).alias("score"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+# ---- ROC-AUC eval harness (exact Mann-Whitney with ties) ------------------
+@register(
+    "quality_score_auc",
+    """
+    WITH labeled AS (
+      SELECT n_chars AS score, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    per_score AS (
+      SELECT score,
+             CAST(SUM(pos) AS BIGINT) AS p_s,
+             CAST(SUM(1 - pos) AS BIGINT) AS n_s
+      FROM labeled GROUP BY score
+    ),
+    cum AS (
+      SELECT score, p_s, n_s,
+             COALESCE(SUM(n_s) OVER (ORDER BY score
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negs_below
+      FROM per_score
+    ),
+    tot AS (
+      SELECT CAST(SUM(p_s) AS BIGINT) AS p, CAST(SUM(n_s) AS BIGINT) AS ng FROM per_score
+    )
+    SELECT p AS n_pos, ng AS n_neg,
+           CAST(SUM(p_s * (2 * negs_below + n_s)) AS BIGINT) AS auc_num2,
+           CAST(SUM(p_s * (2 * negs_below + n_s)) AS DOUBLE) / CAST(2 * p * ng AS DOUBLE) AS auc
+    FROM cum CROSS JOIN tot
+    GROUP BY p, ng
+    """,
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a per-document score against a binary label
+    (here: does doc length predict lang='en') — the eval harness every
+    learned quality filter needs before it gates a corpus.
+
+    Mann-Whitney form with tie correction: AUC = Σ_pos(#neg below +
+    ½·#neg tied) / (P·N). Kept in INTEGERS by doubling (numerator
+    ``p_s·(2·negs_below + n_s)``), so both engines agree bitwise; one
+    double division at the boundary.
+
+    Scale shape: aggregate per DISTINCT score first (one shuffle; map-
+    side partials), then the ordered cumulative runs over |distinct
+    scores| rows — the global window never sees raw documents, so the
+    single-partition sort is bounded by score cardinality, not corpus
+    size."""
+    from pyspark.sql.window import Window
+
+    labeled = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    per_score = labeled.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("p_s"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.withColumn(
+        "negs_below", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    )
+    tot = per_score.agg(
+        F.sum("p_s").cast("long").alias("p"), F.sum("n_s").cast("long").alias("ng")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("p", "ng")
+        .agg(F.sum(F.col("p_s") * (2 * F.col("negs_below") + F.col("n_s"))).alias("num2"))
+        .select(
+            F.col("p").alias("n_pos"),
+            F.col("ng").alias("n_neg"),
+            F.col("num2").cast("long").alias("auc_num2"),
+            (F.col("num2").cast("double") / (2 * F.col("p") * F.col("ng")).cast("double")).alias("auc"),
+        )
+    )
+
+
+# ---- cross-source 8-gram contamination matrix -----------------------------
+_GRAM8_SQL = (
+    "CASE WHEN len(t) >= 8 THEN list_distinct([" 
+    + " || ' ' || ".join(f"t[i+{j}]" for j in range(8)).replace("t[i+0]", "t[i]")
+    + " for i in generate_series(1, len(t)-7)]) ELSE [text] END"
+)
+
+
+@register(
+    "cross_source_ngram_overlap",
+    f"""
+    WITH docs AS (SELECT source, text, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT source, UNNEST({_GRAM8_SQL}) AS gram FROM docs
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.source <> b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_shared, sa.n_grams AS n_a,
+           CAST(n_shared AS DOUBLE) / CAST(sa.n_grams AS DOUBLE) AS overlap_ratio
+    FROM shared JOIN sizes sa ON sa.source = source_a
+    """,
+)
+def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for each ordered source pair
+    (A,B), the fraction of A's distinct word-8-grams that also appear
+    in B — the corpus-level view of ``benchmark_contamination``
+    (directional: a small source copied into a big one shows ~1.0 on
+    its own row). Inverted-index self-join on the gram: one shuffle on
+    the gram value, output bounded by |sources|². Exact integers; one
+    double division."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(dedup.shingles_col("text", 8)).alias("gram")
+    ).distinct()
+    sizes = grams.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
+    a = grams.select(F.col("source").alias("source_a"), "gram")
+    b = grams.select(F.col("source").alias("source_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return shared.join(
+        sizes.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a")),
+        "source_a",
+    ).select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_a",
+        (F.col("n_shared").cast("double") / F.col("n_a").cast("double")).alias("overlap_ratio"),
+    )
+
+
+# ---- kNN label propagation ------------------------------------------------
+@register(
+    "label_propagation_knn",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    c AS (
+      SELECT vec_id AS cid, embedding AS ce, label FROM embeddings WHERE vec_id % 7 <> 0
+    ),
+    scored AS (
+      SELECT qid, cid, label,
+             {_DOT_SQL} / (sqrt({_QNORM_SQL}) * sqrt({_CNORM_SQL})) AS cosine
+      FROM c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT qid, cid, label,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored
+    ),
+    votes AS (
+      SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM ranked WHERE rank <= 5
+      GROUP BY qid, label
+    ),
+    best AS (
+      SELECT qid, label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    )
+    SELECT qid, CAST(label AS INTEGER) AS pred_label, n_votes
+    FROM best WHERE vr = 1
+    """,
+)
+def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation: every 7th vector is treated
+    as unlabeled and receives the majority label of its 5 nearest
+    LABELED neighbors by cosine (tie → smallest label) — the standard
+    cheap widener for sparse human labels in a training corpus.
+
+    Same broadcast-Q × scan-N exact-kNN core as
+    ``embedding_topk_cosine``; the vote is two keyed aggregations on
+    qid. At corpus scale the exact scan swaps for ``ivf_topk``/
+    ``lsh_topk`` candidate generation with this as the scoring+vote
+    stage. Majority voting is ULP-robust: the label only depends on
+    top-5 MEMBERSHIP, not intra-k order."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    unlabeled = emb.filter(F.col("vec_id") % 7 == 0)
+    labeled = emb.filter(F.col("vec_id") % 7 != 0)
+    topk = similarity.cosine_topk(labeled, unlabeled, k=5)
+    votes = (
+        topk.join(
+            labeled.select(F.col("vec_id").alias("cid"), "label"), "cid"
+        )
+        .groupBy("qid", "label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("n_votes"), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("qid", F.col("label").cast("int").alias("pred_label"), "n_votes")
+    )
