@@ -6361,3 +6361,225 @@ def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vr") == 1)
         .select("qid", F.col("label").cast("int").alias("pred_label"), "n_votes")
     )
+
+
+# ---- split leakage audit (dedup × split) ----------------------------------
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM docs),
+    hashed AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+    sigs AS ({_MINHASH_SIGS_SQL}),
+    ok AS (
+      SELECT band, minhash FROM sigs GROUP BY band, minhash
+      HAVING COUNT(*) <= {dedup.DEFAULT_MAX_BUCKET}
+    ),
+    bounded AS (SELECT sigs.* FROM sigs JOIN ok USING (band, minhash)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bounded a JOIN bounded b USING (band, minhash)
+      WHERE a.doc_id < b.doc_id
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT LEAST(sa.split, sb.split) AS split_a,
+           GREATEST(sa.split, sb.split) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky
+    FROM pairs p
+    JOIN splits sa ON sa.doc_id = p.a
+    JOIN splits sb ON sb.doc_id = p.b
+    GROUP BY 1, 2
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: LSH near-dup candidate pairs bucketed
+    by which splits their endpoints land in — the check every eval set
+    needs (a near-duplicate of a training doc sitting in test silently
+    inflates benchmark numbers; this is the corpus-level version of
+    ``benchmark_contamination``). Pairs whose endpoints differ in split
+    are the leaks. Reuses the bounded-bucket LSH discovery (no
+    all-pairs) and the md5-prefix deterministic split — both already
+    engine-portable, so the whole audit is oracle-exact."""
+    from .ext.sampling import assign_split
+
+    docs = _tw(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    splits = docs.select("doc_id", assign_split("doc_id").alias("split"))
+    sa = splits.select(F.col("doc_id").alias("a"), F.col("split").alias("split_x"))
+    sb = splits.select(F.col("doc_id").alias("b"), F.col("split").alias("split_y"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .groupBy(
+            F.least("split_x", "split_y").alias("split_a"),
+            F.greatest("split_x", "split_y").alias("split_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("split_x") != F.col("split_y"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaky"),
+        )
+    )
+
+
+# ---- market-basket lift ----------------------------------------------------
+@register(
+    "copurchase_lift_pairs",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+    supp AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM baskets GROUP BY p_brand),
+    pair_supp AS (
+      SELECT x.p_brand AS brand_a, y.p_brand AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM baskets x JOIN baskets y USING (l_orderkey)
+      WHERE x.p_brand < y.p_brand
+      GROUP BY x.p_brand, y.p_brand
+    ),
+    scored AS (
+      SELECT brand_a, brand_b, n_ab,
+             CAST(n_ab * n AS DOUBLE) / CAST(sa.n_b * sb.n_b AS DOUBLE) AS lift
+      FROM pair_supp
+      JOIN supp sa ON sa.p_brand = brand_a
+      JOIN supp sb ON sb.p_brand = brand_b
+      CROSS JOIN n_orders
+      WHERE n_ab >= 3
+    )
+    SELECT brand_a, brand_b, n_ab, lift
+    FROM scored
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def copurchase_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: top-20 brand pairs by LIFT
+    (observed co-purchase rate over the independence expectation).
+    Exact arithmetic: lift is computed as ONE double division of two
+    exact integer products, so ordering and values match the oracle
+    bitwise.
+
+    Scale shape: baskets are distinct (order, brand) — one exchange;
+    pair generation joins baskets to itself ON the order key, so work
+    is Σ(basket size²), never #brands² against the full fact table;
+    supports are broadcast back onto the pair table; top-20 is
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    supp = baskets.groupBy("p_brand").agg(F.count("*").cast("long").alias("n_b"))
+    x = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    y = baskets.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pair_supp = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    sa = supp.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na"))
+    sb = supp.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pair_supp.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .withColumn(
+            "lift",
+            (F.col("n_ab") * F.col("n")).cast("double")
+            / (F.col("na") * F.col("nb")).cast("double"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+        .select("brand_a", "brand_b", "n_ab", "lift")
+    )
+
+
+# ---- exact higher moments (skewness / kurtosis) ---------------------------
+@register(
+    "order_price_higher_moments",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
+    ),
+    sums AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2,
+             SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+             SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+      FROM c GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           round((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 1.5),
+                 9) AS skewness,
+           round((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 2.0)
+                 - 3.0,
+                 9) AS excess_kurtosis
+    FROM sums
+    """,
+)
+def order_price_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per order status from EXACT integer
+    power sums: prices floor to integer dollars, Σv..Σv⁴ accumulate in
+    decimal/int128 (no float partial-sum nondeterminism), and only the
+    final closed-form combination runs in double — an identical IEEE
+    op sequence in both engines on identical integer inputs, rounded
+    at the boundary. The one-pass map-side-partial shape of
+    ``order_price_moments`` extended to 3rd/4th powers (v⁴ ≲ 6e22
+    exceeds int64 — hence decimal(38) / HUGEINT accumulators)."""
+    c = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.floor("o_totalprice").cast("long").alias("v")
+    )
+    vdec = F.col("v").cast("decimal(38,0)")
+    sums = c.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * F.col("v")).alias("s2"),
+        F.sum(vdec * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(vdec * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+    )
+    nD = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nD
+    r2 = F.col("s2").cast("double") / nD
+    r3 = F.col("s3").cast("double") / nD
+    r4 = F.col("s4").cast("double") / nD
+    var = r2 - m1 * m1
+    skew = (r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1) / F.pow(var, F.lit(1.5))
+    kurt = (
+        r4
+        - F.lit(4.0) * m1 * r3
+        + F.lit(6.0) * m1 * m1 * r2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    ) / F.pow(var, F.lit(2.0)) - F.lit(3.0)
+    return sums.select(
+        "o_orderstatus",
+        "n",
+        F.round(skew, 9).alias("skewness"),
+        F.round(kurt, 9).alias("excess_kurtosis"),
+    )

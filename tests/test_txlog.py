@@ -164,3 +164,42 @@ def _stale_overwrite(spark, table, stale_v):
         table, v, {"op": "overwrite", "add": add, "remove": [], "version": v}
     ):
         raise txlog.TxConflict("stale overwrite lost")
+
+
+def test_streaming_merge_into_txlog(spark, tmp_path):
+    """foreachBatch MERGE into the transaction log: each micro-batch
+    upserts by key; a checkpointed restart replays nothing, and a
+    re-delivered batch (at-least-once source) folds to a no-op because
+    MERGE is idempotent — together: exactly-once table state, with
+    every epoch's snapshot still readable (time travel)."""
+    from frontpage_spark.incremental import stream_pipeline
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    table = str(tmp_path / "table")
+    df = spark.createDataFrame(
+        [(i % 7, f"v{i}") for i in range(20)], "k int, v string"
+    )
+    df.coalesce(1).write.parquet(src)
+
+    def batch_fn(bdf, epoch_id):
+        txlog.merge(spark, table, bdf.dropDuplicates(["k"]), "k")
+
+    q = stream_pipeline(spark, src, chk, batch_fn, schema=df.schema, available_now=True)
+    q.awaitTermination(60)
+    v_after = txlog.current_version(table)
+    assert v_after >= 1
+    keys = sorted(r.k for r in txlog.read(spark, table).select("k").collect())
+    assert keys == list(range(7))
+
+    # restart with the same checkpoint: offsets say done, no new version
+    q2 = stream_pipeline(spark, src, chk, batch_fn, schema=df.schema, available_now=True)
+    q2.awaitTermination(60)
+    assert txlog.current_version(table) == v_after
+
+    # simulate at-least-once redelivery: merging the same batch again
+    # advances the version but the TABLE STATE is unchanged (idempotent)
+    before = {(r.k, r.v) for r in txlog.read(spark, table).collect()}
+    txlog.merge(spark, table, spark.read.parquet(src).dropDuplicates(["k"]), "k")
+    after = {(r.k, r.v) for r in txlog.read(spark, table).collect()}
+    assert before == after
