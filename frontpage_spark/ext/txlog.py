@@ -194,6 +194,85 @@ def _write_data(df: DataFrame, table: str) -> list[str]:
     ]
 
 
+def _file_stats(
+    spark_df_src, table: str, rel_paths: list[str], stats_cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file min/max for ``stats_cols`` over just-written files —
+    ONE grouped job keyed by ``input_file_name()``, not a driver loop.
+    (A production commit path lifts these from the parquet footers the
+    writer already produced; re-scanning the fresh files is the
+    API-equivalent shortcut at this repo's scale.) Values must be
+    JSON-encodable (numeric/string); returns {} when stats_cols is
+    empty."""
+    if not stats_cols:
+        return {}
+    from pyspark.sql import functions as F
+
+    spark = spark_df_src
+    full = [os.path.join(table, r) for r in rel_paths]
+    df = spark.read.parquet(*full)
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"lo_{c}"))
+        aggs.append(F.max(c).alias(f"hi_{c}"))
+    rows = df.groupBy(F.input_file_name().alias("f")).agg(*aggs).collect()
+    by_name = {os.path.basename(r["f"]): r for r in rows}
+    out: dict[str, dict[str, list]] = {}
+    for rel in rel_paths:
+        r = by_name.get(os.path.basename(rel))
+        if r is not None:
+            out[rel] = {c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in stats_cols}
+    return out
+
+
+def file_stats(table: str, version: int | None = None) -> dict[str, dict[str, list]]:
+    """Accumulated per-live-file column stats at ``version`` (files
+    committed without stats are simply absent)."""
+    cur = current_version(table)
+    v = cur if version is None else version
+    start, stats = 0, {}
+    ckpt = _latest_checkpoint(table, v)
+    if ckpt is not None:
+        start = ckpt[0]
+        with open(_checkpoint_path(table, start)) as f:
+            stats = dict(json.load(f).get("stats", {}))
+    for i in range(start + 1, v + 1):
+        c = _read_commit(table, i)
+        for gone in c.get("remove", []):
+            stats.pop(gone, None)
+        stats.update(c.get("stats", {}))
+    live = set(live_files(table, v))
+    return {k: s for k, s in stats.items() if k in live}
+
+
+def scan(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned snapshot read: skip every data file whose committed
+    [min, max] for ``col`` cannot intersect [lo, hi] (files lacking
+    stats are conservatively kept), then apply the residual filter to
+    the survivors. The Delta/Iceberg data-skipping contract: at 100 TB
+    the prune happens on the commit-log metadata, long before any
+    parquet footer is opened."""
+    from pyspark.sql import functions as F
+
+    files = live_files(table, version)
+    stats = file_stats(table, version)
+    keep = []
+    for f in files:
+        s = stats.get(f, {}).get(col)
+        if s is None or s[0] is None or not (s[1] < lo or s[0] > hi):
+            keep.append(os.path.join(table, f))
+    if not keep:
+        return read(spark, table, version).filter(F.lit(False))
+    return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+
+
 def _try_claim(table: str, v: int, payload: dict) -> bool:
     """Atomically claim version ``v``. True iff this writer won. The
     payload is fully written before the function returns, and readers
@@ -218,7 +297,11 @@ def _maybe_checkpoint(table: str, v: int, every: int) -> None:
     if every and v % every == 0:
         # resolve BEFORE creating the file (live_files would otherwise
         # read back the half-written checkpoint), then publish atomically
-        payload = {"version": v, "live": live_files(table, v)}
+        payload = {
+            "version": v,
+            "live": live_files(table, v),
+            "stats": file_stats(table, v),
+        }
         tmp = os.path.join(_log_dir(table), f".{uuid.uuid4().hex}.ckpt.tmp")
         with open(tmp, "w") as f:
             json.dump(payload, f)
@@ -226,12 +309,24 @@ def _maybe_checkpoint(table: str, v: int, every: int) -> None:
 
 
 def append(
-    df: DataFrame, table: str, checkpoint_every: int = 10, max_retries: int = 20
+    df: DataFrame,
+    table: str,
+    checkpoint_every: int = 10,
+    max_retries: int = 20,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Blind append: data files are written ONCE; the claim auto-rebases
-    because appends commute. Returns the committed version."""
+    because appends commute. Returns the committed version.
+
+    ``stats_cols``: record per-file min/max for these columns in the
+    commit, enabling ``scan()`` file skipping."""
     add = _write_data(df, table)
-    payload = {"op": "append", "add": add, "remove": []}
+    payload = {
+        "op": "append",
+        "add": add,
+        "remove": [],
+        "stats": _file_stats(df.sparkSession, table, add, stats_cols or []),
+    }
     for _ in range(max_retries):
         v = current_version(table) + 1
         if _try_claim(table, v, {**payload, "version": v}):
@@ -240,7 +335,12 @@ def append(
     raise TxConflict(f"append to {table!r} lost {max_retries} claim races")
 
 
-def overwrite(df: DataFrame, table: str, checkpoint_every: int = 10) -> int:
+def overwrite(
+    df: DataFrame,
+    table: str,
+    checkpoint_every: int = 10,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Replace the table contents atomically. Conflicts with ANY
     concurrent commit (it removes the snapshot it read)."""
     read_v = current_version(table)
@@ -252,6 +352,7 @@ def overwrite(df: DataFrame, table: str, checkpoint_every: int = 10) -> int:
         "remove": live_files(table, read_v),
         "version": v,
         "read_version": read_v,
+        "stats": _file_stats(df.sparkSession, table, add, stats_cols or []),
     }
     if not _try_claim(table, v, payload):
         raise TxConflict(

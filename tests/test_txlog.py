@@ -203,3 +203,48 @@ def test_streaming_merge_into_txlog(spark, tmp_path):
     txlog.merge(spark, table, spark.read.parquet(src).dropDuplicates(["k"]), "k")
     after = {(r.k, r.v) for r in txlog.read(spark, table).collect()}
     assert before == after
+
+
+def test_stats_pruned_scan(spark, tmp_path):
+    """Commits record per-file min/max; scan() skips files whose range
+    cannot match — Delta-style data skipping off the log metadata."""
+    t = str(tmp_path / "t")
+    # three commits with disjoint key ranges, single file each
+    for lo in (0, 100, 200):
+        df = _df(spark, [(lo + i, f"v{lo + i}") for i in range(10)]).coalesce(1)
+        txlog.append(df, t, stats_cols=["k"])
+    stats = txlog.file_stats(t)
+    assert len(stats) == 3 and all("k" in s for s in stats.values())
+
+    # range [100, 105] must touch exactly ONE file
+    files = txlog.live_files(t)
+    touched = [
+        f for f in files
+        if not (stats[f]["k"][1] < 100 or stats[f]["k"][0] > 105)
+    ]
+    assert len(touched) == 1
+    got = _rows(txlog.scan(spark, t, "k", 100, 105))
+    want = _rows(txlog.read(spark, t).filter("k between 100 and 105"))
+    assert got == want and len(got) == 6
+
+    # out-of-range scan: zero files, empty result, same schema
+    empty = txlog.scan(spark, t, "k", 900, 999)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_stats_survive_checkpoint_and_removal(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        txlog.append(
+            _df(spark, [(lo + i, f"v{lo + i}") for i in range(5)]).coalesce(1),
+            t,
+            checkpoint_every=2,
+            stats_cols=["k"],
+        )
+    assert os.path.exists(txlog._checkpoint_path(t, 2))
+    assert len(txlog.file_stats(t)) == 3  # checkpoint carries stats through
+    # overwrite drops old files' stats with the files
+    txlog.overwrite(_df(spark, [(7, "x")]).coalesce(1), t, stats_cols=["k"])
+    stats = txlog.file_stats(t)
+    assert len(stats) == 1
+    assert list(stats.values())[0]["k"] == [7, 7]
