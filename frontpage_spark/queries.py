@@ -6583,3 +6583,138 @@ def order_price_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 9).alias("skewness"),
         F.round(kurt, 9).alias("excess_kurtosis"),
     )
+
+
+# ---- sliding-window DISTINCT count ----------------------------------------
+@register(
+    "sliding_distinct_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+      FROM events
+    ),
+    fanout AS (
+      SELECT day + off AS window_end, user_id
+      FROM days CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS off)
+    ),
+    bounds AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM days
+    )
+    SELECT window_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
+    FROM fanout CROSS JOIN bounds
+    WHERE window_end BETWEEN d0 AND d1
+    GROUP BY window_end
+    """,
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT users per day — the sliding-window
+    distinct-count that resists the usual window-function treatment
+    (COUNT(DISTINCT) is not frame-able in either engine).
+
+    Scale shape: reduce to distinct (day, user) FIRST (one exchange;
+    at most users×days rows survive), THEN fan each row out to the ≤7
+    window-ends it serves and count distinct per window. The fan-out
+    multiplies the *reduced* relation, never raw events — the standard
+    rewrite that keeps sliding distinct counts one-pass and shuffle-
+    bounded. Window-ends outside the observed day span are clipped so
+    both engines agree on the frame."""
+    days = (
+        _t(spark, sf_dir, "events")
+        .select(
+            (F.floor(F.unix_timestamp("ts") / 86400)).cast("long").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    bounds = days.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    fanout = days.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("window_end"),
+        "user_id",
+    )
+    return (
+        fanout.crossJoin(F.broadcast(bounds))
+        .filter(F.col("window_end").between(F.col("d0"), F.col("d1")))
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users_7d"))
+    )
+
+
+# ---- rolling z-score anomaly flags ----------------------------------------
+@register(
+    "rolling_zscore_anomalies",
+    """
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 1000) AS BIGINT) AS mv
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, mv,
+             COUNT(*)        OVER trail AS n,
+             SUM(mv)         OVER trail AS s1,
+             SUM(mv * mv)    OVER trail AS s2
+      FROM v
+      WINDOW trail AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, mv, CAST(n AS BIGINT) AS n_hist,
+           round((CAST(mv AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE))
+                        / CAST(n - 1 AS DOUBLE)),
+                 9) AS zscore
+    FROM w
+    WHERE n >= 5
+      AND (CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE)) > 0
+      AND abs((CAST(mv AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE))
+                     / CAST(n - 1 AS DOUBLE))) > 2.0
+    """,
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection: per user, each event's value
+    z-scored against its OWN trailing 10 events (exclusive — no
+    self-leak), flagged when |z| > 2. Values are milli-unit INTEGERS so
+    the windowed Σv and Σv² are exact in both engines; the z formula
+    is one identical IEEE sequence on those exact sums (rounded at the
+    boundary). Degenerate windows (n<5 or non-positive variance) are
+    excluded with the same double expression in both engines, so the
+    cut is deterministic even when it sits near zero.
+
+    Scale shape: one shuffle on user_id; both windowed sums ride the
+    same sort; no self-join against history."""
+    from pyspark.sql.window import Window
+
+    v = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("mv"),
+    )
+    trail = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-10, -1)
+    )
+    w = v.select(
+        "event_id",
+        "user_id",
+        "mv",
+        F.count("*").over(trail).alias("n"),
+        F.sum("mv").over(trail).alias("s1"),
+        F.sum(F.col("mv") * F.col("mv")).over(trail).alias("s2"),
+    )
+    nD = F.col("n").cast("double")
+    s1D, s2D = F.col("s1").cast("double"), F.col("s2").cast("double")
+    mean = s1D / nD
+    ss = s2D - (s1D * s1D) / nD
+    z = (F.col("mv").cast("double") - mean) / F.sqrt(ss / (F.col("n") - 1).cast("double"))
+    return (
+        w.filter((F.col("n") >= 5) & (ss > 0) & (F.abs(z) > 2.0))
+        .select(
+            "event_id",
+            "user_id",
+            "mv",
+            F.col("n").cast("long").alias("n_hist"),
+            F.round(z, 9).alias("zscore"),
+        )
+    )
