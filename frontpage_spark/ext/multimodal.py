@@ -378,3 +378,69 @@ def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
             )
 
     return df.select("media_id", "kind", "payload").mapInPandas(run, out_schema)
+
+
+AUDIO_RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sumsq", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def _wav_pcm16_samples(b: bytes) -> list[int]:
+    """Signed 16-bit little-endian samples from the data chunk (channels
+    interleaved; chunk walk mirrors ``decode_wav``)."""
+    pos, data = 12, b""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    while pos + 8 <= len(b):
+        cid, csize = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"data":
+            data = b[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    n = len(data) // 2
+    return list(struct.unpack(f"<{n}h", data[: 2 * n]))
+
+
+def audio_rms_windows(df: DataFrame, window: int = 256) -> DataFrame:
+    """Per-window audio energy features over PCM WAV payloads: for each
+    ``window``-sample slice, the exact integer Σsample² (RMS numerator)
+    and peak |sample| — the loudness/silence profile a speech-data
+    pipeline filters on (silence trimming, clipping detection) before
+    any model runs.
+
+    Arrow-batched ``mapInPandas``; NARROW — each payload expands to its
+    own windows on the same partition, no shuffle. All-integer outputs
+    (RMS stays a rational √(sumsq/n) for the caller) so downstream
+    aggregation is engine-exact. Non-audio rows are dropped inside the
+    pass, keeping the scan single."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "audio":
+                    continue
+                samples = _wav_pcm16_samples(bytes(payload))
+                for wi in range(0, len(samples), window):
+                    chunk = samples[wi : wi + window]
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "window_idx": wi // window,
+                            "n_samples": len(chunk),
+                            "sumsq": sum(s * s for s in chunk),
+                            "peak": max((abs(s) for s in chunk), default=0),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "window_idx", "n_samples", "sumsq", "peak"]
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, AUDIO_RMS_SCHEMA)

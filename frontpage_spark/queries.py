@@ -6718,3 +6718,74 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 9).alias("zscore"),
         )
     )
+
+
+# ---- audio PCM window energy ----------------------------------------------
+@register(
+    "audio_rms_profile",
+    """
+    WITH audio AS (
+      SELECT doc_id AS media_id, md5(text) AS hx,
+             octet_length(encode(text)) % 1024 + 1 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    bytes AS (
+      SELECT media_id, n,
+             [CAST(concat('0x', substr(hx, 2*k-1, 2)) AS INTEGER)
+              for k in generate_series(1, 16)] AS b
+      FROM audio
+    ),
+    samples AS (
+      SELECT media_id, n,
+             [CASE WHEN b[2*j-1] + 256*b[2*j] >= 32768
+                   THEN b[2*j-1] + 256*b[2*j] - 65536
+                   ELSE b[2*j-1] + 256*b[2*j] END
+              for j in generate_series(1, 8)] AS s
+      FROM bytes
+    ),
+    feats AS (
+      SELECT media_id, n,
+             [x*x for x in s] AS s2,
+             list_sum([x*x for x in s]) AS cycsum,
+             list_max([abs(x) for x in s]) AS cycmax,
+             s
+      FROM samples
+    ),
+    wins AS (
+      SELECT media_id, n, s, s2, cycsum, cycmax,
+             UNNEST(generate_series(0, (n-1)//256)) AS w
+      FROM feats
+    )
+    SELECT media_id,
+           CAST(w AS INTEGER) AS window_idx,
+           CAST(LEAST(256, n - 256*w) AS INTEGER) AS n_samples,
+           CAST((LEAST(256, n - 256*w) // 8) * cycsum
+                + COALESCE(list_sum(s2[1 : LEAST(256, n - 256*w) % 8]), 0)
+                AS BIGINT) AS sumsq,
+           CAST(CASE WHEN LEAST(256, n - 256*w) >= 8 THEN cycmax
+                     ELSE list_max([abs(x) for x in s[1 : LEAST(256, n - 256*w)]])
+                END AS INTEGER) AS peak
+    FROM wins
+    """,
+)
+def audio_rms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness/silence profile over REAL PCM bytes: synthesize WAV
+    payloads, then ``audio_rms_windows`` parses the 16-bit samples and
+    emits exact integer Σsample² and peak |sample| per 256-sample
+    window — the features a speech pipeline thresholds for silence
+    trimming and clipping detection.
+
+    The oracle never parses a byte: the WAV data chunk is the doc's
+    md5 digest tiled, so samples repeat with period 8 and each
+    window's energy has a closed form (full-cycle count × cycle energy
+    + prefix remainder) computable from md5(text) in SQL. The Spark
+    side runs the honest decoder; agreement means the byte-level parse
+    is exactly right.
+
+    Scale: narrow Arrow pass (``mapInPandas``), windows stay on their
+    payload's partition, all-integer outputs."""
+    from .ext import multimodal
+
+    docs = _tw(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    return multimodal.audio_rms_windows(media, window=256)

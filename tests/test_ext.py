@@ -897,3 +897,32 @@ def test_cosine_topk_exclude_same_label(spark, vectors):
     lab = {r["vec_id"]: r["label"] for r in labeled.collect()}
     for r in rows:
         assert lab[r["cid"]] != lab[0]
+
+
+def test_audio_rms_windows_closed_form(spark):
+    """PCM parse correctness pinned against a hand-computed window:
+    samples are the md5-digest int16 pairs tiled, so Σs² and peak have
+    closed forms."""
+    import hashlib
+    import struct
+
+    text = b"hello world"
+    seed = hashlib.md5(text).digest()
+    n = 20  # 20 samples: one 16-sample... window=8 below → 3 windows
+    wav = multimodal.make_wav(n, seed)
+    expect = list(struct.unpack("<8h", (seed * 2)[:16]))  # period-8 cycle
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), {"src": "t"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["window_idx"]: r
+        for r in multimodal.audio_rms_windows(df, window=8).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    full = sum(v * v for v in expect)
+    assert rows[0]["sumsq"] == full and rows[1]["sumsq"] == full
+    assert rows[2]["n_samples"] == 4
+    assert rows[2]["sumsq"] == sum(v * v for v in expect[:4])
+    assert rows[0]["peak"] == max(abs(v) for v in expect)
+    assert rows[2]["peak"] == max(abs(v) for v in expect[:4])
