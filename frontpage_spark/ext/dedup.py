@@ -317,3 +317,65 @@ def cdc_chunks_oracle_sql(
     SELECT {id_col}, md5(chunk) AS chunk_hash, length(chunk) AS chunk_len
     FROM c WHERE length(chunk) >= {min_len}
     """
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs set-similarity join with PPJoin-style PREFIX FILTERING
+    — lossless candidate pruning for Jaccard ≥ ``threshold``.
+
+    Order every document's shingles by GLOBAL frequency (rarest
+    first); a pair with Jaccard ≥ t must share at least one token
+    among each side's first ``|s| - ceil(t·|s|) + 1`` tokens (if the
+    prefixes were disjoint, the overlap is confined to the suffixes,
+    which are too short to reach t). So the inverted-index join runs
+    on PREFIXES only — the rarest ~(1-t) fraction of each set — and
+    candidates collapse further because rare tokens have short posting
+    lists. Exact verify on full sets follows; the composition returns
+    EXACTLY what the naive all-shingle join returns (the oracle checks
+    this equivalence), at a fraction of the join volume.
+
+    Scale shape: one shuffle to count token frequencies, one to
+    re-sort sets (groupBy id), one prefix-token join, one verify join
+    touching only candidates. No LSH false negatives, no all-pairs —
+    the deterministic alternative to MinHash when exact recall at a
+    known threshold is required."""
+    sh = df.select(F.col(id_col), F.explode(shingles_col(text_col)).alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+    ranked = sh.join(freq, "shingle")
+    sorted_sets = ranked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("freq", "shingle"))).alias("toks")
+    )
+    sets = sorted_sets.select(
+        F.col(id_col),
+        F.transform("toks", lambda x: x["shingle"]).alias("s"),
+        F.size("toks").alias("sz"),
+    ).withColumn(
+        "prefix",
+        F.slice(
+            "s",
+            F.lit(1),
+            (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+        ),
+    )
+    pa = sets.select(F.col(id_col).alias("a"), F.explode("prefix").alias("tok"))
+    pb = sets.select(F.col(id_col).alias("b"), F.explode("prefix").alias("tok"))
+    cand = pa.join(pb, "tok").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    xa = sets.select(F.col(id_col).alias("a"), F.col("s").alias("sa"), F.col("sz").alias("sza"))
+    xb = sets.select(F.col(id_col).alias("b"), F.col("s").alias("sb"), F.col("sz").alias("szb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(xa, "a")
+        .join(xb, "b")
+        .withColumn(
+            "jaccard",
+            inter.cast("double")
+            / (F.col("sza") + F.col("szb") - inter).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -6789,3 +6789,35 @@ def audio_rms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tw(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     return multimodal.audio_rms_windows(media, window=256)
+
+
+# ---- PPJoin prefix-filtered similarity join --------------------------------
+@register(
+    "prefix_filtered_jaccard",
+    f"""
+    WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, UNNEST({SHINGLES_SQL}) AS shingle FROM docs),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a, b,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+    """,
+)
+def prefix_filtered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered Jaccard join at t=0.5 over the FULL
+    corpus. The ORACLE runs the naive all-shingle inverted-index join —
+    prefix filtering is LOSSLESS, so agreement proves no candidate was
+    pruned wrongly while the Spark side joined only each set's rare
+    prefix (see ``dedup.prefix_filter_pairs``). The deterministic
+    complement to MinHash LSH: exact recall at a known threshold, no
+    probabilistic misses."""
+    return dedup.prefix_filter_pairs(_tw(spark, sf_dir, "documents"), threshold=0.5)

@@ -926,3 +926,58 @@ def test_audio_rms_windows_closed_form(spark):
     assert rows[2]["sumsq"] == sum(v * v for v in expect[:4])
     assert rows[0]["peak"] == max(abs(v) for v in expect)
     assert rows[2]["peak"] == max(abs(v) for v in expect[:4])
+
+
+def test_prefix_filter_pairs_lossless_and_pruning(spark, docs):
+    """Prefix filtering must return exactly the naive join's pairs
+    (lossless) while generating strictly fewer candidate pairs."""
+    naive = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.prefix_filter_pairs(docs, threshold=0.5).collect()
+    }
+    assert pref == naive and naive  # identical pairs AND values, non-empty
+
+    # pruning effect: docs that share ONLY a globally-frequent shingle.
+    # Each doc: 2 unique words + "alpha beta gamma" + 2 unique words →
+    # 5 shingles, exactly one shared (freq 6). Prefix length at t=0.5 is
+    # 3 = the three rarest (unique) shingles, so the shared frequent
+    # shingle never enters the index: 0 candidates vs 15 naive.
+    from pyspark.sql import functions as F
+
+    boiler = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b alpha beta gamma u{i}c u{i}d") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    sh = boiler.select("doc_id", F.explode(dedup.shingles_col("text")).alias("shingle"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    naive_cand = (
+        a.join(b, "shingle").filter("a < b").select("a", "b").distinct().count()
+    )
+    assert naive_cand == 15
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+    ranked = sh.join(freq, "shingle")
+    sets = (
+        ranked.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("freq", "shingle"))).alias("toks"))
+        .select(
+            "doc_id",
+            F.transform("toks", lambda x: x["shingle"]).alias("s"),
+            F.size("toks").alias("sz"),
+        )
+        .withColumn(
+            "prefix",
+            F.slice("s", F.lit(1), (F.col("sz") - F.ceil(0.5 * F.col("sz")) + 1).cast("int")),
+        )
+    )
+    pa = sets.select(F.col("doc_id").alias("a"), F.explode("prefix").alias("tok"))
+    pb = sets.select(F.col("doc_id").alias("b"), F.explode("prefix").alias("tok"))
+    pref_cand = pa.join(pb, "tok").filter("a < b").select("a", "b").distinct().count()
+    assert pref_cand == 0
+    # and losslessness holds here too: no pair reaches t=0.5 anyway
+    assert dedup.prefix_filter_pairs(boiler, threshold=0.5).count() == 0
+    assert dedup.jaccard_pairs(boiler, threshold=0.5).count() == 0
