@@ -427,3 +427,73 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
             if not os.listdir(ddir):
                 shutil.rmtree(ddir)
     return removed
+
+
+def file_changes(table: str, v_from: int, v_to: int) -> dict[str, list[str]]:
+    """Metadata-only change summary between two versions: which data
+    files were added/removed — resolved purely from the log, no data
+    read. The first question an incremental consumer asks (nothing
+    changed → nothing to do) answered in O(commits)."""
+    if v_from > v_to:
+        raise ValueError(f"v_from {v_from} > v_to {v_to}")
+    added: set[str] = set()
+    removed: set[str] = set()
+    for i in range(v_from + 1, v_to + 1):
+        c = _read_commit(table, i)
+        for f in c.get("remove", []):
+            if f in added:
+                added.discard(f)  # added then removed within the range: net no-op
+            else:
+                removed.add(f)
+        added.update(c.get("add", []))
+    return {"added": sorted(added), "removed": sorted(removed)}
+
+
+def row_diff(
+    spark: SparkSession, table: str, key: str, v_from: int, v_to: int | None = None
+) -> DataFrame:
+    """Row-level change data feed between two snapshots: full-outer
+    join the versions on ``key`` and classify each row as
+    insert / delete / update / unchanged-excluded. The consumer-side
+    CDF for a log that (deliberately) stores full snapshots per
+    version — a production log would also write per-commit change
+    files; this derivation needs nothing but the two snapshot reads
+    and one co-partitioned join on the key.
+
+    Output: (<key>, change_type, then old_/new_ for every non-key
+    column)."""
+    from pyspark.sql import functions as F
+
+    v_to = current_version(table) if v_to is None else v_to
+    old = read(spark, table, v_from)
+    new = read(spark, table, v_to)
+    val_cols = [c for c in new.columns if c != key]
+    o = old.select(
+        F.col(key), *[F.col(c).alias(f"old_{c}") for c in val_cols]
+    )
+    n = new.select(
+        F.col(key), *[F.col(c).alias(f"new_{c}") for c in val_cols]
+    )
+    # presence = the side contributed a row; detect via marker columns
+    # (value columns can be legitimately NULL, so markers, not NULL checks)
+    o2 = o.withColumn("_in_old", F.lit(True))
+    n2 = n.withColumn("_in_new", F.lit(True))
+    j = o2.join(n2, key, "full_outer")
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            key,
+            "change_type",
+            *[F.col(f"old_{c}") for c in val_cols],
+            *[F.col(f"new_{c}") for c in val_cols],
+        )
+    )

@@ -248,3 +248,35 @@ def test_stats_survive_checkpoint_and_removal(spark, tmp_path):
     stats = txlog.file_stats(t)
     assert len(stats) == 1
     assert list(stats.values())[0]["k"] == [7, 7]
+
+
+def test_file_changes_metadata_only(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.append(_df(spark, [(1, "a")]).coalesce(1), t)
+    txlog.append(_df(spark, [(2, "b")]).coalesce(1), t)
+    ch = txlog.file_changes(t, 1, 2)
+    assert len(ch["added"]) == 1 and ch["removed"] == []
+    txlog.merge(spark, t, _df(spark, [(1, "A")]), "k")
+    ch = txlog.file_changes(t, 2, 3)
+    assert ch["removed"] and ch["added"]  # rewrite removed v2's files
+    # add-then-remove within a range nets out
+    ch_all = txlog.file_changes(t, 0, 3)
+    assert set(ch_all["added"]) == set(txlog.live_files(t))
+    assert ch_all["removed"] == []
+
+
+def test_row_diff_classifies_changes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    txlog.merge(spark, t, _df(spark, [(2, "B"), (4, "d")]), "k")  # update + insert
+    txlog.overwrite(
+        _df(spark, [(1, "a"), (2, "B"), (4, "d")]), t
+    )  # drops k=3 (delete), rest unchanged
+    d12 = {r.k: r.change_type for r in txlog.row_diff(spark, t, "k", 1, 2).collect()}
+    assert d12 == {2: "update", 4: "insert"}
+    d23 = {r.k: r.change_type for r in txlog.row_diff(spark, t, "k", 2, 3).collect()}
+    assert d23 == {3: "delete"}
+    row = txlog.row_diff(spark, t, "k", 1, 2).filter("k = 2").first()
+    assert row["old_v"] == "b" and row["new_v"] == "B"
+    # identical snapshots → empty feed
+    assert txlog.row_diff(spark, t, "k", 3, 3).count() == 0
