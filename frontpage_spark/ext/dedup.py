@@ -379,3 +379,57 @@ def prefix_filter_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def hamming_near_dup(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded Hamming self-join over 64-bit signatures split into two
+    32-bit halves: candidates must share one of four 16-bit bands, then
+    exact popcount-of-XOR verifies ``hamming <= max_hamming``.
+
+    LOSSLESS for ``max_hamming <= 3`` by pigeonhole: 4 bands, at most 3
+    differing bits, so some band is bit-identical — band-join recall is
+    exactly 1 and an all-pairs oracle must agree. One shuffle on
+    (band, value) — never on raw content — and each bucket holds only
+    signatures that agree on 16 bits, so bucket width is bounded by the
+    corpus's true duplicate structure (cf. the LSH degenerate-bucket
+    guard; dHash of non-duplicate content is ~uniform on 2^16 per band).
+    """
+    if max_hamming > 3:
+        raise ValueError("4x16 banding is only lossless for max_hamming <= 3")
+    hi, lo = F.col(hi_col), F.col(lo_col)
+    banded = hashes.select(
+        F.col(id_col), hi.alias("hi"), lo.alias("lo"),
+        F.posexplode(
+            F.array(
+                lo.bitwiseAND(F.lit(65535)),
+                F.shiftright(lo, 16).bitwiseAND(F.lit(65535)),
+                hi.bitwiseAND(F.lit(65535)),
+                F.shiftright(hi, 16).bitwiseAND(F.lit(65535)),
+            )
+        ).alias("band", "bv"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a"), F.col("hi").alias("hia"),
+        F.col("lo").alias("loa"), "band", "bv",
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), F.col("hi").alias("hib"),
+        F.col("lo").alias("lob"), "band", "bv",
+    )
+    ham = F.bit_count(F.col("hia").bitwiseXOR(F.col("hib"))) + F.bit_count(
+        F.col("loa").bitwiseXOR(F.col("lob"))
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )

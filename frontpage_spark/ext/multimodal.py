@@ -444,3 +444,70 @@ def audio_rms_windows(df: DataFrame, window: int = 256) -> DataFrame:
             )
 
     return df.select("media_id", "kind", "payload").mapInPandas(run, AUDIO_RMS_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _bmp_dhash(b: bytes) -> tuple[int, int, int, int]:
+    """Difference-hash of a 24bpp BMP: sample a 9×8 grayscale grid
+    (nearest-neighbor, top-down rows), set bit (j*8+i) when the right
+    neighbor is brighter. Returns (hi32, lo32, width, height) — two
+    32-bit halves so both engines stay inside signed-BIGINT math."""
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    h = abs(h)
+    rw = _bmp_row_size(w)
+
+    def gray(px: int, py: int) -> int:
+        sr = h - 1 - py  # BI_RGB rows are stored bottom-up
+        o = data_off + sr * rw + px * 3
+        return (b[o] + b[o + 1] + b[o + 2]) // 3
+
+    hi = lo = 0
+    for j in range(8):
+        py = j * h // 8
+        row = [gray(i * w // 9, py) for i in range(9)]
+        bits = sum((1 << i) for i in range(8) if row[i + 1] > row[i])
+        if j < 4:
+            lo |= bits << (8 * j)
+        else:
+            hi |= bits << (8 * (j - 4))
+    return hi, lo, w, h
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash per image payload — the standard
+    near-duplicate-image signature (64 gradient-sign bits; similar
+    images differ in a few bits, unrelated ones in ~32).
+
+    Parses the real BMP bytes (header offsets, bottom-up padded rows).
+    Arrow-batched ``mapInPandas``, NARROW — one pass, no shuffle; the
+    64-bit signature is what shuffles downstream, never pixels. That is
+    the 100 TB contract for image dedup: reduce each image to 8 bytes
+    in place, then run set operations on signatures only. Non-image
+    rows are dropped inside the pass."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "image":
+                    continue
+                hi, lo, w, h = _bmp_dhash(bytes(payload))
+                out.append((int(media_id), hi, lo, w, h))
+            yield pd.DataFrame(
+                out, columns=["media_id", "dhash_hi", "dhash_lo", "width", "height"]
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, DHASH_SCHEMA)

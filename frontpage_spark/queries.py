@@ -6821,3 +6821,97 @@ def prefix_filtered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to MinHash LSH: exact recall at a known threshold, no
     probabilistic misses."""
     return dedup.prefix_filter_pairs(_tw(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# ---- image perceptual hash (dHash) -----------------------------------------
+# Shared oracle CTE: closed-form dHash from md5(text). The synthesized
+# BMP (multimodal.synthesize_media) fills pixel rows with the 16-byte
+# md5 digest tiled, so the byte at linear offset o is digest[o % 16] and
+# every sampled grayscale cell — hence every gradient-sign bit — has a
+# closed form in SQL. The Spark side parses the real BMP container
+# (header offsets, bottom-up 4-byte-padded rows); bit-exact agreement
+# proves the honest pixel walk.
+_DHASH_ORACLE_CTE = """
+    imgs AS (
+      SELECT doc_id AS media_id, md5(text) AS hx,
+             octet_length(encode(text)) % 101 + 1 AS w,
+             octet_length(encode(text)) % 53 + 1 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    dims AS (
+      SELECT media_id, w, h, ((w*3+3)//4)*4 AS rw,
+             [CAST(concat('0x', substr(hx, 2*k-1, 2)) AS INTEGER)
+              for k in generate_series(1, 16)] AS b
+      FROM imgs
+    ),
+    grids AS (
+      SELECT media_id, w, h,
+        [ [ (b[((h-1-(j*h//8))*rw + (i*w//9)*3) % 16 + 1]
+           + b[((h-1-(j*h//8))*rw + (i*w//9)*3 + 1) % 16 + 1]
+           + b[((h-1-(j*h//8))*rw + (i*w//9)*3 + 2) % 16 + 1]) // 3
+            for i in generate_series(0, 8) ]
+          for j in generate_series(0, 7) ] AS g
+      FROM dims
+    ),
+    rowbits AS (
+      SELECT media_id, w, h,
+        [ list_sum([CASE WHEN r[i+1] > r[i] THEN 1<<(i-1) ELSE 0 END
+                    for i in generate_series(1, 8)])
+          for r in g ] AS rb
+      FROM grids
+    ),
+    dhashes AS (
+      SELECT media_id,
+             CAST(rb[5] + rb[6]*256 + rb[7]*65536 + rb[8]*16777216 AS BIGINT) AS dhash_hi,
+             CAST(rb[1] + rb[2]*256 + rb[3]*65536 + rb[4]*16777216 AS BIGINT) AS dhash_lo,
+             CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
+      FROM rowbits
+    )
+"""
+
+
+@register(
+    "image_dhash_profile",
+    f"WITH {_DHASH_ORACLE_CTE} SELECT * FROM dhashes",
+)
+def image_dhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image perceptual difference-hash (64 gradient-sign bits as
+    two 32-bit halves) over REAL BMP payloads — the signature stage of
+    image dedup. ``multimodal.image_dhash`` walks the actual container
+    bytes (data-offset header field, bottom-up rows, 4-byte row
+    padding, 9×8 nearest-neighbor grayscale grid); the oracle predicts
+    every bit closed-form from md5(text) because the synthetic pixel
+    fill tiles the digest. Scale: narrow Arrow pass, images reduce to
+    8 bytes in place — nothing but signatures ever shuffles."""
+    from .ext import multimodal
+
+    docs = _tw(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    return multimodal.image_dhash(media)
+
+
+@register(
+    "image_dhash_near_dup",
+    f"""
+    WITH {_DHASH_ORACLE_CTE}
+    SELECT a.media_id AS a, b.media_id AS b,
+           CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+              + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INTEGER) AS hamming
+    FROM dhashes a JOIN dhashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+    """,
+)
+def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs at Hamming ≤ 3 over dHash signatures.
+    The ORACLE is the brute-force all-pairs popcount join; the Spark
+    side joins only on 16-bit signature bands (``dedup.hamming_near_dup``)
+    — lossless at this radius by pigeonhole, so agreement proves the
+    banding pruned nothing. The image-modality mirror of MinHash-LSH →
+    exact-verify text dedup: one shuffle on (band, value), popcount
+    verify on candidates only, never an all-pairs comparison."""
+    from .ext import multimodal
+
+    docs = _tw(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    return dedup.hamming_near_dup(multimodal.image_dhash(media), max_hamming=3)

@@ -981,3 +981,36 @@ def test_prefix_filter_pairs_lossless_and_pruning(spark, docs):
     # and losslessness holds here too: no pair reaches t=0.5 anyway
     assert dedup.prefix_filter_pairs(boiler, threshold=0.5).count() == 0
     assert dedup.jaccard_pairs(boiler, threshold=0.5).count() == 0
+
+
+def test_image_dhash_parses_real_bmp(spark):
+    """dHash over honest BMP parse: identical texts hash identically;
+    the hash halves stay inside 32 bits."""
+    rows = [(0, "the same document text here"), (3, "the same document text here"),
+            (6, "a completely different story about ships")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = multimodal.synthesize_media(df, "doc_id", "text")
+    got = {r["media_id"]: r for r in multimodal.image_dhash(media).collect()}
+    assert set(got) == {0, 3, 6}
+    assert got[0]["dhash_hi"] == got[3]["dhash_hi"]
+    assert got[0]["dhash_lo"] == got[3]["dhash_lo"]
+    for r in got.values():
+        assert 0 <= r["dhash_hi"] < 2**32 and 0 <= r["dhash_lo"] < 2**32
+
+
+def test_hamming_near_dup_banding_is_lossless(spark):
+    """Planted signatures 1/2/3 bits apart (spanning band boundaries)
+    are all recovered by the 4x16 banded join; a far pair is not."""
+    base_hi, base_lo = 0x12345678, 0x9ABCDEF0
+    rows = [
+        (1, base_hi, base_lo),
+        (2, base_hi, base_lo ^ 0b1),                # 1 bit, band 0
+        (3, base_hi ^ (1 << 31), base_lo ^ 0b11),   # 3 bits across bands
+        (4, base_hi ^ 0xFFFF0000, base_lo ^ 0xFFFF),  # 32 bits away
+    ]
+    df = spark.createDataFrame(rows, "media_id long, dhash_hi long, dhash_lo long")
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in dedup.hamming_near_dup(df).collect()}
+    assert pairs == {(1, 2): 1, (1, 3): 3, (2, 3): 2}
+    assert all(4 not in p for p in pairs)
+    with pytest.raises(ValueError):
+        dedup.hamming_near_dup(df, max_hamming=4)
