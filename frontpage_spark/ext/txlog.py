@@ -497,3 +497,64 @@ def row_diff(
             *[F.col(f"new_{c}") for c in val_cols],
         )
     )
+
+
+def compact(
+    spark: SparkSession,
+    table: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    checkpoint_every: int = 10,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE: bin-pack small data files into ~``target_file_bytes``
+    files. Rewrites ONLY files under ``small_file_bytes`` — large files
+    are left in place, so cost is proportional to the small-file debt,
+    not table size (the Delta OPTIMIZE contract). A no-op (returns the
+    current version, no commit) when fewer than two small files exist.
+
+    The commit is logically a no-op on rows (``data_change: false`` in
+    the payload); readers see the same rows before and after, and
+    ``row_diff`` across the compaction is empty. Streaming appends are
+    the canonical producer of small-file debt — a 1000-executor
+    ingest at 100 TB writes thousands of sub-row-group files per hour,
+    and scan throughput dies on per-file open cost long before data
+    volume matters.
+
+    Concurrency: conflicts with ANY concurrent commit (it removes the
+    files it read), surfacing as ``TxConflict`` — rerun; appends that
+    landed meanwhile simply become the next round's debt."""
+    read_v = current_version(table)
+    if read_v == 0:
+        return 0
+    live = live_files(table, read_v)
+    small = [
+        f
+        for f in live
+        if os.path.getsize(os.path.join(table, f)) < small_file_bytes
+    ]
+    if len(small) < 2:
+        return read_v
+    total = sum(os.path.getsize(os.path.join(table, f)) for f in small)
+    n_out = max(1, -(-total // target_file_bytes))
+    packed = spark.read.parquet(*[os.path.join(table, f) for f in small]).repartition(
+        n_out
+    )
+    add = _write_data(packed, table)
+    v = read_v + 1
+    payload = {
+        "op": "compact",
+        "add": add,
+        "remove": small,
+        "version": v,
+        "read_version": read_v,
+        "data_change": False,
+        "stats": _file_stats(spark, table, add, stats_cols or []),
+    }
+    if not _try_claim(table, v, payload):
+        raise TxConflict(
+            f"compact of {table!r} read version {read_v} but version {v} was "
+            "committed by another writer; re-read and retry"
+        )
+    _maybe_checkpoint(table, v, checkpoint_every)
+    return v

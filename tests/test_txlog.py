@@ -280,3 +280,76 @@ def test_row_diff_classifies_changes(spark, tmp_path):
     assert row["old_v"] == "b" and row["new_v"] == "B"
     # identical snapshots → empty feed
     assert txlog.row_diff(spark, t, "k", 3, 3).count() == 0
+
+
+def test_compact_binpacks_small_files_preserving_rows(spark, tmp_path):
+    """Ten tiny appends -> compact -> far fewer files, identical rows,
+    data_change=false commit, pre-compact time travel intact, and an
+    empty row-level CDF across the compaction."""
+    t = str(tmp_path / "t")
+    for i in range(10):
+        txlog.append(spark.range(i * 10, i * 10 + 10).toDF("id"), t)
+    v_pre = txlog.current_version(t)
+    n_files_pre = len(txlog.live_files(t))
+    v_post = txlog.compact(spark, t, small_file_bytes=1 << 20, target_file_bytes=1 << 20)
+    assert v_post == v_pre + 1
+    assert len(txlog.live_files(t)) < n_files_pre
+    got = sorted(r["id"] for r in txlog.read(spark, t).collect())
+    assert got == list(range(100))
+    # time travel to the pre-compact snapshot still resolves
+    assert txlog.read(spark, t, v_pre).count() == 100
+    c = txlog.history(t)[-1]
+    assert c["op"] == "compact" and c["data_change"] is False
+    assert txlog.row_diff(spark, t, "id", v_pre, v_post).count() == 0
+
+
+def test_compact_skips_large_files_and_noops_when_packed(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.append(spark.range(0, 50).toDF("id"), t)
+    txlog.append(spark.range(50, 100).toDF("id"), t)
+    # threshold below actual file size -> nothing qualifies -> no-op
+    v = txlog.compact(spark, t, small_file_bytes=1)
+    assert v == txlog.current_version(t)
+    assert txlog.history(t)[-1]["op"] == "append"
+
+
+def test_compact_carries_stats_for_pruned_scan(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        txlog.append(
+            spark.range(lo, lo + 100).toDF("id"), t, stats_cols=["id"]
+        )
+    txlog.compact(
+        spark, t, small_file_bytes=1 << 20, target_file_bytes=1, stats_cols=["id"]
+    )
+    stats = txlog.file_stats(t)
+    assert stats, "compacted files must carry recomputed stats"
+    got = sorted(r["id"] for r in txlog.scan(spark, t, "id", 120, 130).collect())
+    assert got == list(range(120, 131))
+
+
+def test_compact_conflict_with_interleaved_append(spark, tmp_path, monkeypatch):
+    """A writer that lands between compact's snapshot read and its
+    claim makes the compaction lose loudly (its removals embedded a
+    stale snapshot)."""
+    t = str(tmp_path / "t")
+    txlog.append(spark.range(0, 10).toDF("id"), t)
+    txlog.append(spark.range(10, 20).toDF("id"), t)
+
+    real_write = txlog._write_data
+
+    def write_then_race(df, table):
+        rel = real_write(df, table)
+        monkeypatch.setattr(txlog, "_write_data", real_write)  # race once
+        txlog.append(spark.range(90, 95).toDF("id"), t)
+        return rel
+
+    monkeypatch.setattr(txlog, "_write_data", write_then_race)
+    with pytest.raises(txlog.TxConflict):
+        txlog.compact(spark, t, small_file_bytes=1 << 20)
+    # table is intact: both original appends plus the racer
+    assert txlog.read(spark, t).count() == 25
+    # rerun succeeds and absorbs the racer's file as new debt
+    v = txlog.compact(spark, t, small_file_bytes=1 << 20)
+    assert txlog.history(t)[v - 1]["op"] == "compact"
+    assert txlog.read(spark, t).count() == 25
