@@ -6915,3 +6915,78 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tw(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     return dedup.hamming_near_dup(multimodal.image_dhash(media), max_hamming=3)
+
+
+# ---- TPC-H Q13 shape: order-count distribution ------------------------------
+@register(
+    "order_count_distribution_q13ish",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) d
+    GROUP BY c_count
+    """,
+)
+def order_count_distribution_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — how many customers placed k orders, k >= 0.
+    The double aggregation over a LEFT OUTER join with an ON-clause
+    (not WHERE) filter on the null-producing side: the classic trap
+    where pushing the predicate to WHERE silently deletes the zero-
+    order customers. Scale: first agg shuffles on c_custkey (the join
+    key — AQE coalesces to one exchange), second agg shuffles the tiny
+    (k, count) domain."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---- TPC-H Q2 shape: decorrelated per-group minimum -------------------------
+@register(
+    "min_cost_supplier_q2ish",
+    """
+    WITH px AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, px.price AS min_price
+    FROM px
+    JOIN (SELECT l_partkey, MIN(l_extendedprice) AS mn
+          FROM lineitem GROUP BY l_partkey) m
+      ON px.l_partkey = m.l_partkey AND px.price = m.mn
+    JOIN part p ON p.p_partkey = px.l_partkey
+    JOIN supplier s ON s.s_suppkey = px.l_suppkey
+    WHERE p.p_size >= 25
+    """,
+)
+def min_cost_supplier_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — for each large part, every supplier quoting its
+    minimum price. The correlated scalar subquery (`WHERE price = (SELECT
+    MIN ... WHERE partkey = outer.partkey)`) DECORRELATED into one
+    grouped aggregate joined back on (partkey, price) — the rewrite
+    Catalyst itself applies to correlated subqueries, expressed
+    directly so the plan is two shuffles on l_partkey (co-partitioned,
+    AQE reuses the exchange) + two broadcast dim joins. Ties keep all
+    minimal suppliers, exactly like Q2."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    s = _t(spark, sf_dir, "supplier")
+    px = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("price")
+    )
+    mins = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("mn"))
+    return (
+        px.join(mins, ["l_partkey"])
+        .filter(F.col("price") == F.col("mn"))
+        .join(F.broadcast(p), px["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), px["l_suppkey"] == s["s_suppkey"])
+        .select("p_partkey", "p_brand", "s_name", F.col("price").alias("min_price"))
+    )
