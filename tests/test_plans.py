@@ -212,3 +212,26 @@ def test_no_cartesian_product_in_any_query(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], f"cartesian products in: {offenders}"
+
+
+def test_dynamic_partition_pruning_from_dim_join(spark, tmp_path):
+    """DPP: a filter on the DIMENSION side prunes the partitioned FACT
+    scan at runtime via a dynamicpruning subquery — the 100 TB pattern
+    where `sales JOIN dim ON pkey WHERE dim.attr = x` must read only
+    the partitions the dim filter selects, even though no literal
+    predicate on the partition column exists in the query."""
+    from frontpage_spark.plans import write_partitioned
+
+    fact = spark.createDataFrame(
+        [(i, i % 5, i * 1.0) for i in range(200)], ["id", "day_k", "v"]
+    )
+    dim = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(5)], ["day_k", "day_name"]
+    )
+    path = str(tmp_path / "fact")
+    write_partitioned(fact, path, "day_k")
+    f = spark.read.parquet(path)
+    q = f.join(F.broadcast(dim), "day_k").filter(F.col("day_name") == "name2")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert q.count() == 40
