@@ -78,6 +78,18 @@ HEADLINE = [
     "benchmark_contamination",
     "recursive_ancestor_depths",
     "triangle_count_copurchase",
+    # round-3 additions: new heavy/representative operators
+    "bpe_train_merges",
+    "prefix_filtered_jaccard",
+    "audio_rms_profile",
+    "image_dhash_near_dup",
+    "sliding_distinct_users",
+    "rolling_zscore_anomalies",
+    "bm25_keyword_search",
+    "quality_score_auc",
+    "split_leakage_audit",
+    "order_count_distribution_q13ish",
+    "min_cost_supplier_q2ish",
 ]
 
 
