@@ -206,12 +206,20 @@ def test_no_cartesian_product_in_any_query(spark):
 
     sf = "/root/testdata/sf0.001"
     offenders = []
+    slow_python = []
     for name, fn in sorted(QUERIES.items()):
         df = fn(spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             offenders.append(name)
+        # second invariant, same sweep: Python reaches the JVM only
+        # through Arrow batches (ArrowEvalPython / MapInPandas /
+        # FlatMapGroupsInPandas) — a BatchEvalPython node means a
+        # row-at-a-time UDF crept into a hot path (10-100x slower).
+        if "BatchEvalPython" in plan:
+            slow_python.append(name)
     assert offenders == [], f"cartesian products in: {offenders}"
+    assert slow_python == [], f"row-at-a-time Python UDFs in: {slow_python}"
 
 
 def test_dynamic_partition_pruning_from_dim_join(spark, tmp_path):
