@@ -350,9 +350,16 @@ def prefix_filter_pairs(
     sorted_sets = ranked.groupBy(id_col).agg(
         F.array_sort(F.collect_list(F.struct("freq", "shingle"))).alias("toks")
     )
+    # Verify-side sets carry 64-bit shingle hashes, not strings: the
+    # candidate join and array_intersect then move/compare 8-byte longs
+    # instead of ~20-byte shingle text — the standard set-sim-join token
+    # dictionary, hash-based so it needs no global id assignment. A
+    # collision only matters when two distinct shingles inside ONE
+    # pair's union collide (~|union|²/2⁶⁴ per pair — vanishing, and the
+    # string-exact oracle equivalence check would catch it).
     sets = sorted_sets.select(
         F.col(id_col),
-        F.transform("toks", lambda x: x["shingle"]).alias("s"),
+        F.transform("toks", lambda x: F.xxhash64(x["shingle"])).alias("s"),
         F.size("toks").alias("sz"),
     ).withColumn(
         "prefix",
@@ -362,9 +369,52 @@ def prefix_filter_pairs(
             (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
         ),
     )
-    pa = sets.select(F.col(id_col).alias("a"), F.explode("prefix").alias("tok"))
-    pb = sets.select(F.col(id_col).alias("b"), F.explode("prefix").alias("tok"))
-    cand = pa.join(pb, "tok").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    # four consumers below (two prefix explodes, two verify sides) —
+    # without a persist each one replays shingle + freq + sort from the
+    # scan, quadrupling the dominant stage. Loop-invariant cache, same
+    # contract as pagerank_fixedpoint: callers drop it with clearCache.
+    sets = sets.persist()
+    # Candidate generation with the full PPJoin filter stack — each
+    # filter is LOSSLESS (the oracle equivalence proves it):
+    #  * prefix filter: join only the rare prefixes (above);
+    #  * length filter: J >= t forces min(sz)/max(sz) >= t;
+    #  * positional filter: a token shared at 0-based positions (i, j)
+    #    of the globally-sorted sets bounds the overlap by
+    #    min(i, j) + 1 + min(sza-i-1, szb-j-1), which is an upper
+    #    bound on |a ∩ b| for EVERY shared token, so requiring it to
+    #    reach alpha = ceil(t/(1+t)·(sza+szb)) (the overlap J >= t
+    #    needs) never drops a true pair.
+    # Verify cost is linear in surviving candidates, so these cheap
+    # in-join predicates are where the join volume actually falls.
+    pa = sets.select(
+        F.col(id_col).alias("a"),
+        F.col("sz").alias("sza"),
+        F.posexplode("prefix").alias("i", "tok"),
+    )
+    pb = sets.select(
+        F.col(id_col).alias("b"),
+        F.col("sz").alias("szb"),
+        F.posexplode("prefix").alias("j", "tok"),
+    )
+    alpha = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("sza") + F.col("szb"))
+    )
+    ubound = (
+        F.least(F.col("i"), F.col("j"))
+        + 1
+        + F.least(F.col("sza") - F.col("i") - 1, F.col("szb") - F.col("j") - 1)
+    )
+    cand = (
+        pa.join(pb, "tok")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.least("sza", "szb").cast("double")
+            >= F.lit(threshold) * F.greatest("sza", "szb").cast("double")
+        )
+        .filter(ubound >= alpha)
+        .select("a", "b")
+        .distinct()
+    )
     xa = sets.select(F.col(id_col).alias("a"), F.col("s").alias("sa"), F.col("sz").alias("sza"))
     xb = sets.select(F.col(id_col).alias("b"), F.col("s").alias("sb"), F.col("sz").alias("szb"))
     inter = F.size(F.array_intersect("sa", "sb"))
