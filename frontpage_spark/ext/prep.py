@@ -177,6 +177,43 @@ def prep_corpus(
 BPE_SEP = "•"  # '•' — never appears in [a-z]+ word symbols
 
 
+def _bpe_train_local(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str]]:
+    """Driver-local replica of the distributed BPE recurrence, used
+    only behind the small-vocab gate in ``bpe_train``. Semantics must
+    stay bit-identical to the Spark rounds (and the DuckDB oracle's
+    replay): overlapping adjacent-pair counts weighted by word count,
+    argmax tie-broken by (count DESC, lhs ASC, rhs ASC) in binary
+    order, greedy left-to-right non-overlapping merge application."""
+    words: list[tuple[list[str], int]] = [([c for c in w], wc) for w, wc in vocab]
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, wc in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + wc
+        if not counts:
+            break
+        (a, b), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b))
+        for idx, (syms, wc) in enumerate(words):
+            if len(syms) < 2:
+                continue
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = (out, wc)
+    return merges
+
+
 def _bpe_state_expr(word_col: str) -> F.Column:
     """Initial BPE state string for a word: symbols are single chars,
     '•'-anchored and '••'-separated — 'abc' → '•a••b••c•'. The double
@@ -222,6 +259,28 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("wc"))
     )
     state = words.select("word", _bpe_state_expr("word").alias("st"), "wc").persist()
+    # Size-gated local fast path (the _gated_pair_edges pattern): BPE
+    # rounds are inherently sequential — each argmax is a driver
+    # barrier — so a small vocabulary pays n_merges × job-scheduling
+    # overhead for no parallelism gain. When the DISTINCT-WORD table
+    # (already the corpus-wide aggregate, never row data) fits the
+    # probe, collect it once and run the identical recurrence in
+    # Python: same overlapping pair counts, same (count DESC, lhs,
+    # rhs) binary tie-break ([a-z]+ symbols make Python's code-point
+    # order equal Spark/DuckDB binary order), same greedy left-to-
+    # right merge application. The returned state table applies the
+    # learned merges as ONE nested-replace narrow pass, so downstream
+    # consumers (encode join) see the exact distributed result. A
+    # multi-million-word vocab fails the probe and trains with the
+    # distributed rounds below.
+    _SMALL_VOCAB = 100_000
+    if state.limit(_SMALL_VOCAB + 1).count() <= _SMALL_VOCAB:
+        vocab = [(r["word"], r["wc"]) for r in state.select("word", "wc").collect()]
+        merges = _bpe_train_local(vocab, n_merges)
+        expr = "st"
+        for _, a, b in merges:
+            expr = f"replace({expr}, '{s}{a}{s}{s}{b}{s}', '{s}{a}{b}{s}')"
+        return merges, state.select("word", F.expr(expr).alias("st"), "wc")
     prev: DataFrame | None = None
     syms = f"split(trim(BOTH '{s}' FROM st), '{s}{s}')"
     pair_structs = (
