@@ -118,6 +118,11 @@ def lsh_candidate_pairs(
         sigs = signatures_from_shingles(shingles_df, id_col, "shingles", bands)
     else:
         sigs = minhash_signatures(df, id_col, text_col, bands)
+    # consumed twice (bucket-size count, then the gated collect) — the
+    # signature pass is the expensive narrow stage (one md5 per
+    # shingle), so cache it rather than replay it; callers drop the
+    # block with clearCache, same contract as the other loop invariants.
+    sigs = sigs.persist()
     usable_keys = (
         sigs.groupBy("band", "minhash")
         .agg(F.count("*").alias("n"))
@@ -464,6 +469,9 @@ def hamming_near_dup(
             )
         ).alias("band", "bv"),
     )
+    # both join sides read `banded`; without a cache the upstream
+    # signature computation (often a decode/hash Arrow pass) runs twice
+    banded = banded.persist()
     a = banded.select(
         F.col(id_col).alias("a"), F.col("hi").alias("hia"),
         F.col("lo").alias("loa"), "band", "bv",
