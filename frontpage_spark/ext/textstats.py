@@ -377,6 +377,10 @@ def bigram_xentropy(
         .withColumn("__codes", codes)
         .withColumn("__idxs", idxs)
     )
+    # consumed by BOTH passes (model explode, score fold); the per-char
+    # transform/ascii lambda is the dominant narrow cost, so compute
+    # the id arrays once and cache — callers clearCache as usual
+    base = base.persist()
     bg = base.select(F.explode("__idxs").alias("i"))
     model = bg.groupBy("i").agg(F.count(F.lit(1)).alias("nb"))
     ctx = model.groupBy((F.col("i") / D).cast("long").alias("c1")).agg(
