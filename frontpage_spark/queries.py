@@ -5086,7 +5086,9 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.orderBy("vec_id").limit(8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
-    assigned = similarity.assign_cosine(emb, cents)
+    # both pair sides read the assignment — cache it so the broadcast
+    # argmax (the corpus-wide narrow pass) runs once, not twice
+    assigned = similarity.assign_cosine(emb, cents).persist()
     pa = assigned.select(
         "cent_id", F.col("vec_id").alias("a"), F.col("e").alias("ea"),
         similarity._norm2("e").alias("na"),
