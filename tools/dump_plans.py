@@ -161,6 +161,34 @@ SELECTED = {
         "Σ deg², which is why the operator runs on interest slices and notes the "
         "degree-ordering bound for dense graphs."
     ),
+    "prefix_filtered_jaccard": (
+        "PPJoin set-similarity join: one narrow shingle pass, frequency-sorted sets "
+        "cached once for four consumers, prefix-only inverted-index join with the "
+        "length and positional filters evaluated IN the join, verify on 64-bit hashed "
+        "token arrays. The shuffled bytes are prefixes and 8-byte hashes — never full "
+        "shingle text."
+    ),
+    "image_dhash_near_dup": (
+        "Image near-dup: BMP payloads reduce to 64-bit dHash signatures in one Arrow "
+        "pass (cached for both join sides); the self-join keys on 16-bit signature "
+        "bands — lossless at Hamming ≤3 by pigeonhole — and popcount-of-XOR verifies. "
+        "Pixels never shuffle; only 8-byte signatures do."
+    ),
+    "benchmark_contamination": (
+        "Decontamination probe: token hashes fold into 8-gram hashes inside the scan "
+        "stage (no gram strings materialize); the ~1% eval side broadcasts, so the "
+        "train-gram stream reaches the single agg exchange only where it matches."
+    ),
+    "order_count_distribution_q13ish": (
+        "TPC-H Q13: LEFT OUTER join with the priority filter in the ON clause (zero-"
+        "order customers survive), first aggregate on the join key partitioning, "
+        "second on the tiny k-domain. Two exchanges, both AQE-coalesced."
+    ),
+    "min_cost_supplier_q2ish": (
+        "TPC-H Q2 decorrelated: the per-part MIN subquery becomes a grouped agg "
+        "joined back on (partkey, price); both aggs share the l_partkey exchange "
+        "(ReusedExchange), part and supplier broadcast."
+    ),
 }
 
 
