@@ -328,7 +328,11 @@ def max_df_prune(
 
 
 def bigram_xentropy(
-    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    train_df: DataFrame | None = None,
+    floor_u: int = -30_000_000,
 ) -> DataFrame:
     """Perplexity-proxy quality scoring: train a char-bigram LM on the
     corpus itself, then score each document's average code length
@@ -381,7 +385,20 @@ def bigram_xentropy(
     # transform/ascii lambda is the dominant narrow cost, so compute
     # the id arrays once and cache — callers clearCache as usual
     base = base.persist()
-    bg = base.select(F.explode("__idxs").alias("i"))
+    if train_df is None:
+        # model trained on the scored corpus itself (CCNet shape):
+        # every scored bigram exists in the model, floor never fires
+        bg = base.select(F.explode("__idxs").alias("i"))
+    else:
+        # DSIR shape: model trained on a DIFFERENT corpus; scored
+        # bigrams absent from it score floor_u micro-bits (≈ 2^-30),
+        # the add-floor smoothing both engines replay identically
+        bg = (
+            train_df.filter(F.length(text_col) >= 2)
+            .withColumn("__codes", codes)
+            .withColumn("__idxs", idxs)
+            .select(F.explode("__idxs").alias("i"))
+        )
     model = bg.groupBy("i").agg(F.count(F.lit(1)).alias("nb"))
     ctx = model.groupBy((F.col("i") / D).cast("long").alias("c1")).agg(
         F.sum("nb").alias("nc")
@@ -396,7 +413,7 @@ def bigram_xentropy(
     )
 
     def scatter(batches):
-        dense = np.zeros(D * D, dtype="int64")
+        dense = np.full(D * D, floor_u, dtype="int64")
         for pdf in batches:
             for entries in pdf["es"]:
                 for e in entries:

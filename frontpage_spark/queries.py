@@ -7002,3 +7002,78 @@ def min_cost_supplier_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), px["l_suppkey"] == s["s_suppkey"])
         .select("p_partkey", "p_brand", "s_name", F.col("price").alias("min_price"))
     )
+
+
+# ---- DSIR-style importance weighting ---------------------------------------
+@register(
+    "dsir_importance_by_source",
+    """
+    WITH pos AS (
+      SELECT doc_id, lang, source, text,
+             CAST(unnest(generate_series(1, len(text) - 1)) AS INTEGER) AS i
+      FROM documents WHERE len(text) >= 2
+    ), bg AS (
+      SELECT doc_id, lang, source, substr(text, i, 2) AS b FROM pos
+    ), model_raw AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS nb FROM bg GROUP BY b
+    ), ctx_raw AS (
+      SELECT substr(b, 1, 1) AS c1, CAST(sum(nb) AS BIGINT) AS nc
+      FROM model_raw GROUP BY 1
+    ), lp_raw AS (
+      SELECT m.b,
+             CAST(round(log2(CAST(m.nb AS DOUBLE) / c.nc) * 1e6) AS BIGINT) AS lp_u
+      FROM model_raw m JOIN ctx_raw c ON substr(m.b, 1, 1) = c.c1
+    ), tbg AS (
+      SELECT b FROM bg WHERE lang = 'en'
+    ), model_t AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS nb FROM tbg GROUP BY b
+    ), ctx_t AS (
+      SELECT substr(b, 1, 1) AS c1, CAST(sum(nb) AS BIGINT) AS nc
+      FROM model_t GROUP BY 1
+    ), lp_t AS (
+      SELECT m.b,
+             CAST(round(log2(CAST(m.nb AS DOUBLE) / c.nc) * 1e6) AS BIGINT) AS lp_u
+      FROM model_t m JOIN ctx_t c ON substr(m.b, 1, 1) = c.c1
+    ), per AS (
+      SELECT bg.doc_id, bg.source,
+             CAST(SUM(COALESCE(t.lp_u, -30000000) - r.lp_u) AS BIGINT) AS lr_u
+      FROM bg
+      JOIN lp_raw r ON bg.b = r.b
+      LEFT JOIN lp_t t ON bg.b = t.b
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lr_u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(lr_u) AS BIGINT) AS sum_lr_u
+    FROM per GROUP BY source
+    """,
+)
+def dsir_importance_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-doc importance =
+    log p_target(doc) − log p_raw(doc) under two corpus-trained LMs
+    (here char-bigram models; DSIR uses hashed n-grams — same
+    estimator family). Target = the English slice; raw = the whole
+    corpus; a doc with positive log-ratio looks more like the target
+    than like the background and would be (re)sampled into the
+    training mix.
+
+    Everything stays exact-integer micro-bits: each model's per-bigram
+    log-prob rounds once (the ``bigram_xentropy`` contract), scored
+    docs fold both dense broadcast grids — bigrams unseen by the
+    target model take the −30 M µbit floor (add-floor smoothing both
+    engines replay) — and the per-source report sums BIGINTs. Scale:
+    two model passes + two broadcast folds, one join on doc_id, one
+    keyed rollup; the corpus shuffles only as (doc_id, 2 longs)."""
+    docs = _tw(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = textstats.bigram_xentropy(docs, "text", ("doc_id", "source"))
+    tgt = textstats.bigram_xentropy(docs, "text", ("doc_id",), train_df=target)
+    j = raw.join(tgt.select("doc_id", F.col("su").alias("su_t")), "doc_id")
+    lr = F.col("su_t") - F.col("su")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((lr > 0).cast("long")).alias("n_selected"),
+        F.sum(lr).cast("long").alias("sum_lr_u"),
+    )
