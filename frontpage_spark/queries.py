@@ -7077,3 +7077,44 @@ def dsir_importance_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((lr > 0).cast("long")).alias("n_selected"),
         F.sum(lr).cast("long").alias("sum_lr_u"),
     )
+
+
+@register(
+    "image_dup_clusters",
+    f"""
+    WITH RECURSIVE {_DHASH_ORACLE_CTE},
+    pairs AS (
+      SELECT a.media_id AS a, b.media_id AS b
+      FROM dhashes a JOIN dhashes b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+          + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+    ),
+    nodes AS (SELECT DISTINCT x AS id FROM (SELECT a AS x FROM pairs UNION SELECT b FROM pairs)),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    walk(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.a, least(w.comp, e.b) FROM walk w JOIN edges e ON w.id = e.b
+    ),
+    labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+    SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM labels GROUP BY comp
+    """,
+)
+def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup end-to-end: dHash signatures → banded Hamming pairs
+    → connected components → cluster sizes. The same discovery→link→
+    group composition as text near-dup dedup (``dup_clusters``), run on
+    the image modality — signatures from real BMP pixel walks, the
+    shared star-contraction fixpoint for grouping, and a recursive-CTE
+    oracle agreeing on the partition. At 100 TB nothing but 8-byte
+    signatures and (a, b) id pairs ever shuffles."""
+    from .ext import multimodal
+
+    docs = _tw(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    pairs = dedup.hamming_near_dup(multimodal.image_dhash(media)).select("a", "b")
+    labels = _component_fixpoint(pairs)
+    return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
