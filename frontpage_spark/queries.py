@@ -7118,3 +7118,56 @@ def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+# ---- positional phrase search ----------------------------------------------
+@register(
+    "phrase_search_positional",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST([{'p': i, 'w': l[i]} for i in generate_series(1, len(l))],
+                    recursive := true)
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    )
+    SELECT t0.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(t0.p) AS BIGINT) AS first_pos
+    FROM toks t0
+    JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1 AND t1.w = 'table'
+    JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2 AND t2.w = 'part'
+    WHERE t0.w = 'value'
+    GROUP BY t0.doc_id
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("value table part") through a POSITIONAL
+    inverted index: (term, doc, position) postings self-joined with
+    arithmetic offsets — the serving-side shape where the index is
+    built once and probed per query, vs. re-scanning raw text per
+    phrase. Each term's postings are filtered BEFORE the join (the
+    selective-term pruning every search engine does), the join keys on
+    doc_id so one shuffle co-locates a doc's postings, and occurrence
+    counts/first positions come from the final keyed agg. 1-based
+    positions on both engines."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    terms = ["value", "table", "part"]
+    t0 = toks.filter(F.col("w") == terms[0]).select("doc_id", "p")
+    t1 = toks.filter(F.col("w") == terms[1]).select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    t2 = toks.filter(F.col("w") == terms[2]).select(
+        "doc_id", (F.col("p") - 2).alias("p")
+    )
+    return (
+        t0.join(t1, ["doc_id", "p"])
+        .join(t2, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("p").cast("long").alias("first_pos"),
+        )
+    )
