@@ -7171,3 +7171,102 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p").cast("long").alias("first_pos"),
         )
     )
+
+
+# ---- deterministic Poisson bootstrap ---------------------------------------
+_POIS_THRESH = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253,
+]
+_POIS_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POIS_THRESH)
+    )
+    + " ELSE 8 END"
+)
+
+
+@register(
+    "bootstrap_revenue_ci",
+    f"""
+    WITH draws AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, r.rep,
+             CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':',
+                  CAST(r.rep AS VARCHAR))), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS u
+      FROM orders, (SELECT UNNEST(generate_series(0, 31)) AS rep) r
+    ),
+    weighted AS (
+      SELECT rep, cents, {_POIS_CASE_SQL} AS k FROM draws
+    ),
+    per_rep AS (
+      SELECT rep,
+             CAST(SUM(k * cents) AS BIGINT) AS sum_cents,
+             CAST(SUM(k) AS BIGINT) AS n
+      FROM weighted GROUP BY rep
+    ),
+    means AS (
+      SELECT list_sort(list(CAST(sum_cents AS DOUBLE) / n)) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_reps
+      FROM per_rep WHERE n > 0
+    )
+    SELECT n_reps, m[2] AS mean_lo, m[31] AS mean_hi
+    FROM means
+    """,
+)
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty for a pipeline metric WITHOUT resampling the data:
+    the Poisson bootstrap (the standard big-data bootstrap — each row
+    joins replicate r with weight k ~ Poisson(1), so no per-replicate
+    shuffle of the corpus is ever built). Mean order price, 32
+    replicates, band = 2nd/31st order statistic of the replicate means
+    (the ~94% envelope).
+
+    Engine-exact determinism: the Poisson draw inverts a fixed
+    8-threshold CDF at u = md5(orderkey ':' rep)[:13 hex]/2⁵² — one
+    float division and literal compares, bit-identical everywhere;
+    replicate sums accumulate integer cents; each replicate mean is
+    one division; the order statistics are element picks, not
+    interpolated quantiles. Scale: the corpus is scanned once, fans
+    out ×32 inside the scan stage (narrow), and shuffles only 32
+    (rep, 2×int) partial rows."""
+    o = _t(spark, sf_dir, "orders")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep")
+    draws = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        reps,
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("rep"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4503599627370496.0),
+    )
+    k = F.expr(_POIS_CASE_SQL)
+    per_rep = (
+        draws.withColumn("k", k)
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("k") * F.col("cents")).cast("long").alias("sum_cents"),
+            F.sum("k").cast("long").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    means = per_rep.agg(
+        F.sort_array(
+            F.collect_list(F.col("sum_cents").cast("double") / F.col("n"))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n_reps"),
+    )
+    return means.select(
+        "n_reps",
+        F.element_at("m", 2).alias("mean_lo"),
+        F.element_at("m", 31).alias("mean_hi"),
+    )
