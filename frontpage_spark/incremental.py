@@ -95,6 +95,7 @@ def stream_interval_join(
     right_ts: str = "r_ts",
     max_gap: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each left event matches right events
     of the same key within ``(left_ts, left_ts + max_gap]`` — the
@@ -102,7 +103,13 @@ def stream_interval_join(
     the time-bound join condition, so Spark can size and EVICT the
     buffered state on each side (without the bound, stream-stream join
     state grows forever). Works identically on batch frames (minus the
-    state semantics) — the test runs both."""
+    state semantics) — the test runs both.
+
+    ``how="left_outer"`` emits unconverted clicks too (NULL right
+    side) — but only once the watermark has passed a click's match
+    window, because until then a purchase could still arrive; streams
+    that simply stop advancing never flush their tail (the documented
+    outer-join caveat, asserted in the test)."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -110,7 +117,7 @@ def stream_interval_join(
         & (rw[right_ts] > lw[left_ts])
         & (rw[right_ts] <= F.expr(f"{left_ts} + interval {max_gap}"))
     )
-    return lw.join(rw, cond).drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])
 
 
 def stream_dedup(

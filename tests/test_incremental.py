@@ -450,3 +450,54 @@ def test_streaming_partitioned_parquet_file_sink(spark, tmp_path):
     )
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert after.filter(F.col("event_type") == "purchase").count() == 1
+
+
+def test_stream_interval_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Outer stream-stream join: a click with no purchase in its window
+    emits with a NULL right side once the watermark passes its window;
+    the tail click (watermark never overtakes it) stays buffered —
+    the documented outer-join flush semantics."""
+    from datetime import datetime
+
+    from frontpage_spark.incremental import stream_interval_join
+
+    clicks_rows = [
+        (1, datetime(2024, 1, 1, 0, 0)),   # no purchase -> outer row
+        (2, datetime(2024, 1, 1, 1, 0)),   # matched
+        (3, datetime(2024, 1, 1, 6, 0)),   # advances the watermark far
+    ]
+    buys_rows = [
+        (2, datetime(2024, 1, 1, 1, 5)),
+        (3, datetime(2024, 1, 1, 6, 1)),
+    ]
+    clicks = spark.createDataFrame(clicks_rows, "user_id long, l_ts timestamp")
+    buys = spark.createDataFrame(buys_rows, "user_id long, r_ts timestamp")
+
+    # batch semantics: plain left outer
+    got = {r["user_id"]: r for r in stream_interval_join(clicks, buys, how="left_outer").collect()}
+    assert got[1]["r_ts"] is None and got[2]["r_ts"] is not None
+
+    csrc, bsrc = str(tmp_path / "c"), str(tmp_path / "b")
+    sink, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    clicks.write.parquet(csrc)
+    buys.write.parquet(bsrc)
+    cs = spark.readStream.schema("user_id long, l_ts timestamp").parquet(csrc)
+    bs = spark.readStream.schema("user_id long, r_ts timestamp").parquet(bsrc)
+    q = (
+        stream_interval_join(cs, bs, how="left_outer")
+        .select("user_id", "l_ts", "r_ts")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["user_id"]: r for r in spark.read.parquet(sink).collect()}
+    # user1's window (0:00-0:10) is far behind the final watermark
+    # (~5:30) -> unmatched row flushed with NULL purchase
+    assert out[1]["r_ts"] is None
+    assert out[2]["r_ts"] == datetime(2024, 1, 1, 1, 5)
+    # user3 matched inside its window; the inner result always emits
+    assert out[3]["r_ts"] == datetime(2024, 1, 1, 6, 1)
