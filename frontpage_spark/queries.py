@@ -6733,10 +6733,8 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- audio PCM window energy ----------------------------------------------
-@register(
-    "audio_rms_profile",
-    """
-    WITH audio AS (
+_AUDIO_RMS_ORACLE_CTE = """
+    audio AS (
       SELECT doc_id AS media_id, md5(text) AS hx,
              octet_length(encode(text)) % 1024 + 1 AS n
       FROM documents WHERE doc_id % 3 = 1
@@ -6767,17 +6765,27 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT media_id, n, s, s2, cycsum, cycmax,
              UNNEST(generate_series(0, (n-1)//256)) AS w
       FROM feats
+    ),
+    rms AS (
+      SELECT media_id,
+             CAST(w AS INTEGER) AS window_idx,
+             CAST(LEAST(256, n - 256*w) AS INTEGER) AS n_samples,
+             CAST((LEAST(256, n - 256*w) // 8) * cycsum
+                  + COALESCE(list_sum(s2[1 : LEAST(256, n - 256*w) % 8]), 0)
+                  AS BIGINT) AS sumsq,
+             CAST(CASE WHEN LEAST(256, n - 256*w) >= 8 THEN cycmax
+                       ELSE list_max([abs(x) for x in s[1 : LEAST(256, n - 256*w)]])
+                  END AS INTEGER) AS peak
+      FROM wins
     )
-    SELECT media_id,
-           CAST(w AS INTEGER) AS window_idx,
-           CAST(LEAST(256, n - 256*w) AS INTEGER) AS n_samples,
-           CAST((LEAST(256, n - 256*w) // 8) * cycsum
-                + COALESCE(list_sum(s2[1 : LEAST(256, n - 256*w) % 8]), 0)
-                AS BIGINT) AS sumsq,
-           CAST(CASE WHEN LEAST(256, n - 256*w) >= 8 THEN cycmax
-                     ELSE list_max([abs(x) for x in s[1 : LEAST(256, n - 256*w)]])
-                END AS INTEGER) AS peak
-    FROM wins
+"""
+
+
+@register(
+    "audio_rms_profile",
+    f"""
+    WITH {_AUDIO_RMS_ORACLE_CTE}
+    SELECT media_id, window_idx, n_samples, sumsq, peak FROM rms
     """,
 )
 def audio_rms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7269,4 +7277,58 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_reps",
         F.element_at("m", 2).alias("mean_lo"),
         F.element_at("m", 31).alias("mean_hi"),
+    )
+
+
+@register(
+    "audio_silence_runs",
+    f"""
+    WITH {_AUDIO_RMS_ORACLE_CTE},
+    flagged AS (
+      SELECT media_id, window_idx,
+             window_idx - CAST(row_number() OVER (
+               PARTITION BY media_id ORDER BY window_idx) AS INTEGER) AS grp
+      FROM rms
+      WHERE sumsq < CAST(358000000 AS BIGINT) * n_samples
+    )
+    SELECT media_id,
+           CAST(MIN(window_idx) AS INTEGER) AS run_start,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM flagged GROUP BY media_id, grp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-segment extraction — the trim stage of a speech
+    pipeline: windows whose mean square power sits below a fixed
+    integer threshold, grouped into maximal CONSECUTIVE runs with the
+    gaps-and-islands idiom (window_idx − row_number is constant within
+    a run), keeping runs ≥ 2 windows. The comparison is all-integer
+    (sumsq < T·n), so both engines flag identical windows; islands are
+    one window function + one keyed agg on top of the honest PCM
+    decode. Scale: windows stay with their payload's partition until
+    the per-media shuffle, which carries only flagged window indices."""
+    from .ext import multimodal
+
+    docs = _tw(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    w = multimodal.audio_rms_windows(media, window=256)
+    flagged = (
+        w.filter(F.col("sumsq") < F.lit(358000000).cast("long") * F.col("n_samples"))
+        .withColumn(
+            "grp",
+            F.col("window_idx")
+            - F.row_number()
+            .over(Window.partitionBy("media_id").orderBy("window_idx"))
+            .cast("int"),
+        )
+    )
+    return (
+        flagged.groupBy("media_id", "grp")
+        .agg(
+            F.min("window_idx").cast("int").alias("run_start"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= 2)
+        .select("media_id", "run_start", "run_len")
     )
