@@ -7332,3 +7332,84 @@ def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= 2)
         .select("media_id", "run_start", "run_len")
     )
+
+
+# ---- embedding outlier audit (mislabel detection) --------------------------
+@register(
+    "embedding_outlier_audit",
+    """
+    WITH m AS (
+      SELECT vec_id, label,
+             [CAST(round(x * 1e6) AS BIGINT) for x in embedding] AS v
+      FROM embeddings
+    ),
+    d AS (
+      SELECT label, UNNEST([{'p': i, 'x': v[i]} for i in generate_series(1, len(v))],
+                           recursive := true)
+      FROM m
+    ),
+    s AS (SELECT label, p, CAST(SUM(x) AS BIGINT) AS sx FROM d GROUP BY label, p),
+    sv AS (SELECT label, list(sx ORDER BY p) AS sv FROM s GROUP BY label),
+    scored AS (
+      SELECT m.vec_id, m.label,
+             list_sum([CAST(m.v[i] AS HUGEINT) * sv.sv[i]
+                       for i in generate_series(1, len(m.v))]) AS dot,
+             list_sum([CAST(m.v[i] AS HUGEINT) * m.v[i]
+                       for i in generate_series(1, len(m.v))]) AS n2v,
+             list_sum([CAST(sv.sv[i] AS HUGEINT) * sv.sv[i]
+                       for i in generate_series(1, len(sv.sv))]) AS n2s
+      FROM m JOIN sv ON m.label = sv.label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN dot < 0 OR 25 * dot * dot < n2v * n2s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM scored GROUP BY label
+    """,
+)
+def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel/outlier detection in embedding space: flag vectors
+    whose cosine to their LABEL's centroid falls below 0.2 — the
+    confident-learning-style audit run before training on labeled
+    embeddings. The whole decision is EXACT integer arithmetic, so
+    both engines flag the identical set: floats quantize once to
+    micro-ints, the centroid is the per-dim integer SUM (the 1/n
+    scaling cancels in cosine), and cos < t becomes
+    ``dot < 0 OR t⁻²·dot² < |v|²·|s|²`` evaluated in 38-digit
+    decimals (HUGEINT on the oracle side) — no sqrt, no division, no
+    ULP hazard at the threshold. Scale: one dim-explode shuffle builds
+    per-label sums (map-side combinable), the centroid table (labels ×
+    64 ints) broadcasts back, and each vector scores in place."""
+    e = _t(spark, sf_dir, "embeddings")
+    m = e.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT))").alias("v"),
+    )
+    d = m.select("label", F.posexplode("v").alias("p", "x"))
+    s = d.groupBy("label", "p").agg(F.sum("x").alias("sx"))
+    sv = s.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(p, sx))), t -> t.sx)").alias(
+            "sv"
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(v, sv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, y) -> acc + y)"
+    ).cast("decimal(38,0)")
+    n2v = F.expr(
+        "aggregate(v, CAST(0 AS BIGINT), (acc, a) -> acc + a * a)"
+    ).cast("decimal(38,0)")
+    n2s = F.expr(
+        "aggregate(sv, CAST(0 AS BIGINT), (acc, a) -> acc + a * a)"
+    ).cast("decimal(38,0)")
+    scored = m.join(F.broadcast(sv), "label").select(
+        "vec_id", "label", dot.alias("dot"), n2v.alias("n2v"), n2s.alias("n2s")
+    )
+    is_out = (F.col("dot") < 0) | (
+        F.lit(25).cast("decimal(38,0)") * F.col("dot") * F.col("dot")
+        < F.col("n2v") * F.col("n2s")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+    )
