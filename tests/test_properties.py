@@ -215,3 +215,61 @@ def test_bloom_prune_property(spark, big_keys, small_keys):
     assert (set(big_keys) & set(small_keys)) <= kept
     if not small_keys:
         assert kept == set()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=120),
+    st.integers(min_value=1, max_value=80),
+    st.binary(min_size=16, max_size=16),
+)
+def test_bmp_dhash_matches_closed_form(w, h, seed):
+    """The honest BMP pixel walk (header data-offset, bottom-up padded
+    rows) agrees with the closed form the DuckDB oracle uses (seed
+    tiled over the pixel area) for arbitrary dimensions."""
+    from frontpage_spark.ext import multimodal as mm
+
+    hi, lo, ww, hh = mm._bmp_dhash(mm.make_bmp(w, h, seed))
+    assert (ww, hh) == (w, h)
+    rw = mm._bmp_row_size(w)
+
+    def g(px, py):
+        o = (h - 1 - py) * rw + px * 3
+        return (seed[o % 16] + seed[(o + 1) % 16] + seed[(o + 2) % 16]) // 3
+
+    ehi = elo = 0
+    for j in range(8):
+        py = j * h // 8
+        row = [g(i * w // 9, py) for i in range(9)]
+        bits = sum((1 << i) for i in range(8) if row[i + 1] > row[i])
+        if j < 4:
+            elo |= bits << (8 * j)
+        else:
+            ehi |= bits << (8 * (j - 4))
+    assert (hi, lo) == (ehi, elo)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**64 - 1),
+        min_size=2,
+        max_size=24,
+        unique=True,
+    )
+)
+def test_hamming_near_dup_matches_bruteforce(spark, sigs):
+    """Banded-join recall == 1 at radius 3 for ARBITRARY signatures:
+    the operator's pair set equals the all-pairs popcount filter."""
+    from frontpage_spark.ext import dedup
+
+    rows = [(i, s >> 32, s & 0xFFFFFFFF) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "media_id long, dhash_hi long, dhash_lo long")
+    got = {(r["a"], r["b"], r["hamming"]) for r in dedup.hamming_near_dup(df).collect()}
+    want = set()
+    for i, si in enumerate(sigs):
+        for j in range(i + 1, len(sigs)):
+            d = bin(si ^ sigs[j]).count("1")
+            if d <= 3:
+                want.add((i, j, d))
+    assert got == want
