@@ -7413,3 +7413,59 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(is_out.cast("long")).alias("n_outliers"),
     )
+
+
+# ---- exponential-smoothing forecast ----------------------------------------
+@register(
+    "exp_smoothing_forecast",
+    """
+    WITH monthly AS (
+      SELECT o_orderstatus AS status,
+             date_trunc('month', o_orderdate) AS m,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT status, list(cents ORDER BY m) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n_months,
+             strftime(MAX(m), '%Y-%m') AS last_month
+      FROM monthly GROUP BY status
+    )
+    SELECT status, n_months, last_month,
+           xs[len(xs)] AS last_cents,
+           CAST(list_reduce(xs, (acc, x) -> (acc + x) // 2) AS BIGINT)
+             AS forecast_cents
+    FROM series
+    """,
+)
+def exp_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-month revenue forecast per order status by exponential
+    smoothing with α = ½ — the sequential recurrence
+    s_t = (s_{t-1} + x_t) / 2 expressed as an ORDERED FOLD over the
+    collected monthly series (seed = first month), not a driver loop:
+    Spark's ``aggregate`` and DuckDB's ``list_reduce`` replay the same
+    left fold, and α = ½ keeps every step in exact integer floor
+    division, so the recurrence is engine-bit-identical. The shape for
+    any per-key sequential recurrence (EWMA, cumulative decay, state
+    machines): one keyed agg builds the series, the fold is a scalar
+    expression, only (key, list) rows shuffle — never a per-step
+    iteration."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.date_trunc("month", "o_orderdate").alias("m"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    series = monthly.groupBy("status").agg(
+        F.expr("transform(array_sort(collect_list(struct(m, cents))), t -> t.cents)").alias("xs"),
+        F.count(F.lit(1)).alias("n_months"),
+        F.date_format(F.max("m"), "yyyy-MM").alias("last_month"),
+    )
+    return series.select(
+        "status",
+        "n_months",
+        "last_month",
+        F.element_at("xs", -1).alias("last_cents"),
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), xs[0], (acc, x) -> (acc + x) div 2)"
+        ).alias("forecast_cents"),
+    )
