@@ -282,3 +282,48 @@ def bloom_prune(
         .filter(hit)
         .drop("__bm", "__pp")
     )
+
+
+def assign_dense_ids(
+    df: DataFrame, *order_cols: str, id_col: str = "dense_id", n_parts: int | None = None
+) -> DataFrame:
+    """Contiguous 0..n-1 ids in global ``order_cols`` order WITHOUT a
+    single-partition sort — the scalable zipWithIndex replacement:
+
+    1. ``repartitionByRange`` on the order columns (range exchange,
+       boundaries from a sample — placement may vary, ids never do);
+    2. per-partition ``row_number`` (each physical partition is its own
+       window group, so the sort parallelizes);
+    3. partition row-counts — #partitions scalars, the only driver
+       data — cumsum into per-partition offsets, broadcast back.
+
+    ``monotonically_increasing_id`` is NOT this: it's non-contiguous
+    and order-free. A global ``row_number() OVER (ORDER BY ...)`` IS
+    this semantically, but Spark executes it on ONE partition — the
+    1000-executor anti-pattern. Requires ``order_cols`` to be a total
+    order (unique); ties would make ids partition-placement-dependent.
+    """
+    from pyspark.sql.window import Window
+
+    cols = [F.col(c) for c in order_cols]
+    parts = df.repartitionByRange(*cols) if n_parts is None else df.repartitionByRange(
+        n_parts, *cols
+    )
+    with_part = parts.withColumn("__part", F.spark_partition_id())
+    counts = with_part.groupBy("__part").agg(F.count(F.lit(1)).alias("__n"))
+    rows = sorted((r["__part"], r["__n"]) for r in counts.collect())
+    offsets, acc = {}, 0
+    for p, n in rows:
+        offsets[p] = acc
+        acc += n
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__part").orderBy(*cols)
+    return (
+        with_part.withColumn(
+            id_col,
+            (F.row_number().over(w) - 1 + off.getItem(F.col("__part"))).cast("long"),
+        )
+        .drop("__part")
+    )

@@ -7469,3 +7469,38 @@ def exp_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(slice(xs, 2, size(xs) - 1), xs[0], (acc, x) -> (acc + x) div 2)"
         ).alias("forecast_cents"),
     )
+
+
+# ---- dense id assignment ----------------------------------------------------
+@register(
+    "dense_ids_documents",
+    """
+    WITH ids AS (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS dense_id
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(dense_id) AS BIGINT) AS min_id,
+           CAST(MAX(dense_id) AS BIGINT) AS max_id,
+           CAST(SUM(dense_id * (doc_id % 97)) AS BIGINT) AS checksum
+    FROM ids GROUP BY source
+    """,
+)
+def dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous surrogate ids in (source, doc_id) order via
+    ``plans.assign_dense_ids`` — range exchange + per-partition
+    row_number + offset cumsum, never a one-partition global sort (the
+    oracle's literal ``row_number() OVER (ORDER BY ...)`` IS that
+    anti-pattern, which is the point of the comparison). The per-source
+    rollup (contiguous [min, max], order-sensitive checksum) pins every
+    id while staying partition-count-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = plans.assign_dense_ids(docs, "source", "doc_id")
+    return ids.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("dense_id").alias("min_id"),
+        F.max("dense_id").alias("max_id"),
+        F.sum(F.col("dense_id") * (F.col("doc_id") % 97)).cast("long").alias("checksum"),
+    )

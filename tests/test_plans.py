@@ -243,3 +243,19 @@ def test_dynamic_partition_pruning_from_dim_join(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     assert q.count() == 40
+
+
+def test_assign_dense_ids_contiguous_and_ordered(spark):
+    """Dense ids are 0..n-1, follow the global order, and never funnel
+    through a one-partition sort (multiple range partitions hold data)."""
+    from frontpage_spark.plans import assign_dense_ids
+
+    df = spark.createDataFrame(
+        [(k, i) for i in range(500) for k in ("b", "a")], ["k", "i"]
+    )
+    out = assign_dense_ids(df, "k", "i", n_parts=8)
+    rows = sorted(out.collect(), key=lambda r: r["dense_id"])
+    assert [r["dense_id"] for r in rows] == list(range(1000))
+    assert [(r["k"], r["i"]) for r in rows] == sorted(
+        [(k, i) for i in range(500) for k in ("b", "a")]
+    )
