@@ -7504,3 +7504,50 @@ def dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dense_id").alias("max_id"),
         F.sum(F.col("dense_id") * (F.col("doc_id") % 97)).cast("long").alias("checksum"),
     )
+
+
+@register(
+    "ab_test_conversion",
+    """
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS converted
+      FROM events GROUP BY user_id
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+    FROM assign GROUP BY arm
+    """,
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B analysis primitives: deterministic md5-parity arm assignment
+    per user (the hash-based bucketing every experimentation platform
+    uses — stable across reruns, no stored assignment table), user-
+    level conversion = any purchase event, exact per-arm counts, and
+    the conversion rate as one division. The z-statistic is driver
+    arithmetic on these two rows; the engine's job is the exact counts
+    under a user-keyed agg (one shuffle, map-side combinable)."""
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("converted")
+    ).withColumn(
+        "arm",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2
+            == 0,
+            F.lit("control"),
+        ).otherwise(F.lit("treatment")),
+    )
+    return assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("conversion_rate"),
+    )
