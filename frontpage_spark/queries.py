@@ -7551,3 +7551,56 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").alias("n_converted"),
         (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("conversion_rate"),
     )
+
+
+# ---- character-shingle MinHash LSH (CJK / no-whitespace scripts) -----------
+@register(
+    "char_shingle_lsh_zh",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE lang = 'zh'),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 5)
+                            for i in generate_series(1, greatest(1, len(text) - 4))])
+               AS shingles
+      FROM docs
+    ),
+    hashed AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+    sigs AS ({{sigs}}),
+    ok AS (
+      SELECT band, minhash FROM sigs GROUP BY band, minhash
+      HAVING COUNT(*) <= {dedup.DEFAULT_MAX_BUCKET}
+    ),
+    bounded AS (SELECT sigs.* FROM sigs JOIN ok USING (band, minhash)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bounded a JOIN bounded b USING (band, minhash)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT COUNT(*) AS n_candidate_pairs,
+           COUNT(DISTINCT a) AS n_left_docs,
+           COUNT(DISTINCT b) AS n_right_docs
+    FROM pairs
+    """.replace("{sigs}", _MINHASH_SIGS_SQL),
+)
+def char_shingle_lsh_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH over CHARACTER 5-gram shingles — the dedup shape for
+    scripts without whitespace word boundaries (CJK, Thai): word
+    shingling degenerates there, so production multilingual dedup
+    switches to char n-grams per script. Same banded signature pipeline
+    (one md5 per shingle, count-guarded buckets, per-bucket pair gen) —
+    only the shingle definition changes, which is the point: the LSH
+    stack is shingle-agnostic. Runs on the zh slice; both engines count
+    in characters, so the substrings align."""
+    docs = _tw(spark, sf_dir, "documents").filter(F.col("lang") == "zh")
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, greatest(1, length(text) - 4)), "
+        "i -> substring(text, i, 5)))"
+    )
+    shingles_df = docs.select("doc_id", grams.alias("shingles"))
+    pairs = dedup.lsh_candidate_pairs(docs, shingles_df=shingles_df)
+    return pairs.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.count_distinct("a").alias("n_left_docs"),
+        F.count_distinct("b").alias("n_right_docs"),
+    )
