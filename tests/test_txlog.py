@@ -353,3 +353,62 @@ def test_compact_conflict_with_interleaved_append(spark, tmp_path, monkeypatch):
     v = txlog.compact(spark, t, small_file_bytes=1 << 20)
     assert txlog.history(t)[v - 1]["op"] == "compact"
     assert txlog.read(spark, t).count() == 25
+
+
+def test_compaction_between_streaming_restarts(spark, tmp_path):
+    """Maintenance interleaves with ingestion: stream appends → OPTIMIZE
+    compaction → more appends through the SAME checkpoint lineage →
+    state is the union, the checkpoint replays nothing, and the
+    compaction commit sits in the history between the ingest epochs."""
+    from frontpage_spark.incremental import stream_pipeline
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    table = str(tmp_path / "table")
+    spark.range(0, 50).toDF("id").coalesce(1).write.parquet(src)
+
+    def batch_fn(bdf, epoch_id):
+        # micro-batches land wide (many tasks → many small files):
+        # exactly the small-file debt compaction exists to repay
+        txlog.append(bdf.repartition(4), table)
+
+    q = stream_pipeline(spark, src, chk, batch_fn, schema="id long", available_now=True)
+    q.awaitTermination(60)
+    assert txlog.read(spark, table).count() == 50
+
+    v = txlog.compact(spark, table, small_file_bytes=1 << 20, target_file_bytes=1 << 20)
+    assert txlog.history(table)[v - 1]["op"] == "compact"
+
+    # second delivery: new files into the same source dir, same checkpoint
+    spark.range(50, 80).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_pipeline(spark, src, chk, batch_fn, schema="id long", available_now=True)
+    q2.awaitTermination(60)
+    got = sorted(r["id"] for r in txlog.read(spark, table).collect())
+    assert got == list(range(80))
+    ops = [c["op"] for c in txlog.history(table)]
+    assert "compact" in ops and ops[-1] == "append"
+
+
+def test_many_concurrent_appends_all_land(spark, tmp_path):
+    """8 threads blind-append concurrently; auto-rebase serializes the
+    claims: all 8 commits land, no rows lost, versions dense."""
+    import threading
+
+    t = str(tmp_path / "t")
+    errs = []
+
+    def worker(i):
+        try:
+            txlog.append(spark.range(i * 10, (i + 1) * 10).toDF("id"), t)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert txlog.current_version(t) == 8
+    got = sorted(r["id"] for r in txlog.read(spark, t).collect())
+    assert got == list(range(80))
