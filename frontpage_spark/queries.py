@@ -7604,3 +7604,82 @@ def char_shingle_lsh_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("a").alias("n_left_docs"),
         F.count_distinct("b").alias("n_right_docs"),
     )
+
+
+# ---- PMI collocations ------------------------------------------------------
+@register(
+    "pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, (SELECT UNNEST(generate_series(1, 400)) AS i) s
+      WHERE i < len(t)
+    ),
+    pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM pairs GROUP BY w1, w2),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT w1 AS w FROM pairs UNION ALL SELECT w2 FROM pairs
+      ) GROUP BY w
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM pairs)
+    SELECT w1, w2, c12,
+           round(log2(2.0 * CAST(c12 AS DOUBLE) * total
+                / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+    FROM pc JOIN uni u1 ON pc.w1 = u1.w JOIN uni u2 ON pc.w2 = u2.w
+    CROSS JOIN n
+    WHERE c12 >= 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    token pairs — the classic phrase-detection signal (word2vec's
+    phrase pass, "new york"-style merging) a tokenizer pipeline runs
+    before vocabulary building. Counts are exact integers from two
+    keyed aggs (pairs, unigrams-in-pair-slots); PMI is computed once
+    per surviving pair from those integers (one multiply chain + one
+    log2, rounded to 6 dp because the engines' log2 differ in the last
+    ULP), and the min-count cut (c12 ≥ 20)
+    happens on integers so both engines keep the same pairs. Scale:
+    the pair explode is narrow, both aggs are map-side combinable, and
+    the unigram join sides are vocabulary-sized (broadcastable)."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pairs = pairs.persist()
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        pairs.select(F.col("w1").alias("w"))
+        .unionAll(pairs.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = pairs.agg(F.count(F.lit(1)).alias("total"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pc.filter(F.col("c12") >= 20)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log2(
+                    F.lit(2.0)
+                    * F.col("c12").cast("double")
+                    * F.col("total")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
