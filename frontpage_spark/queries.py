@@ -7683,3 +7683,72 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---- bounded BFS shortest paths --------------------------------------------
+@register(
+    "bfs_distances_copurchase",
+    """
+    WITH RECURSIVE slice AS (
+      SELECT p_partkey, p_brand FROM part WHERE p_size >= 45
+    ),
+    inc AS (
+      SELECT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN slice s ON l.l_partkey = s.p_partkey
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM inc a JOIN inc b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    walk(id, d) AS (
+      SELECT p_partkey, 0 FROM slice WHERE p_brand = 'Brand#1'
+      UNION
+      SELECT e.v, w.d + 1 FROM walk w JOIN und e ON w.id = e.u WHERE w.d < 3
+    ),
+    dist AS (SELECT id, CAST(MIN(d) AS INTEGER) AS d FROM walk GROUP BY id)
+    SELECT d AS distance, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM dist GROUP BY d
+    """,
+)
+def bfs_distances_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS: minimum co-purchase distance from the Brand#1
+    seed set over the (size ≥ 45 slice of the) part graph, ≤ 3 hops —
+    the "related products within k steps" expansion. Three UNROLLED
+    frontier rounds (join on the edge key + min-agg), no driver loop
+    and no convergence probe because the hop bound is the contract;
+    each round shuffles only the frontier, and a min-agg collapses
+    revisits so the frontier never exceeds |reachable nodes|. The
+    oracle walks the same graph with a depth-capped recursive CTE."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    sl = part.filter(F.col("p_size") >= 45).select("p_partkey", "p_brand")
+    inc = (
+        li.join(F.broadcast(sl), li["l_partkey"] == sl["p_partkey"])
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = inc.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+    b = inc.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    dist = sl.filter(F.col("p_brand") == "Brand#1").select(
+        F.col("p_partkey").alias("id"), F.lit(0).alias("d")
+    )
+    for k in range(1, 4):
+        nxt = (
+            dist.filter(F.col("d") == k - 1)
+            .join(edges, F.col("id") == F.col("u"))
+            .select(F.col("v").alias("id"), F.lit(k).alias("d"))
+        )
+        dist = dist.unionAll(nxt).groupBy("id").agg(F.min("d").alias("d"))
+    return dist.groupBy(F.col("d").cast("int").alias("distance")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
