@@ -259,3 +259,33 @@ def test_assign_dense_ids_contiguous_and_ordered(spark):
     assert [(r["k"], r["i"]) for r in rows] == sorted(
         [(k, i) for i in range(500) for k in ("b", "a")]
     )
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_days(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: an overwrite batch replaces ONLY
+    the partitions it contains — the incremental fact-table correction
+    pattern (restate one day, leave the rest of the table untouched).
+    Static mode would have dropped every other day."""
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(i, f"d{1 + i % 3}", "orig") for i in range(30)], ["id", "day", "tag"]
+    )
+    base.write.partitionBy("day").parquet(path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix = spark.createDataFrame(
+            [(100 + i, "d2", "fixed") for i in range(5)], ["id", "day", "tag"]
+        )
+        fix.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    back = spark.read.parquet(path)
+    by_day = {
+        r["day"]: (r["n"], r["tags"])
+        for r in back.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_set("tag").alias("tags"))
+        .collect()
+    }
+    assert by_day["d1"] == (10, ["orig"])
+    assert by_day["d3"] == (10, ["orig"])
+    assert by_day["d2"] == (5, ["fixed"])
