@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 LISTING_SCHEMA = "page int, slot int, ad_id string, title string"
@@ -45,6 +46,9 @@ class ListingDataSource(DataSource):
 
     def reader(self, schema) -> "ListingReader":
         return ListingReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "ListingStreamReader":
+        return ListingStreamReader(self.options)
 
 
 class ListingReader(DataSourceReader):
@@ -76,3 +80,41 @@ class ListingReader(DataSourceReader):
         for slot in range(self.rows_per_page):
             h = hashlib.md5(f"{self.seed}:{page}:{slot}".encode()).hexdigest()
             yield (page, slot, h[:12], f"ad {h[:6]} on page {page}")
+
+
+class ListingStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the listing crawl: each micro-batch reads the
+    next ``pages_per_batch`` pages (offset = last page read), stopping
+    at the 49-page bound — the reference's polled crawl loop
+    (``scraper.py:53-70`` + the 600 s ETL poll) as a checkpointable
+    Structured Streaming source. Offsets are plain dicts, so restart
+    resumes exactly after the last committed page; ``readBetweenOffsets``
+    replays a committed range deterministically (the payload is a pure
+    function of (seed, page, slot)), which is what makes the source
+    exactly-once replayable."""
+
+    def __init__(self, options) -> None:
+        self.n_pages = min(int(options.get("n_pages", MAX_PAGES)), MAX_PAGES)
+        self.rows_per_page = int(options.get("rows_per_page", 50))
+        self.pages_per_batch = int(options.get("pages_per_batch", 2))
+        self.seed = options.get("seed", "fp")
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _rows(self, lo: int, hi: int):
+        for page in range(lo + 1, hi + 1):
+            for slot in range(self.rows_per_page):
+                h = hashlib.md5(f"{self.seed}:{page}:{slot}".encode()).hexdigest()
+                yield (page, slot, h[:12], f"ad {h[:6]} on page {page}")
+
+    def read(self, start: dict):
+        lo = int(start["page"])
+        hi = min(lo + self.pages_per_batch, self.n_pages)
+        # a list_iterator, not a generator: the protocol needs an
+        # iterator (next() probes emptiness when the offset stalls) that
+        # is ALSO picklable (the prefetch cache ships through the runner)
+        return iter(list(self._rows(lo, hi))), {"page": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(int(start["page"]), int(end["page"]))))

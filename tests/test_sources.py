@@ -277,3 +277,42 @@ def test_python_datasource_filter_pushdown_prunes_pages(spark):
         r["ad_id"] for r in base.load().collect() if r["page"] == 3
     )
     assert got == want and len(got) == 5
+
+
+def test_python_datasource_streaming_crawl(spark, tmp_path):
+    """The listing crawl as a Structured Streaming source: each poll
+    resumes from the checkpointed page offset and crawls the next
+    window; once the 6-page crawl is exhausted, further polls are
+    no-ops — never a re-crawl."""
+    from frontpage_spark.ext.pysource import ListingDataSource
+
+    spark.dataSource.register(ListingDataSource)
+    sink, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    def run_once():
+        q = (
+            spark.readStream.format("frontpage_listing")
+            .option("n_pages", 6)
+            .option("rows_per_page", 4)
+            .option("pages_per_batch", 2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # each poll resumes from the checkpointed offset and crawls the
+    # next pages_per_batch pages — the reference's polled loop shape
+    counts = []
+    for _ in range(3):
+        run_once()
+        counts.append(spark.read.parquet(sink).count())
+    assert counts == [8, 16, 24]  # 2 pages x 4 rows per poll
+    got = spark.read.parquet(sink)
+    assert sorted(r["page"] for r in got.select("page").distinct().collect()) == [1, 2, 3, 4, 5, 6]
+    # crawl exhausted: another poll reads nothing new
+    run_once()
+    assert spark.read.parquet(sink).count() == 24
