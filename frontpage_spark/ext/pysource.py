@@ -20,6 +20,9 @@ fetch inside ``read`` and keep exactly this partition/pushdown shape.
 from __future__ import annotations
 
 import hashlib
+import os
+import uuid
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -27,6 +30,8 @@ from pyspark.sql.datasource import (
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 LISTING_SCHEMA = "page int, slot int, ad_id string, title string"
@@ -118,3 +123,82 @@ class ListingStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(list(self._rows(int(start["page"]), int(end["page"]))))
+
+
+# --------------------------------------------------------------------------
+# txlog sink: Spark's write API -> the transaction log's commit protocol
+# --------------------------------------------------------------------------
+
+@dataclass
+class TxlogCommitMessage(WriterCommitMessage):
+    rel_path: str
+    n_rows: int
+
+
+class TxlogDataSource(DataSource):
+    """``df.write.format("txlog").option("path", table).mode("append")``
+    — the engine's multi-version transaction log (``ext/txlog.py``)
+    surfaced through Spark's DataSource V2 Python write API, giving the
+    plain DataFrame writer the log's atomicity: executor tasks
+    materialize invisible files, and ONE driver-side commit makes them
+    all visible (or none, on abort) — the two-phase commit every
+    DSv2 sink implements, arbitrated here by the log's O_EXCL claim."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog"
+
+    def writer(self, schema, overwrite: bool) -> "TxlogWriter":
+        if overwrite:
+            raise ValueError("txlog sink supports append mode only (use txlog.overwrite)")
+        return TxlogWriter(self.options["path"], schema)
+
+
+class TxlogWriter(DataSourceWriter):
+    def __init__(self, table: str, schema) -> None:
+        self.table = table
+        self.fields = [f.name for f in schema.fields]
+        # all tasks of one write land in one uuid dir = one commit
+        self.rel_dir = os.path.join("data", uuid.uuid4().hex)
+
+    def write(self, iterator) -> TxlogCommitMessage:
+        """Executor side: drain this task's rows into ONE parquet part
+        under the (not-yet-referenced) commit dir. Arrow writes the
+        file; nothing references it until commit() publishes the log
+        entry, so failed/speculative tasks leak only vacuum()-able
+        garbage — never partial table state."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        rows = [tuple(r) for r in iterator]
+        part = TaskContext.get().partitionId()
+        rel = os.path.join(self.rel_dir, f"part-{part:05d}.parquet")
+        out = os.path.join(self.table, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        cols = list(zip(*rows)) if rows else [[] for _ in self.fields]
+        table = pa.table({n: list(c) for n, c in zip(self.fields, cols)})
+        pq.write_table(table, out)
+        return TxlogCommitMessage(rel_path=rel, n_rows=len(rows))
+
+    def commit(self, messages) -> None:
+        """Driver side: one log commit referencing every task's file —
+        readers see all of this write or none of it. Claims auto-rebase
+        like ``txlog.append`` (blind appends commute)."""
+        from . import txlog
+
+        add = [m.rel_path for m in messages if m is not None and m.n_rows > 0]
+        payload = {"op": "append", "add": add, "remove": [], "stats": {}}
+        for _ in range(20):
+            v = txlog.current_version(self.table) + 1
+            if txlog._try_claim(self.table, v, {**payload, "version": v}):
+                return
+        raise txlog.TxConflict(f"txlog sink lost 20 claim races on {self.table!r}")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.unlink(os.path.join(self.table, m.rel_path))
+                except OSError:
+                    pass

@@ -412,3 +412,35 @@ def test_many_concurrent_appends_all_land(spark, tmp_path):
     assert txlog.current_version(t) == 8
     got = sorted(r["id"] for r in txlog.read(spark, t).collect())
     assert got == list(range(80))
+
+
+def test_txlog_python_datasource_sink(spark, tmp_path):
+    """df.write.format("txlog"): executor tasks write invisible parquet
+    parts, one driver commit publishes them atomically; appends stack
+    versions; overwrite mode is refused."""
+    import pytest as _pytest
+
+    from frontpage_spark.ext.pysource import TxlogDataSource
+
+    spark.dataSource.register(TxlogDataSource)
+    t = str(tmp_path / "t")
+    spark.range(0, 30).toDF("id").repartition(3).write.format("txlog").option(
+        "path", t
+    ).mode("append").save()
+    assert txlog.current_version(t) == 1
+    assert sorted(r["id"] for r in txlog.read(spark, t).collect()) == list(range(30))
+    # the commit references one file per non-empty task
+    assert len(txlog.live_files(t)) == 3
+
+    spark.range(30, 40).toDF("id").write.format("txlog").option("path", t).mode(
+        "append"
+    ).save()
+    assert txlog.current_version(t) == 2
+    assert txlog.read(spark, t).count() == 40
+    # time travel still sees the first append alone
+    assert txlog.read(spark, t, version=1).count() == 30
+
+    with _pytest.raises(Exception, match="append mode only"):
+        spark.range(5).toDF("id").write.format("txlog").option("path", t).mode(
+            "overwrite"
+        ).save()
