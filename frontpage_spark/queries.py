@@ -2679,7 +2679,14 @@ def _component_fixpoint(pairs: DataFrame, small_rows: int = _SMALL_PAIR_GRAPH_RO
     — near-dups are rare, the pair graph is thousands of rows — runs
     the loop in one partition; a huge pair graph keeps its natural
     partitioning end to end."""
-    edges = _gated_pair_edges(pairs, small_rows).persist()
+    # Eager localCheckpoint, not persist: every round's result is
+    # MATERIALIZED and its lineage cut, so round N can never replay
+    # rounds 1..N-1 — with persist, a cached-plan match miss (AQE
+    # re-optimization of the InMemoryRelation) silently re-derived the
+    # whole upstream pair discovery per round (observed: 24 s rounds on
+    # a 1.7k-edge graph). Checkpoint blocks are tiny (the edge set
+    # shrinks monotonically) and GC-reclaimed.
+    edges = _gated_pair_edges(pairs, small_rows).localCheckpoint()
     empty_labels = edges.select(F.col("u").alias("id"), F.col("v").alias("comp")).limit(0)
     # Convergence probe: (edge count, order-insensitive checksum). The
     # edge set is distinct-ified every round, so equality of the
@@ -2693,7 +2700,6 @@ def _component_fixpoint(pairs: DataFrame, small_rows: int = _SMALL_PAIR_GRAPH_RO
 
     prev = _probe(edges)
     if prev[0] == 0:
-        edges.unpersist()
         return empty_labels
     rounds = 0
     while True:
@@ -2717,31 +2723,21 @@ def _component_fixpoint(pairs: DataFrame, small_rows: int = _SMALL_PAIR_GRAPH_RO
             .union(smins.select(F.col("u"), F.col("mn").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .persist()
+            .localCheckpoint()
         )
         cur = _probe(nxt)
-        edges.unpersist()
         edges = nxt
         if cur == prev:
             break
         prev = cur
         rounds += 1
-        if rounds % 3 == 0:
-            # iterative plans grow joins of lineage per round; truncate so
-            # round N's plan doesn't replay rounds 1..N-1 on a cache miss
-            ck = edges.localCheckpoint()
-            edges.unpersist()
-            edges = ck
     # Fixpoint is a forest of stars rooted at each component's min id:
     # leaves are (u -> root); roots label themselves.
-    labels = (
+    return (
         edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
         .union(edges.select(F.col("v").alias("id"), F.col("v").alias("comp")))
         .distinct()
-        .localCheckpoint()  # eager: lets us release the edge cache now
     )
-    edges.unpersist()
-    return labels
 
 
 @register(
