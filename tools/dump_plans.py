@@ -189,6 +189,23 @@ SELECTED = {
         "joined back on (partkey, price); both aggs share the l_partkey exchange "
         "(ReusedExchange), part and supplier broadcast."
     ),
+    "dsir_importance_by_source": (
+        "DSIR selection: two bigram LMs (raw, target) each collapse to a dense "
+        "broadcast grid; every doc folds both grids in one narrow pass, so the "
+        "corpus shuffles only as (doc_id, 2 longs) into the per-source rollup."
+    ),
+    "bootstrap_revenue_ci": (
+        "Poisson bootstrap: the 32-replicate fan-out happens inside the scan "
+        "stage (explode + md5-derived weights); the only exchange carries 32 "
+        "(rep, sum, n) partial rows — uncertainty quantification with zero "
+        "resampled copies of the data."
+    ),
+    "dense_ids_documents": (
+        "Dense id assignment: range exchange + per-physical-partition "
+        "row_number windows (parallel, one window group per partition) + "
+        "broadcast offset map — contiguous global ids with no single-partition "
+        "sort anywhere in the plan."
+    ),
 }
 
 
