@@ -7748,3 +7748,145 @@ def bfs_distances_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy(F.col("d").cast("int").alias("distance")).agg(
         F.count(F.lit(1)).alias("n_parts")
     )
+
+
+# ---- embedding dimension variance audit ------------------------------------
+@register(
+    "embedding_dim_variance",
+    """
+    WITH m AS (
+      SELECT [CAST(round(x * 1e6) AS BIGINT) for x in embedding] AS v
+      FROM embeddings
+    ),
+    d AS (
+      SELECT UNNEST([{'p': i - 1, 'x': v[i]} for i in generate_series(1, len(v))],
+                    recursive := true)
+      FROM m
+    ),
+    s AS (
+      SELECT p AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM d GROUP BY p
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n) / 1e12 AS variance
+    FROM s ORDER BY variance DESC, dim LIMIT 10
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance of the embedding matrix, top 10 — the
+    feature-collapse audit (dead or dominating dimensions mean a bad
+    encoder or a truncation-ready Matryoshka tail). Moments accumulate
+    as exact integers over the dim-exploded micro-int matrix — the
+    map-side-combinable X/X² sweep that also underlies distributed
+    covariance/PCA — and the variance emerges from ONE float division
+    per dimension, so ordering is engine-exact. Scale: the explode is
+    narrow, the agg shuffles ≤ dims × partitions partial rows, top-10
+    is a TakeOrdered."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = e.select(
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT))")
+        ).alias("p", "x")
+    )
+    s = d.groupBy(F.col("p").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    var = (
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        ).cast("double")
+        / (F.col("n").cast("double") * F.col("n"))
+        / F.lit(1e12)
+    )
+    return (
+        s.select(F.col("dim").cast("int").alias("dim"), var.alias("variance"))
+        .orderBy(F.desc("variance"), "dim")
+        .limit(10)
+    )
+
+
+# ---- label-centroid similarity matrix --------------------------------------
+@register(
+    "label_centroid_similarity",
+    """
+    WITH m AS (
+      SELECT label, [CAST(round(x * 1e6) AS BIGINT) for x in embedding] AS v
+      FROM embeddings
+    ),
+    d AS (
+      SELECT label, UNNEST([{'p': i - 1, 'x': v[i]} for i in generate_series(1, len(v))],
+                           recursive := true)
+      FROM m
+    ),
+    s AS (SELECT label, p, CAST(SUM(x) AS BIGINT) AS sx FROM d GROUP BY label, p),
+    n AS (SELECT label, SUM(CAST(sx AS HUGEINT) * sx) AS n2 FROM s GROUP BY label),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(CAST(a.sx AS HUGEINT) * b.sx) AS dot
+      FROM s a JOIN s b ON a.p = b.p AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT d.label_a, d.label_b,
+           CAST(d.dot AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+    FROM dots d
+    JOIN n na ON d.label_a = na.label
+    JOIN n nb ON d.label_b = nb.label
+    ORDER BY cosine DESC, label_a, label_b
+    """,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid vectors —
+    the class-confusability audit (two labels whose centroids sit at
+    cosine ~1 are candidates for merging; a label far from all others
+    is a candidate outlier class). Centroids never materialize as
+    floats: per-(label,dim) integer sums ARE the centroid up to the
+    1/n scale, and cosine is scale-invariant, so the similarity of the
+    sum vectors equals the similarity of the centroids exactly. One
+    float division + sqrt per pair at the very end keeps the matrix
+    engine-exact. Scale: the (label,dim) sum is map-side combinable
+    (shuffle <= labels x dims x partitions partial rows); the pair
+    matrix is labels^2 — tiny for any realistic label set — built by
+    a broadcast self-join on dim."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = e.select(
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT))")
+        ).alias("p", "x"),
+    )
+    s = d.groupBy("label", "p").agg(F.sum("x").alias("sx"))
+    n = s.groupBy("label").agg(
+        F.sum(F.col("sx").cast("decimal(38,0)") * F.col("sx")).alias("n2")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    dots = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sum(F.col("a.sx").cast("decimal(38,0)") * F.col("b.sx")).alias("dot")
+        )
+    )
+    na = n.select(F.col("label").alias("label_a"), F.col("n2").alias("n2a"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("n2").alias("n2b"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("n2a").cast("double") * F.col("n2b").cast("double")
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select("label_a", "label_b", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "label_a", "label_b")
+    )
