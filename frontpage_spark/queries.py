@@ -6072,6 +6072,49 @@ def _eq_lit(term: str):
     return lambda x: x == F.lit(term)
 
 
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) BM25 frame shared by the lexical retrievers.
+
+    One corpus scan computes (dl, tf*) per doc; the single-row corpus
+    stats (N, Σdl, df*) come back via broadcast cross join; per-term
+    scores use the rational idf core and are added in FIXED term order
+    so both engines execute the identical IEEE sequence (see
+    bm25_keyword_search docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            # NB: the predicate lambda must take exactly ONE arg — a
+            # second arg would be interpreted by F.filter as the index
+            F.size(F.filter(toks, _eq_lit(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sumdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("long").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    nD, sumdlD = F.col("n").cast("double"), F.col("sumdl").cast("double")
+    avgdl = sumdlD / nD
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tfD, dfD = F.col(f"tf{i}").cast("double"), F.col(f"df{i}").cast("double")
+        idf = (nD - dfD + F.lit(0.5)) / (dfD + F.lit(0.5))
+        term = (
+            idf
+            * (tfD * F.lit(2.2))
+            / (tfD + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)))
+        )
+        score = term if score is None else score + term
+    return d.crossJoin(F.broadcast(stats)).withColumn("score", score).select("doc_id", "score")
+
+
 @register(
     "bm25_keyword_search",
     f"""
@@ -6121,46 +6164,12 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row stats aggregate (N, Σdl, df*) is broadcast back via
     cross join; top-20 is TakeOrderedAndProject. No per-term scan, no
     inverted index needed below ~1e4 query terms."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    d = docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("dl"),
-        *[
-            # NB: the predicate lambda must take exactly ONE arg — a
-            # second arg would be interpreted by F.filter as the index
-            F.size(F.filter(toks, _eq_lit(t))).cast("long").alias(f"tf{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    )
-    stats = d.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("sumdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("long").alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-    nD, sumdlD = F.col("n").cast("double"), F.col("sumdl").cast("double")
-    avgdl = sumdlD / nD
-    score = None
-    for i in range(len(_BM25_TERMS)):
-        tfD, dfD = F.col(f"tf{i}").cast("double"), F.col(f"df{i}").cast("double")
-        idf = (nD - dfD + F.lit(0.5)) / (dfD + F.lit(0.5))
-        term = (
-            idf
-            * (tfD * F.lit(2.2))
-            / (tfD + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)))
-        )
-        score = term if score is None else score + term
-    from pyspark.sql.window import Window
-
-    scored = d.crossJoin(F.broadcast(stats)).withColumn("score", score)
+    scored = _bm25_scored(spark, sf_dir)
     # distributed top-k FIRST (TakeOrderedAndProject — per-partition heaps,
     # no global sort), then the rank window runs over 20 rows, not the
     # corpus (WindowExec with no partition key would single-thread the
     # whole table)
-    top = scored.select("doc_id", "score").orderBy(F.col("score").desc(), "doc_id").limit(20)
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return top.select(
         "doc_id",
@@ -7889,4 +7898,175 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb), "label_b")
         .select("label_a", "label_b", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), "label_a", "label_b")
+    )
+
+
+# ---- Pareto skyline (price vs size dominance) ------------------------------
+@register(
+    "pareto_front_parts",
+    """
+    WITH pairs AS (
+      SELECT p_retailprice, p_size, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_retailprice, p_size
+    )
+    SELECT p.p_retailprice, p.p_size, p.n_parts
+    FROM pairs p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pairs q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_retailprice
+    """,
+)
+def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto front over parts: (price, size) pairs such that
+    no other pair is cheaper-or-equal AND bigger-or-equal with at least
+    one strict — the classic dominance query (Borzsony et al., "The
+    Skyline Operator").
+
+    Scale shape — two-phase distributed skyline, NOT the O(n^2)
+    NOT-EXISTS the oracle runs: (1) dedupe to distinct (price, size)
+    with counts (map-side combinable); (2) LOCAL pass: a window
+    partitioned by spark_partition_id ordered (price asc, size desc)
+    keeps a row iff its size strictly exceeds the running max — any
+    locally dominated point is globally dominated, so this is safe and
+    runs fully parallel; (3) GLOBAL pass: same rule over the union of
+    local survivors, which is tiny (local skylines are at most
+    #partitions x skyline-width rows), so the single-partition window
+    there is fine. Dominance is transitive, so the result is exact and
+    partitioning-independent."""
+    part = _t(spark, sf_dir, "part")
+    pairs = part.groupBy("p_retailprice", "p_size").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+
+    def survivors(df: DataFrame, w: Window) -> DataFrame:
+        runmax = F.max("p_size").over(
+            w.orderBy(F.asc("p_retailprice"), F.desc("p_size")).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        return (
+            df.withColumn("_runmax", runmax)
+            .filter(F.col("_runmax").isNull() | (F.col("p_size") > F.col("_runmax")))
+            .drop("_runmax")
+        )
+
+    local = survivors(
+        pairs.withColumn("_pid", F.spark_partition_id()),
+        Window.partitionBy("_pid"),
+    ).drop("_pid")
+    return survivors(local, Window.partitionBy()).orderBy("p_retailprice")
+
+
+# ---- hybrid retrieval: BM25 + embedding cosine via RRF ---------------------
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             {", ".join(f"CAST({_bm25_term_sql(t)} AS BIGINT) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+             {", ".join(f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
+      FROM d
+    ),
+    lex AS (
+      SELECT doc_id,
+        {" + ".join(
+            f"((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+            f" * (CAST(tf{i} AS DOUBLE) * 2.2)"
+            f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+            for i in range(len(_BM25_TERMS))
+        )} AS score
+      FROM d CROSS JOIN stats
+    ),
+    lex_top AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+      FROM lex ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    qv AS (
+      SELECT [CAST(round(x * 1e6) AS BIGINT) for x in embedding] AS q
+      FROM embeddings WHERE vec_id = 0
+    ),
+    vecs AS (
+      SELECT vec_id AS doc_id,
+             [CAST(round(x * 1e6) AS BIGINT) for x in embedding] AS v
+      FROM embeddings
+    ),
+    sem AS (
+      SELECT doc_id,
+             CAST(list_sum([v[i] * q[i] for i in generate_series(1, len(v))]) AS DOUBLE)
+               / sqrt(CAST(list_sum([v[i] * v[i] for i in generate_series(1, len(v))]) AS DOUBLE)
+                      * CAST(list_sum([q[i] * q[i] for i in generate_series(1, len(q))]) AS DOUBLE)) AS cos
+      FROM vecs CROSS JOIN qv
+    ),
+    sem_top AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+      FROM sem ORDER BY cos DESC, doc_id LIMIT 50
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lex), CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1 AS DOUBLE) / (60 + s.r_sem), CAST(0 AS DOUBLE)) AS rrf_score
+    FROM lex_top l FULL OUTER JOIN sem_top s ON l.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking (fixed 3-term
+    query, shared scorer `_bm25_scored`) with an embedding-cosine
+    semantic ranking (query = vector 0, exact micro-int dot products)
+    by reciprocal-rank fusion rrf = 1/(60+r_lex) + 1/(60+r_sem) —
+    the standard RAG-stack retriever merge (Cormack et al., SIGIR'09).
+
+    Engine-exact: both rankings order by doubles computed from exact
+    integers with identical IEEE op sequences (rational-idf BM25;
+    int dot / sqrt(int*int) cosine), ranks are integers, and the rrf
+    sum is two float divides + one add in fixed order.
+
+    Scale shape: each side reduces to its top-50 via distributed
+    TakeOrderedAndProject BEFORE any window — the rank windows and the
+    full-outer fuse join then touch <=50 rows per side, so there is no
+    corpus-wide single-partition stage; the semantic side broadcasts
+    the 1-row query vector."""
+    lex_top50 = _bm25_scored(spark, sf_dir).orderBy(F.desc("score"), "doc_id").limit(50)
+    r_lex = F.row_number().over(Window.orderBy(F.desc("score"), "doc_id"))
+    lex_top = lex_top50.select("doc_id", r_lex.alias("r_lex"))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr("transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT))").alias("v"),
+    )
+    q = vecs.filter(F.col("doc_id") == 0).select(F.col("v").alias("q"))
+    dot = F.expr(
+        "aggregate(zip_with(v, q, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    n2v = F.expr(
+        "aggregate(transform(v, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    n2q = F.expr(
+        "aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    cos = dot.cast("double") / F.sqrt(n2v.cast("double") * n2q.cast("double"))
+    sem_top50 = (
+        vecs.crossJoin(F.broadcast(q))
+        .select("doc_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(50)
+    )
+    r_sem = F.row_number().over(Window.orderBy(F.desc("cos"), "doc_id"))
+    sem_top = sem_top50.select("doc_id", r_sem.alias("r_sem"))
+
+    fused = lex_top.join(sem_top, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0))
+    return (
+        fused.select("doc_id", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(20)
     )
