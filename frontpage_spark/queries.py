@@ -6492,21 +6492,31 @@ def copurchase_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part")
-    baskets = (
+    # one exchange total on the heavy side: collapse each order to its
+    # sorted distinct brand array, persist THAT (it feeds three
+    # consumers: order count, supports, pair expansion) — pairs are
+    # generated per-row from the array instead of a basket self-join,
+    # so no second shuffle of the basket table and pair work is still
+    # Σ(basket size²), never #brands² against the fact table
+    b_arrays = (
         li.join(pt, li.l_partkey == pt.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .persist()
     )
-    n_orders = baskets.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n")
+    n_orders = b_arrays.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    supp = (
+        b_arrays.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").cast("long").alias("n_b"))
     )
-    supp = baskets.groupBy("p_brand").agg(F.count("*").cast("long").alias("n_b"))
-    x = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
-    y = baskets.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pair_expr = F.expr(
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS brand_a, y AS brand_b))))"
+    )
     pair_supp = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
+        b_arrays.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count("*").cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
     )
