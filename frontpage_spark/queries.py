@@ -8080,3 +8080,663 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(20)
     )
+
+
+# ==========================================================================
+# TPC-H long tail — the remaining classic query shapes (round 3)
+# ==========================================================================
+
+# ---- TPC-H Q4 shape: EXISTS decorrelated to a distinct-key semi join -------
+@register(
+    "late_order_priority_q4ish",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def late_order_priority_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — orders (in a 1-year window) having at least one
+    line shipped >60 days after the order date, counted by priority.
+    The correlated EXISTS decorrelates to a LEFT SEMI join whose
+    condition references both sides (l_shipdate > o_orderdate + 60d):
+    expressed directly as a semi join so the lineitem side is never
+    widened or deduplicated by hand. Scale: one shuffle pair on
+    orderkey for the semi join (date filter pushed to the orders
+    scan), then a 5-row aggregate."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---- TPC-H Q7 shape: bi-directional nation-pair trade volume ---------------
+@register(
+    "bination_volume_q7ish",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0 AS volume
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS disc_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def bination_volume_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — shipped volume between two nations, both
+    directions, by ship year. The disjunctive nation-pair predicate is
+    applied AFTER both broadcast nation joins (it references both
+    sides); supplier/customer/nation all ride broadcast hash joins, so
+    the only real shuffle is lineitem⋈orders on orderkey. Revenue in
+    exact integer cents; the per-group divide happens once."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            (F.sum(F.col("price_c") * (100 - F.col("disc_c"))).cast("double") / 10000.0).alias(
+                "volume"
+            )
+        )
+    )
+
+
+# ---- TPC-H Q8 shape: market share via conditional aggregation --------------
+@register(
+    "market_share_q8ish",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev_c) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             n1.n_name AS supp_nation,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+)
+def market_share_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one nation's share of PROMO-part revenue sold
+    into one region, by order year. share = conditional-sum / total-sum
+    inside a single grouped aggregate (no self-join, no second pass).
+    Both sums accumulate exact integer cents·basis-points; the one
+    float division per year happens after aggregation, identically in
+    both engines. Part/customer/supplier/nation/region are all
+    broadcast; lineitem⋈orders is the lone big shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2"))
+    rev_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .join(F.broadcast(r), F.col("rk2") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "supp_nation",
+            rev_c.alias("rev_c"),
+        )
+    )
+    nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("rev_c")).otherwise(F.lit(0)))
+    return j.groupBy("o_year").agg(
+        (nation_rev.cast("double") / F.sum("rev_c").cast("double")).alias("mkt_share")
+    )
+
+
+# ---- TPC-H Q9 shape: product-line profit by nation and year ----------------
+@register(
+    "product_profit_q9ish",
+    """
+    SELECT nation, o_year,
+           CAST(SUM(profit_c) AS DOUBLE) / 10000.0 AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+             - CAST(round(p.p_retailprice * 100) AS BIGINT) * 50
+               * CAST(round(l.l_quantity) AS BIGINT) AS profit_c
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def product_profit_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit on a product line (p_name contains
+    'red') by supplier nation and order year. profit = revenue −
+    cost, with cost modeled as half the part's retail price per unit
+    (the synthetic schema has no partsupp.ps_supplycost). All terms
+    are exact integers in cents·basis-points; the LIKE filter prunes
+    part BEFORE its broadcast join so the fact rows that survive the
+    orderkey shuffle are already product-line-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    profit_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    ) - F.round(F.col("p_retailprice") * 100).cast("long") * 50 * F.round(
+        F.col("l_quantity")
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit_c.alias("profit_c"),
+        )
+    )
+    return j.groupBy("nation", "o_year").agg(
+        (F.sum("profit_c").cast("double") / 10000.0).alias("sum_profit")
+    )
+
+
+# ---- TPC-H Q11 shape: HAVING against a scalar fraction of the total --------
+@register(
+    "part_value_fraction_q11ish",
+    """
+    WITH pv AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS part_value
+    FROM pv
+    WHERE value_c * 1000 > (SELECT SUM(value_c) FROM pv)
+    """,
+)
+def part_value_fraction_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose inventory value from one nation's
+    suppliers exceeds 1/1000 of that nation's total. The scalar
+    subquery over the SAME aggregate is computed once: the per-part
+    agg is persisted, its global sum reduces to one scalar row, and
+    the threshold test is a broadcast of that single row — the
+    two-level aggregate never recomputes the base join. The fraction
+    test multiplies integers (value_c * 1000 > total_c) so no float
+    enters the comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value_c = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+    )
+    pv = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(value_c.alias("value_c"))
+        .persist()
+    )
+    total = pv.agg(F.sum("value_c").alias("total_c"))
+    out = (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select("l_partkey", (F.col("value_c").cast("double") / 100.0).alias("part_value"))
+    )
+    rows = out.localCheckpoint(eager=True)
+    pv.unpersist()
+    return rows
+
+
+# ---- TPC-H Q12 shape: CASE-sum priority split by ship-delay class ----------
+@register(
+    "ship_delay_priority_q12ish",
+    """
+    SELECT delay_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT o.o_orderpriority,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY THEN 'VERY_LATE'
+                  WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 'LATE'
+                  ELSE 'ON_TIME' END AS delay_class
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY delay_class
+    """,
+)
+def ship_delay_priority_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — lines shipped in one year bucketed by how late
+    they shipped relative to the order date (the synthetic schema has
+    no l_shipmode, so the delay class plays its role), with the
+    classic pair of complementary CASE-sums splitting urgent from
+    non-urgent priorities in one pass. One orderkey shuffle; the
+    3-row aggregate is map-side combined."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    delay = (
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS"),
+            "VERY_LATE",
+        )
+        .when(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), "LATE")
+        .otherwise("ON_TIME")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(delay.alias("delay_class"), is_high.alias("hi"))
+        .groupBy("delay_class")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("hi"), 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---- TPC-H Q14 shape: promo share of one month's revenue -------------------
+@register(
+    "promo_revenue_q14ish",
+    """
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev_c) AS DOUBLE) AS promo_revenue_pct
+    FROM (
+      SELECT p.p_type,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+        AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    )
+    """,
+)
+def promo_revenue_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — the percentage of one month's revenue that
+    came from PROMO-type parts. Single broadcast join (part is the
+    dim), single global aggregate with a conditional numerator; both
+    sums are exact integers and the one divide + scale by 100 happens
+    on the final scalar row. The month filter is pushed to the
+    lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_type", rev_c.alias("rev_c")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(F.lit(0)))
+    return j.agg(
+        ((F.lit(100.0) * promo).cast("double") / F.sum("rev_c").cast("double")).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+# ---- TPC-H Q15 shape: top revenue supplier via max-equality join -----------
+@register(
+    "top_supplier_q15ish",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_c AS DOUBLE) / 10000.0 AS total_revenue
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_c = (SELECT MAX(total_c) FROM rev)
+    """,
+)
+def top_supplier_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the supplier(s) with maximum revenue in one
+    quarter. The view-then-max-subquery structure becomes: one keyed
+    aggregate (persisted, computed once), a 1-row global MAX off that
+    aggregate, and an integer equality filter via broadcast — ties
+    all surface, exactly like the reference query. supplier joins
+    broadcast. Exact integer cents end-to-end; one divide per output
+    row."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    total_c = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    rev = li.groupBy("l_suppkey").agg(total_c.alias("total_c")).persist()
+    mx = rev.agg(F.max("total_c").alias("mx"))
+    out = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_c") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_c").cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )
+    rows = out.localCheckpoint(eager=True)
+    rev.unpersist()
+    return rows
+
+
+# ---- TPC-H Q16 shape: supplier variety with a NOT-IN exclusion -------------
+@register(
+    "supplier_variety_q16ish",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (5, 10, 15, 20)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def supplier_variety_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — how many distinct suppliers ship each
+    (brand, size) bucket, excluding a complained-about supplier set.
+    lineitem stands in for partsupp as the part↔supplier relation.
+    The NOT IN subquery becomes a LEFT ANTI broadcast join (NULL-safe,
+    unlike SQL NOT IN — s_suppkey is non-null here so semantics
+    coincide); the brand/size filters prune part before its broadcast
+    join; COUNT(DISTINCT) expands to the standard two-level exchange
+    Catalyst plans for distinct aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_name").endswith("7")).select(
+        F.col("s_suppkey").alias("bad_sk")
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == F.col("bad_sk"), "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---- TPC-H Q18 shape: large-volume orders via HAVING-IN ---------------------
+@register(
+    "big_order_customers_q18ish",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300
+    )
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def big_order_customers_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — customers who placed orders totalling more
+    than 300 units. The IN-subquery-with-HAVING collapses to: keyed
+    quantity rollup on orderkey (map-side combinable), integer HAVING
+    filter, then joins back to orders on the SAME key (AQE reuses the
+    partitioning) and broadcast to customer. Quantities are exact
+    integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+    )
+
+
+# ---- TPC-H Q19 shape: disjunction of conjunctive band predicates -----------
+@register(
+    "disjunctive_revenue_q19ish",
+    """
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def disjunctive_revenue_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue under an OR of three conjunctive
+    brand/size/quantity bands. The disjunction straddles both tables,
+    so it lives in the join ON clause; Catalyst still derives the
+    IMPLIED single-side prefilters (brand ∈ {..}, size ≤ 15,
+    quantity ≤ 30) and pushes them to the scans, which is the entire
+    point of Q19 as an optimizer test. part broadcasts; the output is
+    one exact-integer sum divided once."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    rev_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), (li["l_partkey"] == p["p_partkey"]) & band)
+        .agg((F.sum(rev_c).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+# ---- TPC-H Q20 shape: nested semi-join supplier shortlist ------------------
+@register(
+    "excess_suppliers_q20ish",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_4'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+        GROUP BY l.l_suppkey
+        HAVING SUM(CAST(round(l.l_quantity) AS BIGINT)) > 100
+      )
+    """,
+)
+def excess_suppliers_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers in one nation who moved more than
+    100 units of 'small…' parts. Two nested IN subqueries become two
+    composed operators: part-prefix filter → LEFT SEMI into lineitem
+    (broadcast, prunes before the rollup), keyed quantity rollup with
+    integer HAVING, then LEFT SEMI into the nation-filtered supplier
+    dim. No DISTINCT is ever materialized — semi joins dedup for
+    free. Scale: lineitem shuffles once on suppkey after the
+    broadcast prune."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    movers = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("q"))
+        .filter(F.col("q") > 100)
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .join(movers, s["s_suppkey"] == movers["l_suppkey"], "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+# ---- TPC-H Q22 shape: dormant rich customers by code -----------------------
+@register(
+    "idle_rich_customers_q22ish",
+    """
+    WITH pos AS (
+      SELECT * FROM customer WHERE c_acctbal > 0.0
+    ), avg_bal AS (
+      SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pos
+    )
+    SELECT CAST(c.c_custkey % 7 AS BIGINT) AS cust_code,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+    FROM pos c, avg_bal a
+    WHERE c.c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+      AND CAST(round(c.c_acctbal * 100) AS BIGINT) * a.n > a.s
+    GROUP BY 1
+    """,
+)
+def idle_rich_customers_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — customers with above-average positive balances
+    with no order since 2000 (the "dormant" anti-join side is the
+    recent-orders slice, since every synthetic customer has SOME
+    order), grouped by a customer code — custkey mod 7 stands in for
+    the phone country code the synthetic schema lacks.
+    The AVG scalar subquery is kept as exact integers — the
+    above-average test cross-multiplies (bal·n > sum) instead of
+    dividing, so no float rounding can flip a boundary row in either
+    engine. NOT IN orders becomes a LEFT ANTI join; the customer dim
+    is the only shuffle participant."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_bal = c.agg(
+        F.sum(bal_c).alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(bal_c * F.col("n") > F.col("s"))
+        .groupBy((F.col("c_custkey") % 7).cast("long").alias("cust_code"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(bal_c).cast("double") / 100.0).alias("totacctbal"),
+        )
+    )
