@@ -8740,3 +8740,124 @@ def idle_rich_customers_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(bal_c).cast("double") / 100.0).alias("totacctbal"),
         )
     )
+
+
+# ==========================================================================
+# Round-3 LLM-pipeline additions: span-level dedup + per-domain caps
+# ==========================================================================
+
+# ---- duplicated-span removal (RefinedWeb/CCNet line-dedup shape) -----------
+@register(
+    "segment_dedup_prune",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+             array_to_string(w[(8*(i-1)+1):(8*i)], ' ') AS seg
+      FROM t, LATERAL unnest(generate_series(1, CAST(ceil(len(w)/8.0) AS INTEGER))) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, seg_no, seg,
+             COUNT(DISTINCT doc_id) OVER (PARTITION BY seg) >= 2 AS dup
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(COALESCE(
+             array_to_string(list(seg ORDER BY seg_no) FILTER (WHERE NOT dup), ' '), ''
+           )) AS clean_md5
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def segment_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span removal — the RefinedWeb/CCNet
+    "line dedup" stage (Penedo et al. 2023 §4.2), adapted to the
+    newline-free synthetic corpus by treating each non-overlapping
+    8-word block as a "line". A span whose exact text occurs in >= 2
+    DISTINCT documents is boilerplate (chrome, templates, licenses)
+    and is cut from EVERY document; per-doc output is the segment
+    count, removed count, and an md5 of the reassembled text so the
+    differential check covers full reconstruction order.
+
+    Scale shape (100 TB): segments explode ~1 row per 8 tokens; the
+    dup decision is one shuffle on the segment text (map-side
+    combinable count-distinct via the (seg, doc_id) pre-dedup), the
+    verdict joins back on the same key (AQE reuses + skew-splits the
+    exchange — a mega-boilerplate segment is exactly the skewed-join
+    case AQE handles), and reassembly is one keyed sort_array
+    collect on doc_id. No broadcast of the dup set (it is corpus-
+    sized), no windows over the corpus, no driver collect."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, CAST(ceil(size(split(text, ' ')) / 8.0) AS INT)), "
+                "i -> array_join(slice(split(text, ' '), 8 * (i - 1) + 1, 8), ' '))"
+            )
+        ).alias("pos", "seg"),
+    ).select("doc_id", (F.col("pos") + 1).cast("long").alias("seg_no"), "seg")
+    dup = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("seg", F.lit(True).alias("dup"))
+    )
+    marked = segs.join(dup, "seg", "left").withColumn(
+        "dup", F.coalesce(F.col("dup"), F.lit(False))
+    )
+    kept = F.array_join(
+        F.expr("transform(filter(sort_array(collect_list(struct(seg_no, dup, seg))), "
+               "s -> NOT s.dup), s -> s.seg)"),
+        " ",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("dup").cast("long")).alias("n_removed"),
+        F.md5(kept).alias("clean_md5"),
+    )
+
+
+# ---- per-domain cap sampling ----------------------------------------------
+@register(
+    "domain_cap_sample",
+    """
+    SELECT source, doc_id
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 20
+    """,
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the anti-overrepresentation stage of a
+    web-scale training mix (C4/Gopher cap the contribution of any one
+    host): each source keeps at most 20 documents, chosen by md5 rank
+    so the sample is deterministic, uniform-ish within the domain,
+    and stable under corpus growth (a doc's key never changes, so
+    adding documents only ever evicts from the boundary).
+
+    Scale shape: one hash exchange on source + a per-partition top-20
+    — Spark plans rank-filter windows as WindowGroupLimit (top-k per
+    key, no full sort materialization of each domain's rows). A
+    mega-domain is the AQE skew case; the md5 sort key keeps its
+    top-20 selection a bounded heap per task, and no global sort or
+    driver-side state exists anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.select("source", "doc_id", rn.alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id")
+    )
