@@ -289,3 +289,47 @@ def test_dynamic_partition_overwrite_replaces_only_touched_days(spark, tmp_path)
     assert by_day["d1"] == (10, ["orig"])
     assert by_day["d3"] == (10, ["orig"])
     assert by_day["d2"] == (5, ["fixed"])
+
+
+def test_domain_cap_sample_uses_window_group_limit(spark):
+    """The per-domain cap must plan as WindowGroupLimit (bounded top-k
+    heap per key), not a full per-domain sort + filter — the
+    difference between O(cap) and O(domain) memory when one domain
+    holds a billion documents."""
+    from frontpage_spark.queries import QUERIES
+
+    df = QUERIES["domain_cap_sample"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert len(df.groupBy("source").count().filter("count > 20").take(1)) == 0
+
+
+def test_segment_dedup_prune_planted_boilerplate(spark, tmp_path):
+    """A span planted into several docs is removed from ALL of them
+    (including the first/original), while unique spans survive — the
+    RefinedWeb line-dedup contract, which differs from near-dup
+    KEEP-ONE semantics."""
+    from frontpage_spark.queries import QUERIES
+
+    boiler = "all rights reserved click here now to subscribe"  # 8 words
+    docs = [
+        (0, boiler + " alpha beta gamma delta one two three four", "en", "s0", 0),
+        (1, boiler + " epsilon zeta eta theta five six seven eight", "en", "s1", 0),
+        (2, "iota kappa lam mu nine ten eleven twelve", "en", "s2", 0),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["segment_dedup_prune"](spark, sf).collect()
+    }
+    # docs 0 and 1 each lose exactly the planted 8-word block
+    assert out[0]["n_segments"] == 2 and out[0]["n_removed"] == 1
+    assert out[1]["n_segments"] == 2 and out[1]["n_removed"] == 1
+    # doc 2 is untouched and its reassembly hash matches its own text
+    import hashlib
+
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_md5"] == hashlib.md5(docs[2][1].encode()).hexdigest()
