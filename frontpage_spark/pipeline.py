@@ -229,3 +229,33 @@ def merge_upsert_path(spark, path: str, updates: DataFrame, key: str) -> None:
         json.dump({"epoch": epoch + 1, "key": key, "pid": os.getpid()}, fh)
     shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+def observed_batch(raw: DataFrame, observation=None) -> DataFrame:
+    """Attach single-pass pipeline observability to a raw batch via
+    ``DataFrame.observe`` — the Spark-native replacement for the
+    reference's print-style progress logging (`etl_process.py:337-341`
+    counts a batch by iterating it a second time in Python).
+
+    The returned frame is semantically IDENTICAL to the input; the
+    metrics (row count, null-key count, distinct-ish key floor via
+    approx_count_distinct, max scrape_date) are computed by the SAME
+    job that consumes the frame — zero extra scans, zero extra
+    shuffles, visible on the driver through
+    ``df.observation_metrics`` / a QueryExecutionListener, and in
+    Structured Streaming through each micro-batch's progress event.
+    At 100 TB an extra .count() for logging re-reads the table; an
+    observation is free.
+
+    ``observation``: a ``pyspark.sql.Observation`` for driver-side
+    ``.get`` access (batch), or None to attach a named observation
+    (streaming — metrics ride each progress event)."""
+    from pyspark.sql import Observation
+
+    return raw.observe(
+        observation if observation is not None else "etl_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("uniq_id").isNull().cast("long")).alias("n_null_keys"),
+        F.approx_count_distinct("uniq_id").alias("approx_keys"),
+        F.max("scrape_date").alias("max_scrape_date"),
+    )

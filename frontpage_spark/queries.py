@@ -53,12 +53,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _tw(spark: SparkSession, sf_dir: str, name: str, min_parts: int | None = None) -> DataFrame:
     """Scan + ``plans.fan_out`` — for queries whose narrow per-row CPU
     (regex/md5/Arrow) dominates: the local single-row-group files scan
     as ONE split, which would serialize the heavy stage on one core
-    (no-op on a production multi-split table)."""
-    return plans.fan_out(_t(spark, sf_dir, name))
+    (no-op on a production multi-split table).
+
+    ``min_parts``: override the fan width. The codec (mapInPandas)
+    queries pass 8 — their measured per-row Python cost on synthetic
+    media is microseconds, so at full default parallelism the
+    per-task fixed cost (worker fork + Arrow handshake, x2 for the
+    chained synthesize→decode Python stages) dominates: 64-way fan =
+    1.7 s vs 8-way = 0.65 s for the same result at sf0.1. On real
+    multi-MB payloads per-row cost dominates instead and the scan is
+    already wide, making fan_out a no-op either way."""
+    return plans.fan_out(_t(spark, sf_dir, name), min_parts)
 
 
 # --------------------------------------------------------------------------
@@ -6821,7 +6830,7 @@ def audio_rms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload's partition, all-integer outputs."""
     from .ext import multimodal
 
-    docs = _tw(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents", min_parts=8)
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     return multimodal.audio_rms_windows(media, window=256)
 
@@ -6920,7 +6929,7 @@ def image_dhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 bytes in place — nothing but signatures ever shuffles."""
     from .ext import multimodal
 
-    docs = _tw(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents", min_parts=8)
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     return multimodal.image_dhash(media)
 
@@ -6947,7 +6956,7 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify on candidates only, never an all-pairs comparison."""
     from .ext import multimodal
 
-    docs = _tw(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents", min_parts=8)
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     return dedup.hamming_near_dup(multimodal.image_dhash(media), max_hamming=3)
 
@@ -7134,7 +7143,7 @@ def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures and (a, b) id pairs ever shuffles."""
     from .ext import multimodal
 
-    docs = _tw(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents", min_parts=8)
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     pairs = dedup.hamming_near_dup(multimodal.image_dhash(media)).select("a", "b")
     labels = _component_fixpoint(pairs)
@@ -7325,7 +7334,7 @@ def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-media shuffle, which carries only flagged window indices."""
     from .ext import multimodal
 
-    docs = _tw(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents", min_parts=8)
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     w = multimodal.audio_rms_windows(media, window=256)
     flagged = (
@@ -8861,3 +8870,33 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("source", "doc_id")
     )
+
+
+# ---- DataSketches HLL: mergeable sketches, the re-aggregatable path --------
+@register("hll_sketch_union_users")  # rows-only: sketch estimates are engine-specific
+def hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL via
+    `hll_sketch_agg`/`hll_union_agg`): per-event-type user sketches
+    PLUS their union's estimate, computed by merging the sketches —
+    NOT by rescanning the raw data. This is the property
+    `approx_count_distinct` lacks: its HLL++ state is internal, so a
+    rollup (per-day → per-month → all-time) must re-read the events,
+    while DataSketches sketches persist as binary columns and
+    re-aggregate in O(sketch) — the only distinct-count architecture
+    that works in a 100 TB incremental warehouse (store one 1-3 KB
+    sketch per partition-day, merge on demand).
+
+    Estimates are engine-specific → rows-only; the pytest gates both
+    levels against exact counts at <5% relative error and asserts
+    union-estimate == merge-of-parts-estimate determinism."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    ).select(F.lit("ALL").alias("event_type"), "est")
+    parts = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est")
+    )
+    return parts.unionByName(merged)

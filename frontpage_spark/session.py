@@ -84,6 +84,12 @@ def tune(spark: SparkSession, sf_dir: str | None = None) -> SparkSession:
 
 def get_spark(app_name: str = "frontpage_spark", master: str | None = None) -> SparkSession:
     cpus = default_parallelism()
+    # Worker daemons are fresh processes launched with $PYTHONPATH; make
+    # sure the engine package (daemon_preload) resolves there.
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{_repo}{os.pathsep}{_pp}" if _pp else _repo
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")
     for k, v in RUNTIME_CONF.items():
@@ -100,5 +106,21 @@ def get_spark(app_name: str = "frontpage_spark", master: str | None = None) -> S
         # recompiles its whole-stage-codegen classes (~0.1-0.5s/query).
         # Production sessions running a query mix hit the same cliff.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # Fresh fork per Python task instead of the reused-worker pool.
+        # Measured on the pandas-UDF-heavy bench sequence (bpe → audio →
+        # dhash → decode → frames at sf0.1, local[32]): reused workers
+        # run the SLOW path — 45.2s vs 28.7s (and 83.3s vs 68.5s on a
+        # noisy host) — because a stage following a heavy applyInPandas/
+        # mapInPandas stage re-dispatches through bloated long-lived
+        # workers, while a forked child off the daemon is clean and
+        # costs ~ms on Linux. Arrow-batched stages here are seconds
+        # long, so per-task spawn amortizes to noise; flip this back on
+        # for sub-second micro-batch streaming workloads.
+        .config("spark.python.worker.reuse", "false")
+        # Pre-import numpy/pandas/pyarrow in the worker daemon so every
+        # forked worker inherits them copy-on-write (see
+        # daemon_preload.py). Requires the package importable in the
+        # worker env — guaranteed here by the PYTHONPATH export below.
+        .config("spark.python.daemon.module", "frontpage_spark.daemon_preload")
     )
     return builder.getOrCreate()

@@ -20,6 +20,7 @@ def test_contract_shape():
         "approx_percentiles_price",
         "pq_compression_stats",
         "cms_heavy_hitters",
+        "hll_sketch_union_users",
     }
 
 

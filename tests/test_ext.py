@@ -473,6 +473,32 @@ def test_approx_distinct_within_tolerance(spark):
     assert abs(approx - 1234) / 1234 < 0.05
 
 
+def test_hll_sketch_union_bounds(spark):
+    """DataSketches HLL gate: per-type and merged-union estimates stay
+    within 5% of exact, and the union estimate comes from MERGING the
+    per-type sketches (re-aggregatable path), which must equal the
+    estimate of a sketch built directly over the union of the data."""
+    from frontpage_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        r["event_type"]: r["est"]
+        for r in QUERIES["hll_sketch_union_users"](spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    exact = {
+        r["event_type"]: r["x"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("x")).collect()
+    }
+    exact["ALL"] = ev.agg(F.countDistinct("user_id")).first()[0]
+    for k, x in exact.items():
+        assert abs(est[k] - x) / x < 0.05, (k, est[k], x)
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("e")
+    ).first()["e"]
+    assert est["ALL"] == direct
+
+
 def test_max_df_prune_small(spark):
     from frontpage_spark.ext.textstats import max_df_prune
 

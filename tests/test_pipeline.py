@@ -212,3 +212,24 @@ def test_merge_upsert_concurrent_writer_loses_loudly(spark, tmp_path, monkeypatc
     back = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert back == {1: 111, 2: 222}
     assert pipeline._merge_epoch(path) == 2
+
+
+def test_observed_batch_metrics_single_pass(spark):
+    """observe() metrics surface through the consuming job itself —
+    row/null/distinct counters with NO second scan of the batch."""
+    from pyspark.sql import Observation
+    from frontpage_spark.pipeline import observed_batch
+
+    raw = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:00"), ("k2", "2024-01-02 00:00:00"),
+         (None, "2024-01-03 00:00:00"), ("k2", "2024-01-04 00:00:00")],
+        ["uniq_id", "scrape_date"],
+    )
+    ob = Observation("etl_metrics")
+    observed = observed_batch(raw, ob)
+    assert observed.count() == 4  # the one consuming action
+    m = ob.get
+    assert m["n_rows"] == 4
+    assert m["n_null_keys"] == 1
+    assert m["approx_keys"] == 2
+    assert m["max_scrape_date"] == "2024-01-04 00:00:00"
