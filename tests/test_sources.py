@@ -316,3 +316,34 @@ def test_python_datasource_streaming_crawl(spark, tmp_path):
     # crawl exhausted: another poll reads nothing new
     run_once()
     assert spark.read.parquet(sink).count() == 24
+
+
+def test_daemon_preload_module_importable():
+    """The preloading daemon must import cleanly in a bare interpreter
+    (workers launch it via `python -m`); a broken import would take
+    down EVERY Python stage, so guard it here. Its namespace must end
+    up holding the preloaded libs and the stock daemon entrypoint."""
+    import importlib
+
+    mod = importlib.import_module("frontpage_spark.daemon_preload")
+    assert callable(mod.manager)
+    import sys
+
+    for lib in ("numpy", "pandas", "pyarrow"):
+        assert lib in sys.modules
+
+
+def test_get_spark_exports_repo_on_pythonpath(monkeypatch):
+    """get_spark must make the package importable for worker daemons
+    (spark.python.daemon.module resolves in a fresh process using
+    $PYTHONPATH, not the driver's sys.path)."""
+    import os
+    import frontpage_spark.session as S
+
+    monkeypatch.delenv("PYTHONPATH", raising=False)
+    # builder-only probe: function mutates env before building; calling
+    # it against the already-running test session is fine (getOrCreate
+    # reuses it) and must still export the path.
+    S.get_spark("pp-probe")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(S.__file__)))
+    assert repo in os.environ["PYTHONPATH"].split(os.pathsep)
