@@ -8900,3 +8900,245 @@ def hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.hll_sketch_estimate("sk").alias("est")
     )
     return parts.unionByName(merged)
+
+
+# ---- Luhn checksum audit (PII validation beyond pattern matching) ----------
+@register(
+    "luhn_cc_audit",
+    """
+    WITH corpus AS (
+      SELECT c_custkey, c_mktsegment,
+             c_name || ' card ' ||
+             CAST(1000000000000000 + (c_custkey * 48271 + c_nationkey) % 9000000000000000
+                  AS VARCHAR) AS body
+      FROM customer
+    ), cands AS (
+      SELECT c_mktsegment, UNNEST(regexp_extract_all(body, '\\d{13,16}')) AS pan
+      FROM corpus
+    ), checked AS (
+      SELECT c_mktsegment, pan,
+             list_sum([
+               CASE WHEN i % 2 = 1 THEN CAST(substr(reverse(pan), i, 1) AS INTEGER)
+                    WHEN CAST(substr(reverse(pan), i, 1) AS INTEGER) * 2 > 9
+                    THEN CAST(substr(reverse(pan), i, 1) AS INTEGER) * 2 - 9
+                    ELSE CAST(substr(reverse(pan), i, 1) AS INTEGER) * 2 END
+               for i in generate_series(1, length(pan))
+             ]) AS s
+      FROM cands
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid
+    FROM checked
+    GROUP BY c_mktsegment
+    """,
+)
+def luhn_cc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PII detection: pattern-matching finds
+    card-LIKE digit runs, but real redaction pipelines (Presidio,
+    Google DLP) validate the Luhn check digit to cut false positives
+    ~10x before redacting. The checksum — reverse, double every
+    second digit, fold mod 10 — is a pure Column expression
+    (aggregate over sequence()), NOT a UDF: the whole audit stays in
+    whole-stage codegen, one narrow pass + a 5-row rollup. The corpus
+    plants PAN-shaped runs derived from integer keys (engine-exact
+    string forms), of which ~10% pass Luhn by construction."""
+    c = _t(spark, sf_dir, "customer")
+    body = F.concat(
+        F.col("c_name"),
+        F.lit(" card "),
+        (
+            F.lit(1000000000000000)
+            + (F.col("c_custkey") * 48271 + F.col("c_nationkey")) % 9000000000000000
+        ).cast("string"),
+    )
+    luhn_sum = F.expr(
+        """
+        aggregate(
+          sequence(1, length(pan)),
+          0,
+          (acc, i) -> acc + CASE
+            WHEN i % 2 = 1 THEN CAST(substr(reverse(pan), i, 1) AS INT)
+            WHEN CAST(substr(reverse(pan), i, 1) AS INT) * 2 > 9
+              THEN CAST(substr(reverse(pan), i, 1) AS INT) * 2 - 9
+            ELSE CAST(substr(reverse(pan), i, 1) AS INT) * 2 END
+        )
+        """
+    )
+    cands = c.select(
+        "c_mktsegment", body.alias("body")
+    ).select(
+        "c_mktsegment",
+        F.explode(F.expr(r"regexp_extract_all(body, '\\d{13,16}', 0)")).alias("pan"),
+    )
+    return (
+        cands.select("c_mktsegment", (luhn_sum % 10 == 0).alias("ok"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.col("ok").cast("long")).alias("n_luhn_valid"),
+        )
+    )
+
+
+# ---- marketing attribution: last touch before purchase ---------------------
+@register(
+    "attribution_last_touch",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS value_c
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ), joined AS (
+      SELECT p.event_id, p.value_c, t.event_type AS channel,
+             row_number() OVER (
+               PARTITION BY p.event_id ORDER BY t.ts DESC, t.event_id DESC
+             ) AS rn
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.ts < p.ts
+       AND t.ts >= p.ts - INTERVAL 3 DAY
+    ), attributed AS (
+      SELECT p.event_id, p.value_c, COALESCE(j.channel, 'direct') AS channel
+      FROM purchases p
+      LEFT JOIN (SELECT event_id, channel FROM joined WHERE rn = 1) j
+        ON j.event_id = p.event_id
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(value_c) AS DOUBLE) / 100.0 AS attributed_value
+    FROM attributed GROUP BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent click/view in the prior 3 days; purchases with
+    no touch in the window credit 'direct'. The classic attribution
+    shape = a per-user interval join + an argmax per purchase + a
+    LEFT join back so untouched purchases survive.
+
+    Scale shape: the interval join shuffles both sides once on
+    user_id (per-user touch lists are small; a mega-user is the AQE
+    skew case); the per-purchase argmax is a WindowGroupLimit-able
+    rank over each purchase's candidate touches; revenue stays in
+    integer cents until the final divide. Deterministic tie-break by
+    (ts, event_id) on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    cand = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 3 DAYS")),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_id").orderBy(F.desc("t_ts"), F.desc("t_id"))
+    )
+    last = cand.select("event_id", "channel", rn.alias("rn")).filter(F.col("rn") == 1)
+    attributed = purchases.join(last, "event_id", "left").select(
+        "value_c", F.coalesce(F.col("channel"), F.lit("direct")).alias("channel")
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        (F.sum("value_c").cast("double") / 100.0).alias("attributed_value"),
+    )
+
+
+# ---- offline change-point detection: max mean-shift split ------------------
+@register(
+    "mean_shift_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ), seq AS (
+      SELECT d, rev_c,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+             CAST(SUM(rev_c) OVER (ORDER BY d) AS BIGINT) AS pre,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(rev_c) OVER () AS BIGINT) AS tot
+      FROM daily
+    ), scored AS (
+      SELECT d, i, n,
+             ABS(pre * (n - i) - (tot - pre) * i) AS gap_scaled,
+             pre, tot
+      FROM seq WHERE i < n
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS split_day,
+           CAST(i AS BIGINT) AS n_left,
+           CAST(n - i AS BIGINT) AS n_right,
+           CAST(pre AS DOUBLE) / (i * 100.0) AS mean_left,
+           CAST(tot - pre AS DOUBLE) / ((n - i) * 100.0) AS mean_right
+    FROM scored
+    ORDER BY gap_scaled DESC, d LIMIT 1
+    """,
+)
+def mean_shift_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection (AMOC — at-most-one-change, the
+    binary-segmentation primitive): the split day of the daily-revenue
+    series maximizing |mean(left) − mean(right)|. The nonconvex scan
+    over split points reduces to prefix sums: gap(i) ∝
+    |pre_i·(n−i) − (tot−pre_i)·i| — cross-multiplied so the argmax
+    compares exact integers (no division until the two output means).
+
+    Scale shape: the daily rollup shuffles once; the global (n, tot)
+    scalars broadcast from a 1-row aggregate, and the prefix-sum
+    window runs over the BOUNDED day series (a time series has
+    O(days) points regardless of raw-event count — the single-
+    partition window is over ~2.4k rows, not the fact table), and the
+    argmax is a TakeOrderedAndProject. Deterministic tie-break on the
+    earlier day."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    w_ord = Window.orderBy("d")
+    totals = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("rev_c").alias("tot")
+    )
+    seq = daily.select(
+        "d",
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        F.sum("rev_c").over(w_ord).alias("pre"),
+    ).crossJoin(F.broadcast(totals))
+    scored = seq.filter(F.col("i") < F.col("n")).select(
+        "d",
+        "i",
+        "n",
+        "pre",
+        "tot",
+        F.abs(
+            F.col("pre") * (F.col("n") - F.col("i"))
+            - (F.col("tot") - F.col("pre")) * F.col("i")
+        ).alias("gap_scaled"),
+    )
+    return (
+        scored.orderBy(F.desc("gap_scaled"), "d")
+        .limit(1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("split_day"),
+            F.col("i").alias("n_left"),
+            (F.col("n") - F.col("i")).alias("n_right"),
+            (F.col("pre").cast("double") / (F.col("i") * 100.0)).alias("mean_left"),
+            (
+                (F.col("tot") - F.col("pre")).cast("double")
+                / ((F.col("n") - F.col("i")) * 100.0)
+            ).alias("mean_right"),
+        )
+    )
