@@ -9142,3 +9142,79 @@ def mean_shift_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_right"),
         )
     )
+
+
+# ---- CUSUM sequential change detector --------------------------------------
+@register(
+    "cusum_revenue_alarms",
+    """
+    WITH daily AS (
+      SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_c) AS BIGINT) AS t
+      FROM daily GROUP BY status
+    ), pref AS (
+      SELECT daily.status, d, n, t,
+             SUM(CAST(rev_c AS HUGEINT) * n - t)
+               OVER (PARTITION BY daily.status ORDER BY d) AS p
+      FROM daily JOIN tot ON tot.status = daily.status
+    ), s AS (
+      SELECT status, n, t,
+             p - least(CAST(0 AS HUGEINT),
+                       MIN(p) OVER (PARTITION BY status ORDER BY d)) AS s
+      FROM pref
+    )
+    SELECT status, n AS n_days,
+           CAST(MAX(s) // n AS BIGINT) AS max_cusum_c,
+           CAST(SUM(CASE WHEN s > 3 * CAST(t AS HUGEINT) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms
+    FROM s GROUP BY status, n
+    """,
+)
+def cusum_revenue_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM over each status's daily-revenue series — the
+    SEQUENTIAL companion to `mean_shift_changepoint`'s offline scan:
+    s_i = max(0, s_{i-1} + (n·x_i − tot)) accumulates upward drift
+    against the series' own mean and alarms while s exceeds 3·tot
+    (scale-free — both sides carry the ×n scaling).
+
+    The recurrence LOOKS nonlinear (the max-0 reset), but the
+    reflection identity s_i = P_i − min(0, min_{j≤i} P_j) over the
+    deviation prefix sums P makes it two window functions — running
+    sum + running min per status — so the detector needs NO ordered
+    fold, no driver loop, and parallelizes exactly like any prefix
+    scan (the window is over the BOUNDED day series, not the fact
+    table). Deviations are exact 128-bit integers (decimal(38,0) /
+    HUGEINT): n·x_i − tot at petabyte daily volumes overflows int64,
+    and the prefix sums grow another 3 decimal digits. Verified
+    against a direct replay of the max-0 recurrence (pytest)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    tot = daily.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_c").alias("t")
+    )
+    w = Window.partitionBy("status").orderBy("d")
+    dev = F.col("rev_c").cast("decimal(38,0)") * F.col("n") - F.col("t")
+    pref = daily.join(F.broadcast(tot), "status").select(
+        "status", "d", "n", "t", F.sum(dev).over(w).alias("p")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    s = pref.select(
+        "status",
+        "n",
+        "t",
+        (F.col("p") - F.least(zero, F.min("p").over(w))).alias("s"),
+    )
+    return s.groupBy("status", "n").agg(
+        F.floor(F.max("s") / F.col("n").cast("decimal(38,0)")).cast("long").alias("max_cusum_c"),
+        F.sum(
+            (F.col("s") > F.lit(3).cast("decimal(38,0)") * F.col("t")).cast("long")
+        ).alias("n_alarms"),
+    ).select(
+        "status", F.col("n").alias("n_days"), "max_cusum_c", "n_alarms"
+    )

@@ -273,3 +273,30 @@ def test_hamming_near_dup_matches_bruteforce(spark, sigs):
             if d <= 3:
                 want.add((i, j, d))
     assert got == want
+
+
+def test_cusum_reflection_identity(spark):
+    """The window form s_i = P_i - min(0, min_{j<=i} P_j) used by
+    cusum_revenue_alarms must equal the literal max-0 recurrence
+    s_i = max(0, s_{i-1} + dev_i) on an adversarial series (sign
+    flips, long negative runs, zero plateaus)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    devs = [3, -7, 5, 5, -1, -9, 0, 2, -2, 8, -20, 4, 4, 4]
+    # ground truth: the recurrence
+    s, truth = 0, []
+    for d in devs:
+        s = max(0, s + d)
+        truth.append(s)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(devs)], ["i", "dev"]
+    )
+    w = Window.orderBy("i")
+    out = (
+        df.select("i", (F.sum("dev").over(w)).alias("p"))
+        .select("i", (F.col("p") - F.least(F.lit(0), F.min("p").over(w))).alias("s"))
+        .orderBy("i")
+        .collect()
+    )
+    assert [r["s"] for r in out] == truth
