@@ -9218,3 +9218,161 @@ def cusum_revenue_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "status", F.col("n").alias("n_days"), "max_cusum_c", "n_alarms"
     )
+
+
+# ---- planner-style join cardinality estimation audit -----------------------
+@register(
+    "join_size_estimate",
+    """
+    WITH lc AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1
+    ), oc AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1
+    ), exact AS (
+      SELECT CAST(SUM(lc.c * oc.c) AS BIGINT) AS exact_rows
+      FROM lc JOIN oc USING (k)
+    ), stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS nl,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS no,
+             (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS dl,
+             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS dv
+    ), sampled AS (
+      SELECT CAST(SUM(lc.c * oc.c) AS BIGINT) * 16 AS sampled_rows
+      FROM lc JOIN oc USING (k)
+      WHERE CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 4)) AS INTEGER) % 16 = 0
+    )
+    SELECT exact.exact_rows,
+           nl * no // greatest(dl, dv) AS independence_est,
+           sampled.sampled_rows AS key_sample_est
+    FROM exact, stats, sampled
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit — the planner problem made a
+    query: |L ⋈ O| computed three ways. (1) EXACT from the key-count
+    histograms: Σ_k c_L(k)·c_O(k) — two keyed rollups + one join on
+    the DISTINCT keys, so the audit never materializes the join
+    itself. (2) The textbook independence estimate n_L·n_O/max(ndv)
+    every System-R descendant uses. (3) A correlated KEY sample: keep
+    keys whose md5 lands in 1/16 of hash space (BOTH sides keep the
+    same keys — sampling rows would break the key correlation and
+    need a 1/p² correction), scale by 16. Flags how far uniform-key
+    assumptions drift on real skew; deterministic md5 sampling keeps
+    both engines bit-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("cl"))
+    oc = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("co"))
+    hist = lc.join(oc, "k").select("k", (F.col("cl") * F.col("co")).alias("prod"))
+    exact = hist.agg(F.sum("prod").alias("exact_rows"))
+    stats = (
+        li.agg(
+            F.count(F.lit(1)).alias("nl"),
+            F.countDistinct("l_orderkey").alias("dl"),
+        )
+        .crossJoin(
+            o.agg(
+                F.count(F.lit(1)).alias("no"),
+                F.countDistinct("o_orderkey").alias("dv"),
+            )
+        )
+    )
+    in_sample = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 4), 16, 10).cast("long") % 16
+        == 0
+    )
+    sampled = hist.filter(in_sample).agg(
+        (F.sum("prod") * 16).alias("key_sample_est")
+    )
+    return (
+        exact.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(sampled))
+        .select(
+            "exact_rows",
+            F.expr("nl * no div greatest(dl, dv)").alias("independence_est"),
+            "key_sample_est",
+        )
+    )
+
+
+# ---- Kaplan-Meier survival table -------------------------------------------
+@register(
+    "kaplan_meier_signup_to_purchase",
+    """
+    WITH signup AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), first_purchase AS (
+      SELECT e.user_id, MIN(e.ts) AS tp
+      FROM events e JOIN signup s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+      GROUP BY 1
+    ), horizon AS (SELECT MAX(ts) AS tmax FROM events),
+    subjects AS (
+      SELECT s.user_id,
+             CASE WHEN p.tp IS NOT NULL
+                  THEN CAST(date_diff('day', s.t0, p.tp) AS BIGINT)
+                  ELSE CAST(date_diff('day', s.t0, h.tmax) AS BIGINT) END AS t,
+             CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM signup s LEFT JOIN first_purchase p ON p.user_id = s.user_id
+      CROSS JOIN horizon h
+    ), by_t AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS n_events,
+             CAST(SUM(1 - ev) AS BIGINT) AS n_censored,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM subjects GROUP BY t
+    )
+    SELECT t AS day,
+           CAST(SUM(leaving) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk,
+           n_events, n_censored
+    FROM by_t
+    """,
+)
+def kaplan_meier_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival table for time-to-first-purchase after
+    signup: per whole-day t, the subjects still at risk, the events
+    (first purchases) and the right-censored exits (users who never
+    purchased by the observation horizon). n_at_risk(t) is the
+    suffix sum of subjects leaving at ≥ t — a DESC-ordered running
+    window over the BOUNDED day domain, so the full KM estimator
+    Π(1 − d_t/n_t) is derivable row-by-row from exact integers;
+    the float product itself is left to the consumer, keeping the
+    differential check exact. Scale: two keyed MIN rollups on
+    user_id (co-partitioned join), a 1-row horizon broadcast, and a
+    day-domain window."""
+    ev = _t(spark, sf_dir, "events")
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    subjects = (
+        signup.join(purch, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("tp").isNotNull(), F.datediff(F.col("tp"), F.col("t0"))
+            )
+            .otherwise(F.datediff(F.col("tmax"), F.col("t0")))
+            .cast("long")
+            .alias("t"),
+            F.col("tp").isNotNull().cast("long").alias("ev"),
+        )
+    )
+    by_t = subjects.groupBy("t").agg(
+        F.sum("ev").alias("n_events"),
+        F.sum(1 - F.col("ev")).alias("n_censored"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w = Window.orderBy(F.desc("t"))
+    return by_t.select(
+        F.col("t").alias("day"),
+        F.sum("leaving").over(w).alias("n_at_risk"),
+        "n_events",
+        "n_censored",
+    )
