@@ -206,6 +206,38 @@ SELECTED = {
         "broadcast offset map — contiguous global ids with no single-partition "
         "sort anywhere in the plan."
     ),
+    "segment_dedup_prune": (
+        "RefinedWeb-style span dedup: segment explode -> one exchange on the "
+        "segment text for the distinct-doc count -> verdict join back on the "
+        "same key (AQE-splittable boilerplate skew) -> keyed reassembly on "
+        "doc_id. The dup set is never broadcast or collected."
+    ),
+    "domain_cap_sample": (
+        "Per-domain cap: WindowGroupLimit (partial + final) around the rank "
+        "window -- a bounded top-20 heap per source, never a full sort of a "
+        "domain's rows."
+    ),
+    "cusum_revenue_alarms": (
+        "Sequential CUSUM as prefix scans: the max-0 recurrence rewritten via "
+        "the reflection identity into running-sum + running-min windows over "
+        "the bounded day series; 128-bit exact deviations; no ordered fold, "
+        "no driver loop."
+    ),
+    "attribution_last_touch": (
+        "Last-touch attribution: user-keyed interval join -> per-purchase "
+        "rank argmax -> LEFT join back for 'direct' fallback. One exchange "
+        "pair on user_id; revenue in integer cents."
+    ),
+    "late_order_priority_q4ish": (
+        "TPC-H Q4 shape: correlated EXISTS decorrelated to a LEFT SEMI join "
+        "whose condition spans both sides; date filter pushed to the orders "
+        "scan; AQE reuses the orderkey partitioning."
+    ),
+    "join_size_estimate": (
+        "Cardinality-estimation audit: key-count histograms on both sides, "
+        "joined on distinct keys -- the exact join size without the join; "
+        "independence and md5-key-sample estimates ride the same histogram."
+    ),
 }
 
 
