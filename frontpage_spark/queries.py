@@ -9547,3 +9547,36 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("t")).alias("observed_p"),
         F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d1")).alias("benford_p"),
     )
+
+
+# ---- k-core of the co-purchase graph ---------------------------------------
+@register("kcore_copurchase")  # rows-only: iterative anti-monotone peeling
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-CORE of the brand-sliced co-purchase graph (same edge
+    construction as `triangle_count_copurchase`): iterative peeling
+    deletes nodes whose CURRENT degree is < 3 until stable — the
+    densest-region primitive (community seeds, spam clusters). The
+    fixpoint is anti-monotone (rows only ever disappear), so no
+    monotone recursive-CTE oracle exists — rows-only here; the pytest
+    pins semantics on a planted clique+pendant graph, and the peeled
+    result is deterministic (a node's survival depends only on the
+    final subgraph, not peel order). Scale shape per round: one keyed
+    degree agg + two semi joins on the shrinking edge list, driver
+    sees only convergence scalars (`ext/graph.py:kcore`)."""
+    from .ext.graph import kcore
+
+    pk = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    )
+    return kcore(edges, k=3).orderBy("node")

@@ -21,6 +21,7 @@ def test_contract_shape():
         "pq_compression_stats",
         "cms_heavy_hitters",
         "hll_sketch_union_users",
+        "kcore_copurchase",
     }
 
 

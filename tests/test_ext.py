@@ -1040,3 +1040,24 @@ def test_hamming_near_dup_banding_is_lossless(spark):
     assert all(4 not in p for p in pairs)
     with pytest.raises(ValueError):
         dedup.hamming_near_dup(df, max_hamming=4)
+
+
+def test_kcore_planted_clique(spark):
+    """A 5-clique with pendant chains: the 3-core is exactly the clique
+    (every chain node peels away over successive rounds), and each
+    surviving node keeps degree 4 within the core."""
+    from frontpage_spark.ext.graph import kcore
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chains = [(0, 10), (10, 11), (11, 12), (1, 20), (20, 21)]
+    edges = spark.createDataFrame(clique + chains, ["src", "dst"])
+    out = {r["node"]: r["degree"] for r in kcore(edges, k=3).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(d == 4 for d in out.values())
+
+
+def test_kcore_empty_when_k_too_high(spark):
+    from frontpage_spark.ext.graph import kcore
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    assert kcore(edges, k=5).count() == 0
