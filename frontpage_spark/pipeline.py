@@ -12,6 +12,7 @@ dimension join is a broadcast (≤479-row class table).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from . import functions as FF, html
 
@@ -259,3 +260,27 @@ def observed_batch(raw: DataFrame, observation=None) -> DataFrame:
         F.approx_count_distinct("uniq_id").alias("approx_keys"),
         F.max("scrape_date").alias("max_scrape_date"),
     )
+
+
+def apply_cdc(target: DataFrame, changes: DataFrame, key: str, op_col: str = "op", ts_col: str = "ts") -> DataFrame:
+    """Apply a Debezium-shaped change batch (op ∈ {I, U, D} per key) to
+    a snapshot: the LAST change per key wins (ordered by ``ts_col``
+    then op for determinism), deletes drop the key, inserts/updates
+    upsert the payload. This is the canonical "CDC stream → warehouse
+    table" step a `foreachBatch` body runs against the txlog sink.
+
+    Shape: one rank-filter per key over the CHANGE batch (WindowGroup-
+    Limit; the batch, not the table, pays the window), then a single
+    anti-join (drop every changed key from the target) + union of the
+    surviving upserts — the same one-shuffle MERGE form as
+    ``merge_upsert``. Idempotent: applying the same batch twice is a
+    no-op (asserted in tests)."""
+    w = Window.partitionBy(key).orderBy(F.desc(ts_col), F.desc(op_col))
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    kept = target.join(last.select(key), key, "left_anti")
+    upserts = last.filter(F.col(op_col) != "D").drop(op_col, ts_col)
+    return kept.unionByName(upserts)

@@ -9580,3 +9580,76 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst")).select("src", "dst")
     )
     return kcore(edges, k=3).orderBy("node")
+
+
+# ---- winsorization with exact order-statistic cutoffs ----------------------
+@register(
+    "winsorize_prices",
+    """
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ), hist AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM cents GROUP BY v
+    ), cum AS (
+      SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum, (SELECT SUM(c) FROM hist) AS n
+      FROM hist
+    ), cuts AS (
+      SELECT (SELECT MIN(v) FROM cum WHERE cum >= CAST(ceil(0.05 * n) AS BIGINT)) AS lo,
+             (SELECT MIN(v) FROM cum WHERE cum >= CAST(ceil(0.95 * n) AS BIGINT)) AS hi,
+             MAX(n) AS n
+      FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(lo AS DOUBLE) / 100.0 AS p05,
+           CAST(hi AS DOUBLE) / 100.0 AS p95,
+           CAST((SELECT SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) FROM cents) AS BIGINT)
+             AS n_clamped_lo,
+           CAST((SELECT SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) FROM cents) AS BIGINT)
+             AS n_clamped_hi,
+           CAST((SELECT SUM(greatest(least(v, hi), lo)) FROM cents) AS DOUBLE) / 100.0
+             AS winsorized_sum
+    FROM cuts
+    """,
+)
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at exact [p05, p95] order statistics — the robust
+    pre-aggregation step that stops a fat tail from owning a mean.
+    The cutoffs are TRUE order statistics (smallest value whose
+    cumulative count reaches ⌈q·n⌉), not interpolated percentiles, so
+    everything stays integer-exact across engines.
+
+    Scale shape: the rank scan runs on the VALUE HISTOGRAM (distinct
+    cents, one shuffle to build), so the ordered cumulative window is
+    over the bounded price domain rather than the fact table; the
+    clamp pass re-touches the fact rows once with two broadcast
+    scalars. The histogram trick is how exact quantiles stay feasible
+    when rows >> distinct values — when the domain itself is huge,
+    swap in percentile_approx and keep the same clamp."""
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("v"))
+    hist = cents.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v")
+    tot = hist.agg(F.sum("c").alias("n"))
+    cum = hist.select("v", F.sum("c").over(w).alias("cum")).crossJoin(F.broadcast(tot))
+    lo = cum.filter(F.col("cum") >= F.ceil(0.05 * F.col("n"))).agg(
+        F.min("v").alias("lo")
+    )
+    hi = cum.filter(F.col("cum") >= F.ceil(0.95 * F.col("n"))).agg(
+        F.min("v").alias("hi")
+    )
+    cuts = lo.crossJoin(hi).crossJoin(tot)
+    clamped = cents.crossJoin(F.broadcast(cuts))
+    return clamped.groupBy("n", "lo", "hi").agg(
+        F.sum((F.col("v") < F.col("lo")).cast("long")).alias("n_clamped_lo"),
+        F.sum((F.col("v") > F.col("hi")).cast("long")).alias("n_clamped_hi"),
+        (
+            F.sum(F.greatest(F.least("v", "hi"), F.col("lo"))).cast("double") / 100.0
+        ).alias("winsorized_sum"),
+    ).select(
+        F.col("n").alias("n_rows"),
+        (F.col("lo").cast("double") / 100.0).alias("p05"),
+        (F.col("hi").cast("double") / 100.0).alias("p95"),
+        "n_clamped_lo",
+        "n_clamped_hi",
+        "winsorized_sum",
+    )

@@ -233,3 +233,28 @@ def test_observed_batch_metrics_single_pass(spark):
     assert m["n_null_keys"] == 1
     assert m["approx_keys"] == 2
     assert m["max_scrape_date"] == "2024-01-04 00:00:00"
+
+
+def test_apply_cdc_last_wins_and_deletes(spark):
+    from frontpage_spark.pipeline import apply_cdc
+
+    target = spark.createDataFrame(
+        [("k1", 10), ("k2", 20), ("k3", 30)], ["uniq_id", "val"]
+    )
+    changes = spark.createDataFrame(
+        [
+            ("U", 1, "k1", 11),
+            ("U", 2, "k1", 12),   # later update wins
+            ("D", 1, "k2", 0),    # delete k2
+            ("I", 1, "k4", 40),   # insert new key
+            ("I", 1, "k5", 50),
+            ("D", 2, "k5", 0),    # inserted then deleted in-batch -> absent
+        ],
+        ["op", "ts", "uniq_id", "val"],
+    )
+    out = apply_cdc(target, changes, "uniq_id")
+    got = {r["uniq_id"]: r["val"] for r in out.collect()}
+    assert got == {"k1": 12, "k3": 30, "k4": 40}
+    # idempotence: re-applying the same batch is a no-op
+    again = apply_cdc(out, changes, "uniq_id")
+    assert {r["uniq_id"]: r["val"] for r in again.collect()} == got
