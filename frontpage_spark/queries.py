@@ -9653,3 +9653,84 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clamped_hi",
         "winsorized_sum",
     )
+
+
+# ---- TPC-H Q6 shape: pure-scan predicate revenue ---------------------------
+@register(
+    "forecast_revenue_q6ish",
+    """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_q6ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the predicate-pushdown litmus test: a single
+    scan, four conjunctive filters, one aggregate, NO join and NO
+    group-by. The entire query should execute as scan → codegen'd
+    filter → partial sums → one 1-row exchange; every filter must
+    appear in PushedFilters (date range + discount band + quantity are
+    all parquet-min/max prunable). Revenue = price·discount in exact
+    integer cents·bp, divided once."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        F.col("l_discount") * 100
+    ).cast("long")
+    return li.agg((F.sum(rev).cast("double") / 1000000.0).alias("revenue"))
+
+
+# ---- TPC-H Q10 shape: returned-item customer ranking -----------------------
+@register(
+    "returned_revenue_q10ish",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_revenue_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — customers who returned the most revenue in a
+    half-year window: fact⋈fact on orderkey (the only real shuffle,
+    both date and returnflag filters pushed below it), customer and
+    nation broadcast, grouped exact-cents revenue, top-20 via
+    TakeOrderedAndProject (no global sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -333,3 +333,18 @@ def test_segment_dedup_prune_planted_boilerplate(spark, tmp_path):
 
     assert out[2]["n_removed"] == 0
     assert out[2]["clean_md5"] == hashlib.md5(docs[2][1].encode()).hexdigest()
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    """Q6's whole point: all four conjunctive predicates must be pushed
+    to the parquet scan (min/max prunable), and the plan must be
+    scan -> filter -> partial agg -> single exchange, no join."""
+    from frontpage_spark.queries import QUERIES
+
+    df = QUERIES["forecast_revenue_q6ish"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    assert "Join" not in plan
