@@ -90,6 +90,15 @@ HEADLINE = [
     "split_leakage_audit",
     "order_count_distribution_q13ish",
     "min_cost_supplier_q2ish",
+    # round-3 session additions: LLM-pipeline + analytics + TPC-H closure
+    "segment_dedup_prune",
+    "luhn_cc_audit",
+    "attribution_last_touch",
+    "rfm_segments",
+    "cusum_revenue_alarms",
+    "bination_volume_q7ish",
+    "big_order_customers_q18ish",
+    "forecast_revenue_q6ish",
 ]
 
 
