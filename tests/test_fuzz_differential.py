@@ -1,0 +1,206 @@
+"""Differential query fuzzing (mini-SQLancer): hypothesis generates
+random filter/group/aggregate query ASTs; each AST is rendered BOTH as
+a PySpark DataFrame chain and as ANSI SQL for DuckDB, and the result
+multisets must match exactly.
+
+This catches the class of bugs hand-written oracle pairs cannot: the
+pairing itself is machine-generated, so a systematic divergence in
+filter semantics, null handling, group-by, or integer aggregation
+surfaces on whatever query shape triggers it rather than on the shapes
+we happened to write. Floats never cross the boundary — every numeric
+is integer cents (round(x*100) as BIGINT) on both sides.
+
+Determinism: a fixed hypothesis derandomize profile, so CI failures
+reproduce.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# (table, [(col, kind)]) — kind: "int" (exact integer), "cents"
+# (double, compared as round(x*100) BIGINT), "str", "date"
+TABLES = {
+    "orders": [
+        ("o_orderkey", "int"),
+        ("o_custkey", "int"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "cents"),
+        ("o_orderpriority", "str"),
+    ],
+    "customer": [
+        ("c_custkey", "int"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "cents"),
+        ("c_mktsegment", "str"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "int"),
+        ("l_partkey", "int"),
+        ("l_suppkey", "int"),
+        ("l_quantity", "cents"),
+        ("l_extendedprice", "cents"),
+        ("l_discount", "cents"),
+        ("l_returnflag", "str"),
+        ("l_linestatus", "str"),
+    ],
+}
+
+STR_LITERALS = {
+    "o_orderstatus": ["O", "F", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"],
+    "c_mktsegment": ["BUILDING", "AUTOMOBILE", "MACHINERY"],
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["O", "F"],
+}
+
+INT_BOUNDS = {
+    "o_orderkey": (0, 60000),
+    "o_custkey": (0, 1500),
+    "c_custkey": (0, 1500),
+    "c_nationkey": (0, 24),
+    "l_orderkey": (0, 60000),
+    "l_partkey": (0, 2000),
+    "l_suppkey": (0, 120),
+}
+
+CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@st.composite
+def query_ast(draw):
+    table = draw(st.sampled_from(sorted(TABLES)))
+    cols = TABLES[table]
+    int_cols = [c for c, k in cols if k == "int"]
+    cents_cols = [c for c, k in cols if k == "cents"]
+    str_cols = [c for c, k in cols if k == "str"]
+
+    filters = []
+    for _ in range(draw(st.integers(0, 2))):
+        kind = draw(st.sampled_from(["int", "str", "cents"]))
+        if kind == "int":
+            c = draw(st.sampled_from(int_cols))
+            lo, hi = INT_BOUNDS[c]
+            filters.append(("int", c, draw(st.sampled_from(CMP_OPS)), draw(st.integers(lo, hi))))
+        elif kind == "str":
+            c = draw(st.sampled_from(str_cols))
+            filters.append(("str", c, draw(st.sampled_from(["=", "<>"])), draw(st.sampled_from(STR_LITERALS[c]))))
+        else:
+            c = draw(st.sampled_from(cents_cols))
+            # compare in exact cents on both sides
+            filters.append(("cents", c, draw(st.sampled_from(CMP_OPS)), draw(st.integers(0, 2_000_000))))
+
+    group = draw(st.sampled_from([None] + str_cols + int_cols))
+    aggs = draw(
+        st.lists(
+            st.sampled_from(
+                [("count", None)]
+                + [("sumc", c) for c in cents_cols]
+                + [("minc", c) for c in cents_cols]
+                + [("maxi", c) for c in int_cols]
+            ),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    return table, filters, group, aggs
+
+
+def cents_sql(c: str) -> str:
+    return f"CAST(round({c} * 100) AS BIGINT)"
+
+
+def render_sql(ast) -> str:
+    table, filters, group, aggs = ast
+    where = []
+    for kind, c, op, lit in filters:
+        if kind == "str":
+            where.append(f"{c} {op} '{lit}'")
+        elif kind == "int":
+            where.append(f"{c} {op} {lit}")
+        else:
+            where.append(f"{cents_sql(c)} {op} {lit}")
+    sel, names = [], []
+    if group is not None:
+        sel.append(group)
+        names.append(group)
+    for i, (fn, c) in enumerate(aggs):
+        a = f"a{i}"
+        names.append(a)
+        if fn == "count":
+            sel.append(f"CAST(COUNT(*) AS BIGINT) AS {a}")
+        elif fn == "sumc":
+            sel.append(f"CAST(SUM({cents_sql(c)}) AS BIGINT) AS {a}")
+        elif fn == "minc":
+            sel.append(f"CAST(MIN({cents_sql(c)}) AS BIGINT) AS {a}")
+        else:
+            sel.append(f"CAST(MAX({c}) AS BIGINT) AS {a}")
+    sql = f"SELECT {', '.join(sel)} FROM {table}"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    if group is not None:
+        sql += f" GROUP BY {group}"
+    return sql
+
+
+def render_spark(spark, ast):
+    table, filters, group, aggs = ast
+    df = spark.read.parquet(os.path.join(SF_DIR, table + ".parquet"))
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    ops = {
+        "<": "__lt__", "<=": "__le__", ">": "__gt__",
+        ">=": "__ge__", "=": "__eq__", "<>": "__ne__",
+    }
+    for kind, c, op, lit in filters:
+        lhs = cents(c) if kind == "cents" else F.col(c)
+        df = df.filter(getattr(lhs, ops[op])(F.lit(lit)))
+    exprs = []
+    for i, (fn, c) in enumerate(aggs):
+        a = f"a{i}"
+        if fn == "count":
+            exprs.append(F.count(F.lit(1)).alias(a))
+        elif fn == "sumc":
+            exprs.append(F.sum(cents(c)).alias(a))
+        elif fn == "minc":
+            exprs.append(F.min(cents(c)).alias(a))
+        else:
+            exprs.append(F.max(F.col(c)).cast("long").alias(a))
+    if group is not None:
+        return df.groupBy(group).agg(*exprs)
+    return df.agg(*exprs)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
+        )
+    return con
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ast=query_ast())
+def test_random_query_matches_duckdb(spark, duck, ast):
+    sdf = render_spark(spark, ast).toPandas()
+    odf = duck.execute(render_sql(ast)).df()
+    # order-insensitive exact compare; SUM over empty input is NULL in
+    # both engines, so None==None holds
+    key = sorted(sdf.columns)
+    s = sorted(map(tuple, sdf.reindex(key, axis=1).itertuples(index=False)))
+    o = sorted(map(tuple, odf.reindex(key, axis=1).itertuples(index=False)))
+    assert s == o, f"AST {ast}\nSQL {render_sql(ast)}\nspark={s[:5]} oracle={o[:5]}"
