@@ -74,6 +74,67 @@ INT_BOUNDS = {
 CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
 
 
+JOINS = {
+    # (left, right, left_key, right_key)
+    "orders_customer": ("orders", "customer", "o_custkey", "c_custkey"),
+    "lineitem_orders": ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+}
+
+
+@st.composite
+def join_ast(draw):
+    jname = draw(st.sampled_from(sorted(JOINS)))
+    lt, rt, lk, rk = JOINS[jname]
+    cols = TABLES[lt] + TABLES[rt]
+    str_cols = [c for c, k in cols if k == "str"]
+    cents_cols = [c for c, k in cols if k == "cents"]
+    filters = []
+    for _ in range(draw(st.integers(0, 2))):
+        c = draw(st.sampled_from(str_cols))
+        filters.append(("str", c, draw(st.sampled_from(["=", "<>"])), draw(st.sampled_from(STR_LITERALS[c]))))
+    group = draw(st.sampled_from(str_cols))
+    agg_c = draw(st.sampled_from(cents_cols))
+    having_n = draw(st.sampled_from([None, 1, 10, 100]))
+    return jname, filters, group, agg_c, having_n
+
+
+def render_join_sql(ast) -> str:
+    jname, filters, group, agg_c, having_n = ast
+    lt, rt, lk, rk = JOINS[jname]
+    where = " AND ".join(
+        f"{c} {op} '{lit}'" for _, c, op, lit in filters
+    )
+    sql = (
+        f"SELECT {group}, CAST(COUNT(*) AS BIGINT) AS a0, "
+        f"CAST(SUM({cents_sql(agg_c)}) AS BIGINT) AS a1 "
+        f"FROM {lt} JOIN {rt} ON {lk} = {rk}"
+    )
+    if where:
+        sql += f" WHERE {where}"
+    sql += f" GROUP BY {group}"
+    if having_n is not None:
+        sql += f" HAVING COUNT(*) > {having_n}"
+    return sql
+
+
+def render_join_spark(spark, ast):
+    jname, filters, group, agg_c, having_n = ast
+    lt, rt, lk, rk = JOINS[jname]
+    l = spark.read.parquet(os.path.join(SF_DIR, lt + ".parquet"))
+    r = spark.read.parquet(os.path.join(SF_DIR, rt + ".parquet"))
+    df = l.join(r, F.col(lk) == F.col(rk))
+    ops = {"=": "__eq__", "<>": "__ne__"}
+    for _, c, op, lit in filters:
+        df = df.filter(getattr(F.col(c), ops[op])(F.lit(lit)))
+    cents = F.round(F.col(agg_c) * 100).cast("long")
+    out = df.groupBy(group).agg(
+        F.count(F.lit(1)).alias("a0"), F.sum(cents).alias("a1")
+    )
+    if having_n is not None:
+        out = out.filter(F.col("a0") > having_n)
+    return out
+
+
 @st.composite
 def query_ast(draw):
     table = draw(st.sampled_from(sorted(TABLES)))
@@ -204,3 +265,19 @@ def test_random_query_matches_duckdb(spark, duck, ast):
     s = sorted(map(tuple, sdf.reindex(key, axis=1).itertuples(index=False)))
     o = sorted(map(tuple, odf.reindex(key, axis=1).itertuples(index=False)))
     assert s == o, f"AST {ast}\nSQL {render_sql(ast)}\nspark={s[:5]} oracle={o[:5]}"
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ast=join_ast())
+def test_random_join_query_matches_duckdb(spark, duck, ast):
+    sdf = render_join_spark(spark, ast).toPandas()
+    odf = duck.execute(render_join_sql(ast)).df()
+    key = sorted(sdf.columns)
+    s = sorted(map(tuple, sdf.reindex(key, axis=1).itertuples(index=False)))
+    o = sorted(map(tuple, odf.reindex(key, axis=1).itertuples(index=False)))
+    assert s == o, f"AST {ast}\nSQL {render_join_sql(ast)}"
