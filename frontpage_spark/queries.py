@@ -9734,3 +9734,83 @@ def returned_revenue_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ---- mojibake detection / repair (ftfy-lite) -------------------------------
+# UTF-8 bytes mis-decoded as Latin-1: each pair is (mojibake, intended).
+_MOJI_PAIRS = [
+    ("\u00c3\u00a9", "\u00e9"),                      # A~(c)   -> e-acute
+    ("\u00c3\u00bc", "\u00fc"),                      # A~1/4   -> u-umlaut
+    ("\u00e2\u0080\u0099", "\u2019"),               # a-hat.. -> right quote
+    ("\u00e2\u0080\u0094", "\u2014"),               # a-hat.. -> em dash
+]
+
+
+def _moji_plant_sql() -> str:
+    # plant mojibake deterministically: doc_id % 7 == 0 gets a UTF-8-as-
+    # Latin-1 'cafe' token appended, % 7 == 1 a curly-quote artifact
+    return (
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' caf' || chr(195) || chr(169) "
+        "WHEN doc_id % 7 = 1 THEN text || ' it' || chr(226) || chr(128) || chr(153) || 's' "
+        "ELSE text END"
+    )
+
+
+@register(
+    "mojibake_repair_stats",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, {_moji_plant_sql()} AS body FROM documents
+    ), fixed AS (
+      SELECT doc_id, source, body,
+             replace(replace(replace(replace(body,
+               chr(195) || chr(169), chr(233)),
+               chr(195) || chr(188), chr(252)),
+               chr(226) || chr(128) || chr(153), chr(8217)),
+               chr(226) || chr(128) || chr(148), chr(8212)) AS repaired
+      FROM corpus
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN repaired <> body THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mojibake,
+           md5(string_agg(md5(repaired), '' ORDER BY doc_id)) AS repaired_md5
+    FROM fixed GROUP BY source
+    """,
+)
+def mojibake_repair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake (UTF-8 bytes decoded as Latin-1: 'A~(c)' where an
+    e-acute was meant) detection and repair -- the ftfy step every
+    web-scale text pipeline runs before tokenization, since encoding
+    damage inflates OOV rates and poisons dedup hashes. Repair is a
+    chained native `replace` over the known double-encoding pairs (no
+    UDF, stays in codegen); detection = repaired != original. The
+    corpus plants artifacts deterministically in-query (the synthetic
+    text is clean ASCII), and the per-source rollup carries an
+    order-fixed md5 over every repaired doc so the differential check
+    proves byte-exact repair, not just counts. One narrow pass + one
+    keyed agg."""
+    docs = _t(spark, sf_dir, "documents")
+    body = F.expr(_moji_plant_sql())
+    corpus = docs.select("doc_id", "source", body.alias("body"))
+    rep = F.col("body")
+    for bad, good in _MOJI_PAIRS:
+        rep = F.replace(rep, F.lit(bad), F.lit(good))
+    fixed = corpus.select("doc_id", "source", "body", rep.alias("repaired"))
+    per_doc = fixed.select(
+        "doc_id",
+        "source",
+        (F.col("repaired") != F.col("body")).cast("long").alias("moji"),
+        F.md5("repaired").alias("h"),
+    )
+    agg_h = F.md5(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(doc_id, h))), s -> s.h)"),
+            "",
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("moji").alias("n_mojibake"),
+        agg_h.alias("repaired_md5"),
+    )
