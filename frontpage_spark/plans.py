@@ -309,7 +309,15 @@ def assign_dense_ids(
     parts = df.repartitionByRange(*cols) if n_parts is None else df.repartitionByRange(
         n_parts, *cols
     )
-    with_part = parts.withColumn("__part", F.spark_partition_id())
+    # MATERIALIZE the range exchange before anything reads it twice:
+    # repartitionByRange picks boundaries from a random SAMPLE, so the
+    # offsets job and the final job would otherwise each re-execute the
+    # exchange with different boundaries — per-partition counts from
+    # one run applied to row_numbers of another (silent id corruption;
+    # bit us at sf0.1). localCheckpoint pins one placement for both.
+    with_part = parts.withColumn("__part", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     counts = with_part.groupBy("__part").agg(F.count(F.lit(1)).alias("__n"))
     rows = sorted((r["__part"], r["__n"]) for r in counts.collect())
     offsets, acc = {}, 0

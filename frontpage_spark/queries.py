@@ -9814,3 +9814,104 @@ def mojibake_repair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("moji").alias("n_mojibake"),
         agg_h.alias("repaired_md5"),
     )
+
+
+# ---- top event trigram paths -----------------------------------------------
+@register(
+    "top_event_trigram_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def top_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-event user journeys (clickstream path mining, one step up
+    from `event_transition_counts`' bigrams): two LEAD windows per
+    user build overlapping trigrams in a single pass — no self-joins,
+    no explode — then a global count + TakeOrderedAndProject top-10.
+    Ties break on the path string; the per-user window orders by
+    (ts, event_id) so simultaneous events are deterministic. Scale:
+    one hash exchange on user_id for the windows (bounded per-user
+    state), one small rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+# ---- Neyman-optimal stratified sample allocation ---------------------------
+@register(
+    "neyman_allocation_orders",
+    """
+    WITH strata AS (
+      SELECT o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+                      * CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT status, n_h,
+             -- stddev in cents: sqrt((n*s2 - s1^2)) / n  (one sqrt, one divide)
+             sqrt(CAST(n_h AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / n_h AS sd
+      FROM strata
+    ), tot AS (SELECT SUM(n_h * sd) AS z FROM scored)
+    SELECT status, n_h,
+           CAST(floor(1000.0 * (n_h * sd) / z) AS BIGINT) AS alloc_of_1000
+    FROM scored, tot
+    """,
+)
+def neyman_allocation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a 1000-row sample budget across
+    order-status strata: n_h' ∝ N_h·S_h (stratum size × stddev) — the
+    survey-sampling optimum that beats proportional allocation
+    whenever strata variances differ. Variance comes from exact
+    integer power sums (Σx, Σx² in cents), so the only floats are one
+    sqrt, one divide, and the final floor — an IEEE-identical
+    sequence in both engines. The allocator is the planning half of
+    `stratified_sample_docs`: compute here, sample there. One keyed
+    rollup + a 3-row broadcast total."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    strata = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    sd = (
+        F.sqrt(
+            F.col("n_h").cast("double") * F.col("s2")
+            - F.col("s1").cast("double") * F.col("s1")
+        )
+        / F.col("n_h")
+    )
+    scored = strata.select("status", "n_h", sd.alias("sd"))
+    tot = scored.agg(F.sum(F.col("n_h") * F.col("sd")).alias("z"))
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "status",
+        "n_h",
+        F.floor(F.lit(1000.0) * (F.col("n_h") * F.col("sd")) / F.col("z"))
+        .cast("long")
+        .alias("alloc_of_1000"),
+    )
