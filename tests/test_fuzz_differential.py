@@ -239,6 +239,23 @@ def render_spark(spark, ast):
     return df.agg(*exprs)
 
 
+def norm_rows(df):
+    """Order-insensitive row multiset with NULL-safe floats: pandas
+    renders SQL NULL as NaN and NaN != NaN, so aggregate-over-empty
+    results (MAX of zero rows) would false-positive without this."""
+    import math
+
+    key = sorted(df.columns)
+    rows = []
+    for t in df.reindex(key, axis=1).itertuples(index=False):
+        rows.append(
+            tuple(
+                None if (isinstance(v, float) and math.isnan(v)) else v for v in t
+            )
+        )
+    return sorted(rows, key=repr)
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
@@ -259,11 +276,7 @@ def duck():
 def test_random_query_matches_duckdb(spark, duck, ast):
     sdf = render_spark(spark, ast).toPandas()
     odf = duck.execute(render_sql(ast)).df()
-    # order-insensitive exact compare; SUM over empty input is NULL in
-    # both engines, so None==None holds
-    key = sorted(sdf.columns)
-    s = sorted(map(tuple, sdf.reindex(key, axis=1).itertuples(index=False)))
-    o = sorted(map(tuple, odf.reindex(key, axis=1).itertuples(index=False)))
+    s, o = norm_rows(sdf), norm_rows(odf)
     assert s == o, f"AST {ast}\nSQL {render_sql(ast)}\nspark={s[:5]} oracle={o[:5]}"
 
 
@@ -277,7 +290,5 @@ def test_random_query_matches_duckdb(spark, duck, ast):
 def test_random_join_query_matches_duckdb(spark, duck, ast):
     sdf = render_join_spark(spark, ast).toPandas()
     odf = duck.execute(render_join_sql(ast)).df()
-    key = sorted(sdf.columns)
-    s = sorted(map(tuple, sdf.reindex(key, axis=1).itertuples(index=False)))
-    o = sorted(map(tuple, odf.reindex(key, axis=1).itertuples(index=False)))
+    s, o = norm_rows(sdf), norm_rows(odf)
     assert s == o, f"AST {ast}\nSQL {render_join_sql(ast)}"
