@@ -9915,3 +9915,138 @@ def neyman_allocation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_of_1000"),
     )
+
+
+# ---- k-center greedy diversity selection (coreset sampling) ----------------
+_KCENTER_K = 8
+
+_KCENTER_ORACLE = """WITH v AS MATERIALIZED (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT)) AS vv
+      FROM embeddings
+    ),
+    m1 AS MATERIALIZED (
+      SELECT c.id, list_sum([ (c.vv[i] - n.vv[i]) * (c.vv[i] - n.vv[i]) for i in generate_series(1, len(c.vv)) ]) AS md
+      FROM v c JOIN v n ON n.id = 0
+      WHERE c.id <> 0
+    ),
+    p2 AS MATERIALIZED (SELECT id, md FROM m1 ORDER BY md DESC, id LIMIT 1),
+    m2 AS MATERIALIZED (
+      SELECT c.id, LEAST(m1.md, list_sum([ (c.vv[i] - n.vv[i]) * (c.vv[i] - n.vv[i]) for i in generate_series(1, len(c.vv)) ])) AS md
+      FROM v c
+      JOIN m1 ON m1.id = c.id
+      JOIN v n ON n.id = (SELECT id FROM p2)
+      WHERE c.id <> (SELECT id FROM p2)
+    ),
+    p3 AS MATERIALIZED (SELECT id, md FROM m2 ORDER BY md DESC, id LIMIT 1),
+    m3 AS MATERIALIZED (
+      SELECT c.id, LEAST(m2.md, list_sum([ (c.vv[i] - n.vv[i]) * (c.vv[i] - n.vv[i]) for i in generate_series(1, len(c.vv)) ])) AS md
+      FROM v c
+      JOIN m2 ON m2.id = c.id
+      JOIN v n ON n.id = (SELECT id FROM p3)
+      WHERE c.id <> (SELECT id FROM p3)
+    ),
+    p4 AS MATERIALIZED (SELECT id, md FROM m3 ORDER BY md DESC, id LIMIT 1),
+    m4 AS MATERIALIZED (
+      SELECT c.id, LEAST(m3.md, list_sum([ (c.vv[i] - n.vv[i]) * (c.vv[i] - n.vv[i]) for i in generate_series(1, len(c.vv)) ])) AS md
+      FROM v c
+      JOIN m3 ON m3.id = c.id
+      JOIN v n ON n.id = (SELECT id FROM p4)
+      WHERE c.id <> (SELECT id FROM p4)
+    ),
+    p5 AS MATERIALIZED (SELECT id, md FROM m4 ORDER BY md DESC, id LIMIT 1),
+    m5 AS MATERIALIZED (
+      SELECT c.id, LEAST(m4.md, list_sum([ (c.vv[i] - n.vv[i]) * (c.vv[i] - n.vv[i]) for i in generate_series(1, len(c.vv)) ])) AS md
+      FROM v c
+      JOIN m4 ON m4.id = c.id
+      JOIN v n ON n.id = (SELECT id FROM p5)
+      WHERE c.id <> (SELECT id FROM p5)
+    ),
+    p6 AS MATERIALIZED (SELECT id, md FROM m5 ORDER BY md DESC, id LIMIT 1),
+    m6 AS MATERIALIZED (
+      SELECT c.id, LEAST(m5.md, list_sum([ (c.vv[i] - n.vv[i]) * (c.vv[i] - n.vv[i]) for i in generate_series(1, len(c.vv)) ])) AS md
+      FROM v c
+      JOIN m5 ON m5.id = c.id
+      JOIN v n ON n.id = (SELECT id FROM p6)
+      WHERE c.id <> (SELECT id FROM p6)
+    ),
+    p7 AS MATERIALIZED (SELECT id, md FROM m6 ORDER BY md DESC, id LIMIT 1),
+    m7 AS MATERIALIZED (
+      SELECT c.id, LEAST(m6.md, list_sum([ (c.vv[i] - n.vv[i]) * (c.vv[i] - n.vv[i]) for i in generate_series(1, len(c.vv)) ])) AS md
+      FROM v c
+      JOIN m6 ON m6.id = c.id
+      JOIN v n ON n.id = (SELECT id FROM p7)
+      WHERE c.id <> (SELECT id FROM p7)
+    ),
+    p8 AS MATERIALIZED (SELECT id, md FROM m7 ORDER BY md DESC, id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS sel_rank, CAST(0 AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS min_dist_u
+    UNION ALL SELECT CAST(2 AS BIGINT), p2.id, p2.md FROM p2
+    UNION ALL SELECT CAST(3 AS BIGINT), p3.id, p3.md FROM p3
+    UNION ALL SELECT CAST(4 AS BIGINT), p4.id, p4.md FROM p4
+    UNION ALL SELECT CAST(5 AS BIGINT), p5.id, p5.md FROM p5
+    UNION ALL SELECT CAST(6 AS BIGINT), p6.id, p6.md FROM p6
+    UNION ALL SELECT CAST(7 AS BIGINT), p7.id, p7.md FROM p7
+    UNION ALL SELECT CAST(8 AS BIGINT), p8.id, p8.md FROM p8
+"""
+
+
+@register("kcenter_diverse_seeds", _KCENTER_ORACLE)
+def kcenter_diverse_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy (Gonzalez 2-approximation) over the embedding
+    corpus: start from vector 0, then 8-1 times add the point FARTHEST
+    (max-min squared L2) from everything selected — the coreset /
+    diversity-sampling primitive behind facility-location data
+    selection and active-learning seed picks.
+
+    Both engines replay the same INCREMENTAL recurrence: each round
+    updates every candidate's running min-distance against only the
+    NEWEST center (md_k = least(md_(k-1), d(c, new))) — one distance
+    per candidate per round, not |selected| — then takes a
+    deterministic argmax (max md, then min id). Distances are exact
+    integer micro-units so the greedy trajectory is engine-bit-
+    identical; the oracle unrolls the 8 rounds as a CTE chain (the
+    `kmeans_lloyd_counts` pattern for iterative algorithms).
+
+    Scale shape per round: the md state is one BIGINT per candidate
+    (kept distributed, localCheckpointed to cut lineage), the newest
+    center broadcasts as a literal, and the argmax is TakeOrdered(1);
+    the driver holds only the K chosen vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT))").alias("vv"),
+    ).persist()
+    first = v.filter(F.col("id") == 0).select("vv").collect()[0]["vv"]
+
+    def dist_to(center: list[int]) -> F.Column:
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in center])
+        return F.expr(
+            "aggregate(zip_with(vv, __c, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ), lit
+
+    d0, lit0 = dist_to(first)
+    md = (
+        v.filter(F.col("id") != 0)
+        .withColumn("__c", lit0)
+        .select("id", "vv", d0.alias("md"))
+        .localCheckpoint(eager=True)
+    )
+    out = [(1, 0, None)]
+    for k in range(2, _KCENTER_K + 1):
+        top = md.orderBy(F.desc("md"), "id").limit(1).select("id", "md").collect()[0]
+        out.append((k, top["id"], top["md"]))
+        if k == _KCENTER_K:
+            break
+        new_vv = v.filter(F.col("id") == top["id"]).select("vv").collect()[0]["vv"]
+        dk, litk = dist_to(new_vv)
+        md = (
+            md.filter(F.col("id") != top["id"])
+            .withColumn("__c", litk)
+            .select("id", "vv", F.least("md", dk).alias("md"))
+            .localCheckpoint(eager=True)
+        )
+    v.unpersist()
+    return spark.createDataFrame(
+        out, "sel_rank bigint, vec_id bigint, min_dist_u bigint"
+    )
