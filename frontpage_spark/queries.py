@@ -10050,3 +10050,63 @@ def kcenter_diverse_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "sel_rank bigint, vec_id bigint, min_dist_u bigint"
     )
+
+
+# ---- Pareto 80/20 revenue concentration ------------------------------------
+@register(
+    "pareto_8020_customers",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT rev_c,
+             SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey) AS cum_c,
+             row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rnk,
+             (SELECT CAST(SUM(rev_c) AS BIGINT) FROM per_cust) AS tot_c,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM per_cust) AS n
+      FROM per_cust
+    )
+    SELECT CAST(MIN(rnk) AS BIGINT) AS n_top_customers,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MIN(rnk) AS DOUBLE) / MAX(n) AS top_fraction,
+           CAST(MIN(cum_c) AS DOUBLE) / MAX(tot_c) AS their_revenue_share
+    FROM ranked WHERE cum_c * 5 >= tot_c * 4
+    """,
+)
+def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest top-spender prefix holding at
+    least 80% of revenue — the 80/20 health check of any revenue or
+    token-source distribution (a training corpus where 2% of domains
+    carry 80% of tokens has a diversity problem; same query, swap the
+    rollup). The crossing point is found with an integer cross-
+    multiplication (cum·5 ≥ tot·4 — no float threshold), prefix sums
+    ride one window over the CUSTOMER rollup, and the two output
+    ratios are single IEEE divisions. Scale: keyed rollup shuffle +
+    a window over customers (not orders) + a 1-row reduce."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    tot = per_cust.agg(
+        F.sum("rev_c").alias("tot_c"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.desc("rev_c"), "o_custkey")
+    ranked = per_cust.select(
+        "rev_c",
+        F.sum("rev_c").over(w).alias("cum_c"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).crossJoin(F.broadcast(tot))
+    return (
+        ranked.filter(F.col("cum_c") * 5 >= F.col("tot_c") * 4)
+        .groupBy()
+        .agg(
+            F.min("rnk").alias("n_top_customers"),
+            F.max("n").alias("n_customers"),
+            (F.min("rnk").cast("double") / F.max("n")).alias("top_fraction"),
+            (F.min("cum_c").cast("double") / F.max("tot_c")).alias(
+                "their_revenue_share"
+            ),
+        )
+    )
