@@ -292,3 +292,65 @@ def test_random_join_query_matches_duckdb(spark, duck, ast):
     odf = duck.execute(render_join_sql(ast)).df()
     s, o = norm_rows(sdf), norm_rows(odf)
     assert s == o, f"AST {ast}\nSQL {render_join_sql(ast)}"
+
+
+@st.composite
+def window_ast(draw):
+    """Window functions over orders: fn OVER (PARTITION BY part ORDER BY
+    o_orderkey) — the unique orderkey makes every ranking
+    deterministic."""
+    fn = draw(st.sampled_from(["row_number", "rank", "sum", "min", "lag"]))
+    part = draw(st.sampled_from(["o_orderstatus", "o_orderpriority", "o_custkey"]))
+    filt = draw(st.sampled_from([None] + STR_LITERALS["o_orderstatus"]))
+    return fn, part, filt
+
+
+def render_window_sql(ast) -> str:
+    fn, part, filt = ast
+    target = cents_sql("o_totalprice")
+    expr = {
+        "row_number": "row_number() OVER w",
+        "rank": "rank() OVER w",
+        "sum": f"SUM({target}) OVER w",
+        "min": f"MIN({target}) OVER w",
+        "lag": f"lag({target}, 1) OVER w",
+    }[fn]
+    sql = (
+        f"SELECT o_orderkey, CAST({expr} AS BIGINT) AS a0 FROM orders"
+    )
+    if filt:
+        sql += f" WHERE o_orderstatus = '{filt}'"
+    sql += f" WINDOW w AS (PARTITION BY {part} ORDER BY o_orderkey)"
+    return sql
+
+
+def render_window_spark(spark, ast):
+    from pyspark.sql.window import Window
+
+    fn, part, filt = ast
+    df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    if filt:
+        df = df.filter(F.col("o_orderstatus") == filt)
+    w = Window.partitionBy(part).orderBy("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    col = {
+        "row_number": F.row_number().over(w),
+        "rank": F.rank().over(w),
+        "sum": F.sum(cents).over(w),
+        "min": F.min(cents).over(w),
+        "lag": F.lag(cents, 1).over(w),
+    }[fn]
+    return df.select("o_orderkey", col.cast("long").alias("a0"))
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ast=window_ast())
+def test_random_window_query_matches_duckdb(spark, duck, ast):
+    s = norm_rows(render_window_spark(spark, ast).toPandas())
+    o = norm_rows(duck.execute(render_window_sql(ast)).df())
+    assert s == o, f"AST {ast}\nSQL {render_window_sql(ast)}"
