@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -99,7 +100,34 @@ HEADLINE = [
     "bination_volume_q7ish",
     "big_order_customers_q18ish",
     "forecast_revenue_q6ish",
+    # round-4: the oracle-checked embedding-dedup scale path
+    "embedding_near_dup_lsh",
 ]
+
+
+WARM_PASSES = 3  # per-query warm time = median over this many interleaved passes
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-POSIX
+        return [-1.0, -1.0, -1.0]
+
+
+def _wait_for_idle(max_wait_s: float = 90.0, threshold: float | None = None) -> float:
+    """If the box is visibly busy before we even start (another build,
+    a concurrent pytest, ...), wait briefly for it to drain so the bench
+    measures the engine, not the neighbor.  Returns seconds waited; the
+    stamp lands in the JSON either way so a reader can adjudicate."""
+    cpus = os.cpu_count() or 32
+    if threshold is None:
+        threshold = max(4.0, cpus / 4.0)
+    waited = 0.0
+    while waited < max_wait_s and _loadavg()[0] > threshold:
+        time.sleep(5.0)
+        waited += 5.0
+    return waited
 
 
 def main() -> None:
@@ -108,6 +136,9 @@ def main() -> None:
 
     from frontpage_spark.queries import ORACLES, QUERIES
     from frontpage_spark.session import get_spark
+
+    load_start = _loadavg()
+    idle_wait = _wait_for_idle()
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -130,27 +161,51 @@ def main() -> None:
 
     # Pass 1 (cold): includes each plan's one-time whole-stage-codegen
     # compile — a per-plan constant that amortizes to zero at real data
-    # scale. Pass 2 (warm): steady-state execution, the number that is
-    # comparable across engines and scales with the data.
+    # scale.  Warm passes (x3, interleaved): steady-state execution, the
+    # number that is comparable across engines and scales with the data.
+    # Per-query warm = MEDIAN over the interleaved passes, so a transient
+    # CPU spike from a concurrent process poisons at most one sample per
+    # query instead of the whole artifact (round-3 postmortem: a single
+    # contended pass produced an irreproducible suite-level 4.5x).
     cold_query: dict[str, float] = {}
+    warm_samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for name in HEADLINE:
+        cold_query[name] = round(run(name), 3)
+    pass_loads: list[list[float]] = []
+    for _ in range(WARM_PASSES):
+        pass_loads.append(_loadavg())
+        for name in HEADLINE:
+            warm_samples[name].append(run(name))
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        cold_query[name] = round(run(name), 3)
-    for name in HEADLINE:
-        dt = run(name)
-        per_query[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s (cold {cold_query[name]:.2f}s)", file=sys.stderr)
+        med = statistics.median(warm_samples[name])
+        per_query[name] = round(med, 3)
+        total += med
+        samples = "/".join(f"{s:.2f}" for s in warm_samples[name])
+        print(
+            f"# {name}: {med:.2f}s (samples {samples}, cold {cold_query[name]:.2f}s)",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "warm_passes": WARM_PASSES,
+        "pass_totals": [
+            round(sum(warm_samples[n][i] for n in HEADLINE), 3)
+            for i in range(WARM_PASSES)
+        ],
         "cold_value": round(sum(cold_query.values()), 3),
         "cold_queries": cold_query,
         "sf": sf_dir,
+        "cpus": os.cpu_count(),
+        "loadavg_start": load_start,
+        "loadavg_passes": pass_loads,
+        "idle_wait_sec": idle_wait,
     }
 
     if with_oracle:
@@ -163,13 +218,18 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
             )
-        oracle_q: dict[str, float] = {}
-        for name in HEADLINE:
-            if name not in ORACLES:
-                continue
-            t0 = time.time()
-            con.execute(ORACLES[name]).fetchall()
-            oracle_q[name] = round(time.time() - t0, 3)
+        covered = [n for n in HEADLINE if n in ORACLES]
+        # warm DuckDB once (classload/view-bind), then same interleaved
+        # median-of-N protocol as the Spark side for a symmetric ratio
+        oracle_samples: dict[str, list[float]] = {n: [] for n in covered}
+        for _ in range(WARM_PASSES):
+            for name in covered:
+                t0 = time.time()
+                con.execute(ORACLES[name]).fetchall()
+                oracle_samples[name].append(time.time() - t0)
+        oracle_q = {
+            n: round(statistics.median(oracle_samples[n]), 3) for n in covered
+        }
         out["oracle_queries"] = oracle_q
         oracle_total = sum(oracle_q.values())
         out["oracle_value"] = round(oracle_total, 3)
@@ -178,6 +238,7 @@ def main() -> None:
         spark_covered = sum(per_query[n] for n in oracle_q)
         out["ratio"] = round(spark_covered / oracle_total, 3) if oracle_total else None
 
+    out["loadavg_end"] = _loadavg()
     spark.stop()
     print(json.dumps(out))
 

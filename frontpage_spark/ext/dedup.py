@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..plans import keep as _keep
+
 DEFAULT_BANDS = 4
 DEFAULT_MAX_BUCKET = 100
 
@@ -120,9 +122,9 @@ def lsh_candidate_pairs(
         sigs = minhash_signatures(df, id_col, text_col, bands)
     # consumed twice (bucket-size count, then the gated collect) — the
     # signature pass is the expensive narrow stage (one md5 per
-    # shingle), so cache it rather than replay it; callers drop the
-    # block with clearCache, same contract as the other loop invariants.
-    sigs = sigs.persist()
+    # shingle), so cache it rather than replay it; bounded-lifetime
+    # keep() releases the block once later queries rotate it out.
+    sigs = _keep(sigs)
     usable_keys = (
         sigs.groupBy("band", "minhash")
         .agg(F.count("*").alias("n"))
@@ -376,9 +378,8 @@ def prefix_filter_pairs(
     )
     # four consumers below (two prefix explodes, two verify sides) —
     # without a persist each one replays shingle + freq + sort from the
-    # scan, quadrupling the dominant stage. Loop-invariant cache, same
-    # contract as pagerank_fixedpoint: callers drop it with clearCache.
-    sets = sets.persist()
+    # scan, quadrupling the dominant stage. Bounded-lifetime keep().
+    sets = _keep(sets)
     # Candidate generation with the full PPJoin filter stack — each
     # filter is LOSSLESS (the oracle equivalence proves it):
     #  * prefix filter: join only the rare prefixes (above);
@@ -471,7 +472,7 @@ def hamming_near_dup(
     )
     # both join sides read `banded`; without a cache the upstream
     # signature computation (often a decode/hash Arrow pass) runs twice
-    banded = banded.persist()
+    banded = _keep(banded)
     a = banded.select(
         F.col(id_col).alias("a"), F.col("hi").alias("hia"),
         F.col("lo").alias("loa"), "band", "bv",

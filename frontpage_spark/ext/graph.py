@@ -144,6 +144,10 @@ def kcore(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     cur = cur.localCheckpoint(eager=True)
+    # one count() per round: the previous round's surviving-edge count
+    # is this round's n_cur (recounting cur re-ran the whole
+    # uncheckpointed lineage a second time per round — ADVICE r3)
+    n_cur = cur.count()
     for rnd in range(max_rounds):
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("a")
@@ -154,11 +158,11 @@ def kcore(
         if rnd % checkpoint_every == checkpoint_every - 1:
             nxt = nxt.localCheckpoint(eager=True)
         # converged when no node fell below k this round
-        n_cur = cur.count()
         n_nxt = nxt.count()
         cur = nxt
         if n_cur == n_nxt:
             break
+        n_cur = n_nxt
     else:
         raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
     return cur.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("degree"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans import keep as _keep
 from . import dedup
 from .sampling import assign_split
 from .textstats import distinct_ratio, with_char_entropy
@@ -258,7 +259,7 @@ def bpe_train(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    state = words.select("word", _bpe_state_expr("word").alias("st"), "wc").persist()
+    state = _keep(words.select("word", _bpe_state_expr("word").alias("st"), "wc"))
     # Size-gated local fast path (the _gated_pair_edges pattern): BPE
     # rounds are inherently sequential — each argmax is a driver
     # barrier — so a small vocabulary pays n_merges × job-scheduling
@@ -309,6 +310,7 @@ def bpe_train(
         prev, state = state, (
             state.select(
                 "word", F.expr(f"replace(st, '{pat}', '{rep}')").alias("st"), "wc"
-            ).persist()
+)
         )
+        state = _keep(state)
     return merges, state

@@ -365,6 +365,100 @@ def lsh_topk(
     )
 
 
+# banded-LSH near-dup defaults: 10 bands x 10 hyperplanes. Random-pair
+# collision rate = bands/2^planes ~ 1%, so candidate volume is ~N^2/100
+# worst-case on uncorrelated data and output-proportional once real
+# near-dups dominate (exact duplicates collide in EVERY band:
+# recall 1.0 for the dedup case by construction).
+LSH_ND_BANDS = 10
+LSH_ND_PLANES = 10
+
+
+def lsh_band_candidates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = LSH_ND_BANDS,
+    planes: int = LSH_ND_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Candidate (a, b) pairs (a < b) sharing at least one band of
+    random-hyperplane sign bits — the blocking stage of embedding
+    near-dup dedup (MinHash-LSH's banding scheme transplanted to
+    cosine space; reference parity: the same candidates->verify
+    discipline as `ext/dedup.lsh_candidate_pairs` for text).
+
+    Deterministic end-to-end: hyperplanes are md5-derived +-1 literals
+    (`_plane_literals`), signatures a sequential double fold per plane
+    — bit-identical in any engine that folds doubles in index order,
+    which is what makes the whole pipeline DuckDB-oracle-checkable.
+
+    Scale shape: one narrow pass computes bands*planes sign bits per
+    row (JVM codegen, no shuffle), one explode to (id, band, sig), one
+    shuffle on (band, sig) for the self-join, DISTINCT to merge
+    multi-band collisions. Nothing is ever broadcast or collected;
+    bucket sizes are geometrically small (2^-planes) so no salt is
+    needed."""
+    total = bands * planes
+    sigs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("e")
+    ).withColumn("__planes", _plane_literals(total, dim))
+    band_sigs = []
+    for g in range(bands):
+        bits = []
+        for p in range(g * planes, (g + 1) * planes):
+            dot_p = F.expr(
+                f"aggregate(zip_with(e, __planes[{p}], (x, h) -> CAST(x AS DOUBLE) * h), "
+                f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            bits.append(F.when(dot_p > 0, F.lit("1")).otherwise(F.lit("0")))
+        band_sigs.append(F.concat(*bits))
+    exploded = sigs.select(
+        "id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
+    )
+    a = exploded.select(F.col("id").alias("a"), "band", "sig")
+    b = exploded.select(F.col("id").alias("b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = LSH_ND_BANDS,
+    planes: int = LSH_ND_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage embedding near-dup at corpus scale: banded-LSH
+    candidates (`lsh_band_candidates`) -> exact cosine verify on ONLY
+    the candidates. The composition mirrors text `near_dup_verified`;
+    cosine is rounded to 12 digits BEFORE thresholding on both engines
+    so summation-order noise at the boundary cannot flip membership.
+    Output: (a, b, cosine) with cosine >= threshold, approximate in the
+    LSH sense (recall < 1 near the threshold, -> 1.0 for true
+    duplicates, which collide in every band)."""
+    cand = lsh_band_candidates(corpus, id_col, vec_col, bands, planes, dim)
+    x = corpus.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("ea"), _norm2(vec_col).alias("na")
+    )
+    y = corpus.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("eb"), _norm2(vec_col).alias("nb")
+    )
+    return (
+        cand.join(x, "a")
+        .join(y, "b")
+        .withColumn("cosine", F.round(_dot("ea", "eb") / (F.sqrt("na") * F.sqrt("nb")), 12))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

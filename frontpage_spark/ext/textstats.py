@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..plans import keep as _keep
+
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
 # heuristic. Real corpora would broadcast a larger lexicon table.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -383,8 +385,8 @@ def bigram_xentropy(
     )
     # consumed by BOTH passes (model explode, score fold); the per-char
     # transform/ascii lambda is the dominant narrow cost, so compute
-    # the id arrays once and cache — callers clearCache as usual
-    base = base.persist()
+    # the id arrays once and cache (bounded-lifetime keep())
+    base = _keep(base)
     if train_df is None:
         # model trained on the scored corpus itself (CCNet shape):
         # every scored bigram exists in the model, floor never fires

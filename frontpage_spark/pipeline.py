@@ -242,17 +242,14 @@ def observed_batch(raw: DataFrame, observation=None) -> DataFrame:
     metrics (row count, null-key count, distinct-ish key floor via
     approx_count_distinct, max scrape_date) are computed by the SAME
     job that consumes the frame — zero extra scans, zero extra
-    shuffles, visible on the driver through
-    ``df.observation_metrics`` / a QueryExecutionListener, and in
-    Structured Streaming through each micro-batch's progress event.
-    At 100 TB an extra .count() for logging re-reads the table; an
-    observation is free.
+    shuffles, read on the driver via ``Observation.get`` (batch) or a
+    ``QueryExecutionListener``, and in Structured Streaming through
+    each micro-batch's progress event. At 100 TB an extra .count() for
+    logging re-reads the table; an observation is free.
 
     ``observation``: a ``pyspark.sql.Observation`` for driver-side
     ``.get`` access (batch), or None to attach a named observation
     (streaming — metrics ride each progress event)."""
-    from pyspark.sql import Observation
-
     return raw.observe(
         observation if observation is not None else "etl_metrics",
         F.count(F.lit(1)).alias("n_rows"),
@@ -262,12 +259,25 @@ def observed_batch(raw: DataFrame, observation=None) -> DataFrame:
     )
 
 
-def apply_cdc(target: DataFrame, changes: DataFrame, key: str, op_col: str = "op", ts_col: str = "ts") -> DataFrame:
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+) -> DataFrame:
     """Apply a Debezium-shaped change batch (op ∈ {I, U, D} per key) to
     a snapshot: the LAST change per key wins (ordered by ``ts_col``
-    then op for determinism), deletes drop the key, inserts/updates
-    upsert the payload. This is the canonical "CDC stream → warehouse
-    table" step a `foreachBatch` body runs against the txlog sink.
+    then op), deletes drop the key, inserts/updates upsert the
+    payload. This is the canonical "CDC stream → warehouse table" step
+    a `foreachBatch` body runs against the txlog sink.
+
+    Determinism contract: pass ``seq_col`` (the source's offset / LSN /
+    event id — every real CDC feed has one) as the final tie-break;
+    without it the batch must be unique on (key, ts_col, op_col), since
+    two changes sharing all three but carrying different payloads would
+    make the winner partition-order-dependent (ADVICE r3).
 
     Shape: one rank-filter per key over the CHANGE batch (WindowGroup-
     Limit; the batch, not the table, pays the window), then a single
@@ -275,12 +285,16 @@ def apply_cdc(target: DataFrame, changes: DataFrame, key: str, op_col: str = "op
     surviving upserts — the same one-shuffle MERGE form as
     ``merge_upsert``. Idempotent: applying the same batch twice is a
     no-op (asserted in tests)."""
-    w = Window.partitionBy(key).orderBy(F.desc(ts_col), F.desc(op_col))
+    order = [F.desc(ts_col), F.desc(op_col)]
+    if seq_col is not None:
+        order.append(F.desc(seq_col))
+    w = Window.partitionBy(key).orderBy(*order)
     last = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
     kept = target.join(last.select(key), key, "left_anti")
-    upserts = last.filter(F.col(op_col) != "D").drop(op_col, ts_col)
+    drop_cols = [op_col, ts_col] + ([seq_col] if seq_col is not None else [])
+    upserts = last.filter(F.col(op_col) != "D").drop(*drop_cols)
     return kept.unionByName(upserts)

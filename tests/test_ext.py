@@ -1061,3 +1061,56 @@ def test_kcore_empty_when_k_too_high(spark):
 
     edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
     assert kcore(edges, k=5).count() == 0
+
+
+def test_lsh_near_dup_recall_one_for_exact_dups(spark):
+    """Exact duplicates share EVERY band signature, so banded-LSH
+    candidate generation finds them with recall 1.0 by construction —
+    the guarantee the scale path's dedup use case rests on."""
+    from .conftest import SF_DIR
+
+    emb = (
+        spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .limit(50)
+    )
+    dup = emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(dup)
+    pairs = similarity.lsh_near_dup_pairs(corpus, threshold=0.999)
+    found = {(r["a"], r["b"]) for r in pairs.collect()}
+    # every (v, v+1000) replica pair must be recovered at cosine 1.0
+    assert {(v, v + 1000) for v in range(50)} <= found
+
+
+def test_embedding_near_dup_gate(spark, tmp_path):
+    """Above _EMB_EXACT_GATE rows the registered profile routes through
+    LSH candidates (n_pairs << C(n,2)); at or below it stays exact
+    (n_pairs == C(n,2))."""
+    from .conftest import SF_DIR
+    from frontpage_spark.queries import QUERIES, _EMB_EXACT_GATE
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    n_base = emb.count()
+    reps = _EMB_EXACT_GATE // n_base + 1
+    big = emb
+    for i in range(1, reps):
+        big = big.unionByName(
+            emb.select((F.col("vec_id") + 10_000 * i).alias("vec_id"), "embedding")
+        )
+    out_dir = str(tmp_path / "gated")
+    big.write.parquet(os.path.join(out_dir, "embeddings.parquet"))
+    n = n_base * reps
+    assert n > _EMB_EXACT_GATE
+
+    row = QUERIES["embedding_near_dup"](spark, out_dir).collect()[0]
+    all_pairs = n * (n - 1) // 2
+    assert row["n_pairs"] < all_pairs // 10, "over-gate profile still all-pairs"
+    # each vector has reps-1 exact replicas -> C(reps,2) planted pairs per
+    # base id, all caught (every band collides) and all cosine 1.0
+    assert row["n_ge_08"] >= n_base * reps * (reps - 1) // 2
+    assert row["max_cosine"] == 1.0
+
+    small = QUERIES["embedding_near_dup"](spark, SF_DIR).collect()[0]
+    assert small["n_pairs"] == n_base * (n_base - 1) // 2

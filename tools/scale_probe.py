@@ -112,8 +112,15 @@ HEAVY_QUERIES = [
     "segment_dedup_prune",
     "cdc_substring_dups",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "dup_clusters",
     "prefix_filtered_jaccard",
+    # inverted-index postings self-joins (VERDICT r3 item 7): hot-term
+    # postings lists COULD explode quadratically without the doc-pair
+    # grouping/caps these queries carry
+    "benchmark_contamination",
+    "cross_source_ngram_overlap",
+    "phrase_search_positional",
 ]
 
 # known compute models, shown in the report: replicas are NEAR-COPIES
@@ -122,11 +129,19 @@ HEAVY_QUERIES = [
 # judged against OUTPUT growth, not input growth.
 NOTES = {
     "embedding_near_dup": (
-        "exact all-pairs GEMM baseline — O(n^2) compute BY DESIGN; the "
-        "scale path is embedding_knn_lsh/ivf candidates -> this verify"
+        "size-gated: exact GEMM <=4096 rows, banded-LSH candidates above "
+        "(this probe crosses the gate, so the Nx run IS the LSH route)"
+    ),
+    "embedding_near_dup_lsh": (
+        "banded-LSH candidates -> exact verify, DuckDB-oracle-checked; "
+        "replica vectors are exact dups (cos 1.0, recall 1.0), so true "
+        "output grows ~replica^2 and cost must track output"
     ),
     "near_dup_verified": "LSH candidates + exact verify; cost tracks true near-dup pairs",
     "prefix_filtered_jaccard": "PPJoin; cost tracks qualifying pair count",
+    "benchmark_contamination": "8-gram inverted index; postings bounded by gram rarity filter",
+    "cross_source_ngram_overlap": "postings self-join grouped per gram before pairing",
+    "phrase_search_positional": "positional index; join bounded by phrase-term postings",
 }
 
 
