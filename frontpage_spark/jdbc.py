@@ -132,6 +132,60 @@ def insert_if_absent(
     ).option("dbtable", table).mode("append").save()
 
 
+PG_URL = "jdbc:postgresql://localhost:5432/frontpage"
+
+
+def dialect_ddl(
+    spark: SparkSession,
+    schema,
+    table: str,
+    url: str = PG_URL,
+    unique_key: str | None = "uniq_id",
+) -> str:
+    """CREATE TABLE DDL for ``schema`` under the JDBC dialect that ``url``
+    selects — type names come from Spark's REAL dialect registry
+    (``JdbcDialects.get``), not a local guess, so this is exactly the
+    mapping ``write_jdbc`` uses at table-creation time. With
+    ``unique_key``, appends the UNIQUE constraint the reference's raw
+    sink declares (`scraper.py:153-156`: ``uniq_id TEXT UNIQUE``) —
+    what makes ``insert_if_absent`` / ON CONFLICT meaningful."""
+    jvm = spark._jvm
+    dialect = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    cols = []
+    for field in schema.fields:
+        jdt = jvm.org.apache.spark.sql.types.DataType.fromJson(field.dataType.json())
+        opt = dialect.getJDBCType(jdt)
+        if opt.isEmpty():
+            # dialect falls back to Spark's common mapping
+            opt = jvm.org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils.getCommonJDBCType(jdt)
+        if opt.isEmpty():
+            raise ValueError(f"no JDBC type for {field.name}: {field.dataType}")
+        name = dialect.quoteIdentifier(field.name)
+        null = "" if field.nullable else " NOT NULL"
+        cols.append(f"{name} {opt.get().databaseTypeDefinition()}{null}")
+    if unique_key is not None:
+        cols.append(f"UNIQUE ({dialect.quoteIdentifier(unique_key)})")
+    return f"CREATE TABLE {table} ({', '.join(cols)})"
+
+
+def pg_insert_on_conflict_sql(table: str, columns: list[str], key: str = "uniq_id") -> str:
+    """The Postgres-native insert-or-skip statement for the reference's
+    raw sink (`scraper.py:211-218`): psycopg2 there relies on the UNIQUE
+    index rejecting dup keys per-row; the modern server-side equivalent
+    is ``INSERT ... ON CONFLICT (key) DO NOTHING``. Use from a
+    ``foreachPartition`` writer against a real Postgres when per-row
+    conflict-skip must happen IN the database (concurrent writers);
+    ``insert_if_absent`` above is the engine-side anti-join form that
+    needs no dialect support and is what the tests execute end-to-end
+    over Derby."""
+    collist = ", ".join(f'"{c}"' for c in columns)
+    params = ", ".join("?" for _ in columns)
+    return (
+        f'INSERT INTO {table} ({collist}) VALUES ({params}) '
+        f'ON CONFLICT ("{key}") DO NOTHING'
+    )
+
+
 def jdbc_delta_scan(
     spark: SparkSession,
     url: str,

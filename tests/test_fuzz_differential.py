@@ -354,3 +354,242 @@ def test_random_window_query_matches_duckdb(spark, duck, ast):
     s = norm_rows(render_window_spark(spark, ast).toPandas())
     o = norm_rows(duck.execute(render_window_sql(ast)).df())
     assert s == o, f"AST {ast}\nSQL {render_window_sql(ast)}"
+
+
+# ---- generator 4: outer joins, NULL keys, aggregate coalescing -------------
+# The weak spots VERDICT r3 item 8 names: NULL join keys never match (in
+# BOTH engines), outer joins materialize NULLs on the unmatched side, and
+# aggregates over those NULLs (COUNT(col) vs COUNT(*), COALESCE(SUM)) are
+# where engines classically diverge.
+
+OUTER_JOINS = ["LEFT", "RIGHT", "FULL"]
+
+
+@st.composite
+def outer_join_ast(draw):
+    jtype = draw(st.sampled_from(OUTER_JOINS))
+    # o_custkey % k == 0 keys become NULL on the left side -> guaranteed
+    # unmatched rows plus genuine NULL-key semantics in the join itself
+    null_mod = draw(st.sampled_from([None, 2, 3, 7]))
+    group = draw(st.sampled_from(["o_orderstatus", "c_mktsegment", None]))
+    count_col = draw(st.sampled_from(["c_custkey", "o_orderkey"]))
+    filt = draw(st.sampled_from([None, "BUILDING", "MACHINERY"]))
+    return jtype, null_mod, group, count_col, filt
+
+
+def _oj_key_sql(null_mod):
+    if null_mod is None:
+        return "o_custkey"
+    return f"(CASE WHEN o_custkey % {null_mod} = 0 THEN NULL ELSE o_custkey END)"
+
+
+def render_outer_join_sql(ast) -> str:
+    jtype, null_mod, group, count_col, filt = ast
+    sel, names = [], []
+    if group is not None:
+        sel.append(group)
+    sel += [
+        "CAST(COUNT(*) AS BIGINT) AS a0",
+        f"CAST(COUNT({count_col}) AS BIGINT) AS a1",
+        f"CAST(COALESCE(SUM({cents_sql('o_totalprice')}), -1) AS BIGINT) AS a2",
+        "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS a3",
+    ]
+    sql = (
+        f"SELECT {', '.join(sel)} FROM orders {jtype} JOIN customer "
+        f"ON {_oj_key_sql(null_mod)} = c_custkey"
+    )
+    if filt is not None:
+        # post-join filter on the nullable side: NULL <> 'X' is UNKNOWN ->
+        # dropped, which silently turns LEFT into INNER — exactly the
+        # coalescing trap this generator exists to cross-check
+        sql += f" WHERE c_mktsegment IS NULL OR c_mktsegment <> '{filt}'"
+    if group is not None:
+        sql += f" GROUP BY {group}"
+    return sql
+
+
+def render_outer_join_spark(spark, ast):
+    jtype, null_mod, group, count_col, filt = ast
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    if null_mod is None:
+        key = F.col("o_custkey")
+    else:
+        key = F.when(F.col("o_custkey") % null_mod == 0, F.lit(None)).otherwise(
+            F.col("o_custkey")
+        )
+    df = o.join(c, key == F.col("c_custkey"), jtype.lower())
+    if filt is not None:
+        df = df.filter(
+            F.col("c_mktsegment").isNull() | (F.col("c_mktsegment") != filt)
+        )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("a0"),
+        F.count(count_col).alias("a1"),
+        F.coalesce(F.sum(cents), F.lit(-1)).alias("a2"),
+        F.sum(F.col("c_custkey").isNull().cast("long")).alias("a3"),
+    ]
+    return df.groupBy(group).agg(*aggs) if group is not None else df.agg(*aggs)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ast=outer_join_ast())
+def test_random_outer_join_matches_duckdb(spark, duck, ast):
+    s = norm_rows(render_outer_join_spark(spark, ast).toPandas())
+    o = norm_rows(duck.execute(render_outer_join_sql(ast)).df())
+    assert s == o, f"AST {ast}\nSQL {render_outer_join_sql(ast)}"
+
+
+# ---- generator 5: window FRAMES — ROWS vs RANGE ----------------------------
+# ROWS frames are only deterministic under a UNIQUE ordering (tie order
+# decides membership), so ROWS orders by o_orderkey; RANGE frames include
+# ALL peers of the boundary value, so RANGE deliberately orders by the
+# non-unique o_custkey — the case where ROWS and RANGE genuinely differ
+# and where an engine that conflates them gets caught.
+
+FRAME_FNS = ["sum", "min", "max", "count"]
+
+
+@st.composite
+def frame_ast(draw):
+    fn = draw(st.sampled_from(FRAME_FNS))
+    mode = draw(st.sampled_from(["ROWS", "RANGE"]))
+    lo = draw(st.sampled_from(["UNBOUNDED", 0, 1, 3, 10]))
+    hi = draw(st.sampled_from(["CURRENT", 1, 5]))
+    part = draw(st.sampled_from(["o_orderstatus", "o_orderpriority"]))
+    return fn, mode, lo, hi, part
+
+
+def _frame_bounds_sql(lo, hi) -> str:
+    lo_s = "UNBOUNDED PRECEDING" if lo == "UNBOUNDED" else f"{lo} PRECEDING"
+    if lo == 0:
+        lo_s = "CURRENT ROW"
+    hi_s = "CURRENT ROW" if hi == "CURRENT" else f"{hi} FOLLOWING"
+    return f"BETWEEN {lo_s} AND {hi_s}"
+
+
+def render_frame_sql(ast) -> str:
+    fn, mode, lo, hi, part = ast
+    order = "o_orderkey" if mode == "ROWS" else "o_custkey"
+    target = cents_sql("o_totalprice")
+    expr = {
+        "sum": f"SUM({target})",
+        "min": f"MIN({target})",
+        "max": f"MAX({target})",
+        "count": "COUNT(*)",
+    }[fn]
+    return (
+        f"SELECT o_orderkey, CAST({expr} OVER w AS BIGINT) AS a0 FROM orders "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY {order} "
+        f"{mode} {_frame_bounds_sql(lo, hi)})"
+    )
+
+
+def render_frame_spark(spark, ast):
+    from pyspark.sql.window import Window
+
+    fn, mode, lo, hi, part = ast
+    order = "o_orderkey" if mode == "ROWS" else "o_custkey"
+    df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    lo_v = Window.unboundedPreceding if lo == "UNBOUNDED" else -int(lo)
+    hi_v = Window.currentRow if hi == "CURRENT" else int(hi)
+    w = Window.partitionBy(part).orderBy(order)
+    w = w.rowsBetween(lo_v, hi_v) if mode == "ROWS" else w.rangeBetween(lo_v, hi_v)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    col = {
+        "sum": F.sum(cents),
+        "min": F.min(cents),
+        "max": F.max(cents),
+        "count": F.count(F.lit(1)),
+    }[fn]
+    return df.select("o_orderkey", col.over(w).cast("long").alias("a0"))
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ast=frame_ast())
+def test_random_window_frame_matches_duckdb(spark, duck, ast):
+    s = norm_rows(render_frame_spark(spark, ast).toPandas())
+    o = norm_rows(duck.execute(render_frame_sql(ast)).df())
+    assert s == o, f"AST {ast}\nSQL {render_frame_sql(ast)}"
+
+
+# ---- generator 6: decimal/double boundary casts ----------------------------
+# Exercises the repo's cross-engine numeric CONVENTIONS (cents-bigint,
+# decimal(38,x) accumulators, round-then-compare) over random expression
+# chains — the layer every hand-written oracle pair depends on. Raw
+# double->int casts are deliberately excluded: Spark truncates where
+# DuckDB rounds, which is why the conventions exist.
+
+CAST_EXPRS = [
+    # (name, duckdb SQL over col c, spark Column fn)
+    ("cents", lambda c: f"CAST(round({c} * 100) AS BIGINT)",
+     lambda c: F.round(F.col(c) * 100).cast("long")),
+    ("floor_units", lambda c: f"CAST(floor({c}) AS BIGINT)",
+     lambda c: F.floor(F.col(c)).cast("long")),
+    ("ceil_units", lambda c: f"CAST(ceil({c}) AS BIGINT)",
+     lambda c: F.ceil(F.col(c)).cast("long")),
+    ("dec38_sq", lambda c: f"CAST(round({c} * 100) AS HUGEINT) * CAST(round({c} * 100) AS BIGINT)",
+     lambda c: F.round(F.col(c) * 100).cast("decimal(38,0)") * F.round(F.col(c) * 100).cast("long")),
+    ("neg_abs", lambda c: f"-abs(CAST(round({c} * 100) AS BIGINT))",
+     lambda c: -F.abs(F.round(F.col(c) * 100).cast("long"))),
+]
+
+CAST_AGGS = ["sum", "min", "max"]
+
+
+@st.composite
+def cast_ast(draw):
+    table = draw(st.sampled_from(["orders", "customer", "lineitem"]))
+    cents_cols = [c for c, k in TABLES[table] if k == "cents"]
+    col = draw(st.sampled_from(cents_cols))
+    expr_i = draw(st.integers(0, len(CAST_EXPRS) - 1))
+    agg = draw(st.sampled_from(CAST_AGGS))
+    group = draw(st.sampled_from([c for c, k in TABLES[table] if k == "str"] + [None]))
+    return table, col, expr_i, agg, group
+
+
+def render_cast_sql(ast) -> str:
+    table, col, expr_i, agg, group = ast
+    _, sql_fn, _ = CAST_EXPRS[expr_i]
+    inner = sql_fn(col)
+    sel, tail = [], ""
+    if group is not None:
+        sel.append(group)
+        tail = f" GROUP BY {group}"
+    # HUGEINT sums need the final BIGINT cast (fits: cents^2 sums at
+    # sf0.001 stay under 2^63) — same convention as the real oracles
+    sel.append(f"CAST({agg.upper()}({inner}) AS BIGINT) AS a0")
+    return f"SELECT {', '.join(sel)} FROM {table}{tail}"
+
+
+def render_cast_spark(spark, ast):
+    table, col, expr_i, agg, group = ast
+    _, _, col_fn = CAST_EXPRS[expr_i]
+    df = spark.read.parquet(os.path.join(SF_DIR, table + ".parquet"))
+    inner = col_fn(col)
+    a = {"sum": F.sum, "min": F.min, "max": F.max}[agg](inner).cast("long").alias("a0")
+    return df.groupBy(group).agg(a) if group is not None else df.agg(a)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ast=cast_ast())
+def test_random_cast_chain_matches_duckdb(spark, duck, ast):
+    s = norm_rows(render_cast_spark(spark, ast).toPandas())
+    o = norm_rows(duck.execute(render_cast_sql(ast)).df())
+    assert s == o, f"AST {ast}\nSQL {render_cast_sql(ast)}"
