@@ -234,10 +234,14 @@ def stateful_seen_filter(
       state store (use the RocksDB provider at scale — disk-backed,
       changelog-checkpointed; per-key state here is a single long).
 
-    Runtime dependency: transformWithState's Python driver worker
-    imports ``google.protobuf`` (absent from this container, so the
-    test is skipif-gated; the operator is exercised wherever protobuf
-    is installed).
+    Runtime dependency: transformWithState's Python driver worker and
+    task workers drive the JVM state server over a protobuf socket
+    protocol, so they need ``google.protobuf`` importable. The test
+    env satisfies this via ``tools/pbshim/sitecustomize.py`` (system
+    pure-Python runtime + a one-minor version-gate relaxation), wired
+    through PYTHONPATH in ``tests/conftest.py`` so forked workers
+    apply it at interpreter startup; on boxes without any protobuf the
+    test falls back to its skipif.
 
     Also counts how many duplicates each first row absorbed so far is
     NOT possible in this emit-once shape (the first row is already

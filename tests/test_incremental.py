@@ -384,7 +384,11 @@ def test_stateful_seen_filter_transform_with_state(spark, tmp_path):
             q.awaitTermination(120)
 
         run_once()
-        assert sorted(seen) == [("a", 10), ("b", 20)]  # one row per key
+        # one row per key; WHICH of a's two same-batch rows arrives
+        # first at the processor is scheduling-dependent (parallel
+        # file-source read), so assert membership, not a fixed row
+        assert sorted(r[0] for r in seen) == ["a", "b"]
+        assert dict(seen)["a"] in (10, 11) and dict(seen)["b"] == 20
 
         # new file: repeat key suppressed BY STATE (not by offset replay),
         # new key passes
