@@ -302,7 +302,13 @@ def _plane_literals(planes: int, dim: int) -> Column:
             h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
             row.append(1.0 if int(h[0], 16) % 2 else -1.0)
         rows.append(row)
-    return F.array(*[F.array(*[F.lit(v) for v in row]) for row in rows])
+    # ONE parsed expression, not planes*dim F.lit() Columns: each
+    # Column constructor is a py4j round trip, and 100x64 of them cost
+    # multiple seconds of driver time PER QUERY CONSTRUCTION.
+    arr = ", ".join(
+        "array(" + ", ".join(f"{v:.1f}D" for v in row) + ")" for row in rows
+    )
+    return F.expr(f"array({arr})")
 
 
 def lsh_topk(
@@ -400,20 +406,25 @@ def lsh_band_candidates(
     bucket sizes are geometrically small (2^-planes) so no salt is
     needed."""
     total = bands * planes
+    # ONE nested-lambda expression computes all bands*planes sign bits:
+    # transform over the plane literals, sequential double fold per
+    # plane (index order — the bit-exact contract the DuckDB oracle
+    # mirrors). The previous form unrolled 100 separate aggregate()
+    # expressions, which made analysis + codegen of the giant literal
+    # plan the dominant cost (~5s per run regardless of row count).
     sigs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("e")
     ).withColumn("__planes", _plane_literals(total, dim))
-    band_sigs = []
-    for g in range(bands):
-        bits = []
-        for p in range(g * planes, (g + 1) * planes):
-            dot_p = F.expr(
-                f"aggregate(zip_with(e, __planes[{p}], (x, h) -> CAST(x AS DOUBLE) * h), "
-                f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-            )
-            bits.append(F.when(dot_p > 0, F.lit("1")).otherwise(F.lit("0")))
-        band_sigs.append(F.concat(*bits))
-    exploded = sigs.select(
+    bits = F.expr(
+        "transform(__planes, h -> CASE WHEN "
+        "aggregate(zip_with(e, h, (x, v) -> CAST(x AS DOUBLE) * v), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END)"
+    )
+    band_sigs = [
+        F.array_join(F.slice(F.col("__bits"), g * planes + 1, planes), "")
+        for g in range(bands)
+    ]
+    exploded = sigs.withColumn("__bits", bits).select(
         "id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
     )
     a = exploded.select(F.col("id").alias("a"), "band", "sig")
