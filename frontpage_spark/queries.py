@@ -889,10 +889,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact all-pairs mirror; the gated branch is exercised by the 20x
     scale probe and `tests/test_ext.py::test_embedding_near_dup_gate`."""
     emb = _t(spark, sf_dir, "embeddings")
-    # bounded probe, not a full count: reads at most GATE+1 row-group rows
-    over_gate = (
-        emb.limit(_EMB_EXACT_GATE + 1).count() > _EMB_EXACT_GATE
-    )
+    over_gate = _table_rows_meta(sf_dir, "embeddings") > _EMB_EXACT_GATE
     if over_gate:
         pairs = similarity.lsh_near_dup_pairs(emb, threshold=-1.0).withColumn(
             "cosine", F.round("cosine", 12)
@@ -913,6 +910,37 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_EXACT_GATE = 4096
+
+_rows_meta_cache: dict[tuple[str, str], int] = {}
+
+
+def _table_rows_meta(sf_dir: str, name: str) -> int:
+    """Exact row count of a base parquet table from file FOOTERS —
+    driver-side metadata only, no Spark job (the previous
+    limit(N+1).count() gate probe cost one scheduler round per call).
+    Matches what the engine itself trusts: parquet num_rows is the
+    same statistic Spark's own count-star metadata optimization reads.
+    Cached per (sf_dir, table); falls back to the over-gate answer on
+    any metadata error so the scalable route is chosen when in doubt."""
+    key = (sf_dir, name)
+    if key not in _rows_meta_cache:
+        if len(_rows_meta_cache) >= 256:  # bounded (cache-hygiene rule)
+            _rows_meta_cache.clear()
+        import os
+
+        try:
+            import pyarrow.parquet as pq
+
+            path = os.path.join(sf_dir, name + ".parquet")
+            files = (
+                [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+                if os.path.isdir(path)
+                else [path]
+            )
+            _rows_meta_cache[key] = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        except Exception:
+            _rows_meta_cache[key] = 1 << 62
+    return _rows_meta_cache[key]
 
 # banded-signature SQL shared by the embedding_near_dup_lsh oracle:
 # hyperplane h[p][i] = +-1 from the parity of md5('p:i')'s first hex

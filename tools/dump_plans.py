@@ -80,6 +80,14 @@ SELECTED = {
         "over 8 candidates, final aggregate exchanges ~8 rows of partial sums. The corpus "
         "itself is scanned once and never shuffled."
     ),
+    "embedding_near_dup_lsh": (
+        "Embedding near-dup SCALE path (banded-LSH candidates → exact verify): one narrow "
+        "codegen pass computes all band signatures from the inlined hyperplane literal (no "
+        "shuffle); ONE exchange on (band,sig) buckets the self-join; candidate pairs then "
+        "re-join the corpus twice by id for the exact cosine — every stage is bucketed or "
+        "keyed, nothing all-pairs, nothing collected. Candidate volume ≈ bands/2^planes of "
+        "C(n,2) on uncorrelated data and output-linear once true dups dominate."
+    ),
     "pagerank_part_supplier": (
         "Fixed-point PageRank, 3 iterations: per iteration one shuffle joins ranks onto the "
         "edge list (src) and one keyed aggregation collects contributions (dst) — the same "
