@@ -73,6 +73,11 @@ INT_BOUNDS = {
 
 CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
 
+# FUZZ_EXAMPLES_MULT=k multiplies every generator's case count (the
+# default totals 250 cases across the six generators; the periodic
+# deep sweep runs k=3 for 750)
+_MULT = max(1, int(os.environ.get("FUZZ_EXAMPLES_MULT", "1")))
+
 
 JOINS = {
     # (left, right, left_key, right_key)
@@ -267,7 +272,7 @@ def duck():
 
 
 @settings(
-    max_examples=30,
+    max_examples=30 * _MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -281,7 +286,7 @@ def test_random_query_matches_duckdb(spark, duck, ast):
 
 
 @settings(
-    max_examples=20,
+    max_examples=20 * _MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -344,7 +349,7 @@ def render_window_spark(spark, ast):
 
 
 @settings(
-    max_examples=20,
+    max_examples=20 * _MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -434,7 +439,7 @@ def render_outer_join_spark(spark, ast):
 
 
 @settings(
-    max_examples=60,
+    max_examples=60 * _MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -512,7 +517,7 @@ def render_frame_spark(spark, ast):
 
 
 @settings(
-    max_examples=60,
+    max_examples=60 * _MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -583,7 +588,7 @@ def render_cast_spark(spark, ast):
 
 
 @settings(
-    max_examples=60,
+    max_examples=60 * _MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
