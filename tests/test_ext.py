@@ -800,8 +800,14 @@ def test_component_fixpoint_high_diameter_and_mixed(spark):
     cycle = [(50, 51), (51, 52), (52, 53), (50, 53)]       # cycle
     pairs = sorted(set((min(a, b), max(a, b)) for a, b in path + blob + cycle))
     df = spark.createDataFrame(pairs, "a long, b long")
+    # default gate -> local union-find fast path
     got = {r["id"]: r["comp"] for r in _component_fixpoint(df).collect()}
     assert got == _cc_expected(pairs)
+    # force the distributed star-contraction loop on the same graph
+    got_dist = {
+        r["id"]: r["comp"] for r in _component_fixpoint(df, small_rows=1).collect()
+    }
+    assert got_dist == _cc_expected(pairs)
 
 
 def test_component_fixpoint_empty_and_single(spark):
