@@ -291,6 +291,73 @@ def lsh_signature(vec_col: str, planes: int = 8, dim: int = 64) -> Column:
     return F.concat(*bits)
 
 
+def _plane_matrix(planes: int, dim: int):
+    """The md5-parity ±1 hyperplanes as a (planes, dim) float64 numpy
+    matrix — same values as `_plane_literals`, for the Arrow path."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((planes, dim), dtype=np.float64)
+    for p in range(planes):
+        for i in range(dim):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            m[p, i] = 1.0 if int(h[0], 16) % 2 else -1.0
+    return m
+
+
+def _band_sigs_arrow(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    planes: int,
+    dim: int,
+) -> DataFrame:
+    """(id, band, sig) rows via ONE Arrow-vectorized pass — the scale
+    implementation of hyperplane band signatures. Spark's higher-order
+    transform/aggregate lambdas are interpreted (never codegen'd), so
+    the expression form costs ~0.5 ms/row at bands*planes=100, dim=64;
+    this batch form is ~100x faster and byte-identical: the per-plane
+    dot is accumulated with np.cumsum, whose ufunc-accumulate contract
+    is the SAME sequential left fold as the SQL aggregate() the DuckDB
+    oracle retraces — float32→float64 promotion and ±1 products are
+    exact, so every intermediate double is bit-equal to the expr path
+    (asserted by test_lsh_band_sigs_arrow_equals_expr)."""
+    import numpy as np
+    import pandas as pd
+
+    total = bands * planes
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    planes_m = _plane_matrix(total, dim)  # (total, dim)
+
+    def sigbatch(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim), exact
+            out_ids: list = []
+            out_band: list = []
+            out_sig: list = []
+            for lo in range(0, n, 1024):  # bound the (chunk, total, dim) temp
+                xc = x[lo : lo + 1024]
+                prods = xc[:, None, :] * planes_m[None, :, :]  # (c, total, dim)
+                dots = np.cumsum(prods, axis=2)[:, :, -1]  # exact left fold
+                chars = np.where(dots > 0, "1", "0")  # (c, total)
+                ids_c = pdf[id_col].iloc[lo : lo + 1024].tolist()
+                for g in range(bands):
+                    seg = chars[:, g * planes : (g + 1) * planes]
+                    out_ids.extend(ids_c)
+                    out_band.extend([g] * len(ids_c))
+                    out_sig.extend("".join(row) for row in seg)
+            yield pd.DataFrame({"id": out_ids, "band": out_band, "sig": out_sig})
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        sigbatch, schema=f"id {id_type}, band int, sig string"
+    )
+
+
 def _plane_literals(planes: int, dim: int) -> Column:
     """array<array<double>> literal of deterministic ±1 hyperplanes."""
     import hashlib
@@ -387,12 +454,20 @@ def lsh_band_candidates(
     bands: int = LSH_ND_BANDS,
     planes: int = LSH_ND_PLANES,
     dim: int = 64,
+    sig_impl: str = "arrow",
 ) -> DataFrame:
     """Candidate (a, b) pairs (a < b) sharing at least one band of
     random-hyperplane sign bits — the blocking stage of embedding
     near-dup dedup (MinHash-LSH's banding scheme transplanted to
     cosine space; reference parity: the same candidates->verify
     discipline as `ext/dedup.lsh_candidate_pairs` for text).
+
+    ``sig_impl``: "arrow" (default) computes signatures in ONE
+    vectorized batch pass (`_band_sigs_arrow` — interpreted HOF
+    lambdas are ~100x slower and the expr subplan would be evaluated
+    once per self-join side); "expr" keeps the pure-Column form as the
+    executable reference both implementations are equality-tested
+    against.
 
     Deterministic end-to-end: hyperplanes are md5-derived +-1 literals
     (`_plane_literals`), signatures a sequential double fold per plane
@@ -405,28 +480,29 @@ def lsh_band_candidates(
     multi-band collisions. Nothing is ever broadcast or collected;
     bucket sizes are geometrically small (2^-planes) so no salt is
     needed."""
-    total = bands * planes
-    # ONE nested-lambda expression computes all bands*planes sign bits:
-    # transform over the plane literals, sequential double fold per
-    # plane (index order — the bit-exact contract the DuckDB oracle
-    # mirrors). The previous form unrolled 100 separate aggregate()
-    # expressions, which made analysis + codegen of the giant literal
-    # plan the dominant cost (~5s per run regardless of row count).
-    sigs = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("e")
-    ).withColumn("__planes", _plane_literals(total, dim))
-    bits = F.expr(
-        "transform(__planes, h -> CASE WHEN "
-        "aggregate(zip_with(e, h, (x, v) -> CAST(x AS DOUBLE) * v), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END)"
-    )
-    band_sigs = [
-        F.array_join(F.slice(F.col("__bits"), g * planes + 1, planes), "")
-        for g in range(bands)
-    ]
-    exploded = sigs.withColumn("__bits", bits).select(
-        "id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
-    )
+    if sig_impl == "arrow":
+        exploded = _band_sigs_arrow(corpus, id_col, vec_col, bands, planes, dim)
+    else:
+        total = bands * planes
+        # ONE nested-lambda expression computes all bands*planes sign
+        # bits: transform over the plane literals, sequential double
+        # fold per plane (index order — the bit-exact contract the
+        # DuckDB oracle mirrors and the Arrow path reproduces).
+        sigs = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("e")
+        ).withColumn("__planes", _plane_literals(total, dim))
+        bits = F.expr(
+            "transform(__planes, h -> CASE WHEN "
+            "aggregate(zip_with(e, h, (x, v) -> CAST(x AS DOUBLE) * v), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END)"
+        )
+        band_sigs = [
+            F.array_join(F.slice(F.col("__bits"), g * planes + 1, planes), "")
+            for g in range(bands)
+        ]
+        exploded = sigs.withColumn("__bits", bits).select(
+            "id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
+        )
     a = exploded.select(F.col("id").alias("a"), "band", "sig")
     b = exploded.select(F.col("id").alias("b"), "band", "sig")
     return (

@@ -1088,6 +1088,25 @@ def test_lsh_near_dup_recall_one_for_exact_dups(spark):
     assert {(v, v + 1000) for v in range(50)} <= found
 
 
+def test_lsh_band_sigs_arrow_equals_expr(spark):
+    """The Arrow signature pass must be BYTE-identical to the pure-Column
+    reference: np.cumsum's sequential left fold reproduces the SQL
+    aggregate() fold exactly (float32→double promotion and ±1 products
+    are exact), so every (id, band, sig) row — and therefore every
+    candidate pair — matches."""
+    from frontpage_spark.ext import similarity
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    a = similarity._band_sigs_arrow(emb, "vec_id", "embedding", 10, 10, 64)
+    key = lambda r: (r["id"], r["band"])  # noqa: E731
+    got = sorted(a.collect(), key=key)
+    # expr reference: rebuild via the "expr" branch of the candidates fn
+    ca = similarity.lsh_band_candidates(emb, sig_impl="arrow").orderBy("a", "b").collect()
+    ce = similarity.lsh_band_candidates(emb, sig_impl="expr").orderBy("a", "b").collect()
+    assert ca == ce and len(got) == emb.count() * 10
+
+
 def test_embedding_near_dup_gate(spark, tmp_path):
     """Above _EMB_EXACT_GATE rows the registered profile routes through
     LSH candidates (n_pairs << C(n,2)); at or below it stays exact
