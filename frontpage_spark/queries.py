@@ -2849,6 +2849,13 @@ def _component_fixpoint(pairs: DataFrame, small_rows: int = _SMALL_PAIR_GRAPH_RO
     # whole upstream pair discovery per round (observed: 24 s rounds on
     # a 1.7k-edge graph). Checkpoint blocks are tiny (the edge set
     # shrinks monotonically) and GC-reclaimed.
+    # Materialize the pair list ONCE before anything reads it: the
+    # upstream pair discovery (LSH banding etc.) is the expensive part,
+    # and both the gate probe and the component pass would otherwise
+    # each execute it (the pre-fast-path code had the same double
+    # execution: probe + localCheckpoint). One execution, then both
+    # consumers read the checkpointed blocks.
+    pairs = pairs.localCheckpoint()
     probe = pairs.limit(small_rows + 1).count()
     if 0 < probe <= small_rows:
         return _components_local(pairs)
