@@ -289,6 +289,111 @@ def stateful_seen_filter(
     )
 
 
+def stateful_session_close(
+    stream: DataFrame,
+    gap_seconds: int = 2,
+    key: str = "user_id",
+    ts_col: str = "ts_long",
+) -> DataFrame:
+    """ST-extension — idle-timeout session CLOSE via transformWithState
+    TIMERS: per key, accumulate (start, end, n) in a ValueState; every
+    batch re-arms a processing-time timer at now + gap; when the timer
+    fires (no activity for ``gap_seconds``), `handleExpiredTimer` EMITS
+    the closed session and clears the state.
+
+    This is the arbitrary-state shape the window/applyInPandasWithState
+    ladder cannot express: output is produced ON IDLENESS, not on
+    arrival — the session row appears in the batch after the gap
+    elapses, with no event for that key in it. (session_window aggs
+    emit on the next event or watermark progress of the SAME key's
+    partition; GroupStateTimeout gives a per-key timeout but fires
+    only when applyInPandasWithState is invoked, conflating timeout
+    handling with input handling. Timers are first-class here:
+    registered in the state store, fired by the engine, delivered to a
+    dedicated callback.) Timers persist in the checkpoint, so a session
+    left open when a query stops closes on the first batch after
+    restart — the restart path the test drives.
+
+    Scale: state is 3 longs per OPEN key; timers are engine-managed
+    per-key entries in the same RocksDB store; each batch touches only
+    keys with input plus keys whose timers expired.
+
+    Output: (key, session_start, session_end, n_events) — closed
+    sessions only.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(key, StringType()),
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    gap_ms = gap_seconds * 1000
+    key_col = key
+
+    class SessionClose(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess",
+                StructType(
+                    [
+                        StructField("start", LongType()),
+                        StructField("end", LongType()),
+                        StructField("n", LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            start, end, n = (
+                self._sess.get() if self._sess.exists() else (None, None, 0)
+            )
+            for pdf in rows:
+                if len(pdf):
+                    lo, hi = int(pdf[ts_col].min()), int(pdf[ts_col].max())
+                    start = lo if start is None else min(start, lo)
+                    end = hi if end is None else max(end, hi)
+                    n += len(pdf)
+            if n:
+                self._sess.update((start, end, n))
+                # re-arm: drop any previous timer so exactly one is live
+                for t in list(self._handle.listTimers()):
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() + gap_ms
+                )
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._sess.exists():
+                start, end, n = self._sess.get()
+                self._sess.clear()
+                yield pd.DataFrame(
+                    {
+                        key_col: [str(key[0])],
+                        "session_start": [start],
+                        "session_end": [end],
+                        "n_events": [n],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    prepared = stream.select(
+        F.col(key).cast("string").alias(key), F.col(ts_col).cast("long").alias(ts_col)
+    )
+    return prepared.groupBy(key).transformWithStateInPandas(
+        SessionClose(), out_schema, "append", "processingTime"
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Session assignment (batch): a new session starts when the gap to
     the previous event of the same user exceeds ``gap_seconds``.

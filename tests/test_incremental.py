@@ -402,6 +402,86 @@ def test_stateful_seen_filter_transform_with_state(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python worker needs google.protobuf (absent in container)",
+)
+def test_stateful_session_close_timers(spark, tmp_path):
+    """transformWithState TIMERS: a session closes ON IDLENESS — the
+    closed-session row is emitted by handleExpiredTimer in a batch with
+    NO events for that key. Phase A ingests and stops before the gap
+    (nothing emitted); the timers live in the CHECKPOINT, so the
+    restarted query fires them once the gap has elapsed — even though
+    it never receives another input row. (availableNow is unsuitable
+    here: with processing-time timers the query keeps scheduling empty
+    batches, so both phases run a continuous trigger and stop
+    explicitly.)"""
+    import time as _time
+
+    from frontpage_spark.incremental import stateful_session_close
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        chk = str(tmp_path / "chk")
+        base = spark.createDataFrame(
+            [("u1", 100), ("u1", 140), ("u2", 200)], ["user_id", "ts_long"]
+        )
+        base.write.parquet(src)
+
+        closed: list = []
+
+        def sink(df, _eid):
+            closed.extend(
+                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in df.collect()
+            )
+
+        def start():
+            stream = spark.readStream.schema(base.schema).parquet(src)
+            return (
+                stateful_session_close(stream, gap_seconds=12)
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", chk)
+                .trigger(processingTime="500 milliseconds")
+                .start()
+            )
+
+        # phase A: ingest, stop BEFORE the gap elapses
+        q = start()
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= 3:
+                break
+            _time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(60)
+        assert closed == []  # sessions still open: nothing emitted on arrival
+
+        _time.sleep(13)  # gap elapses while NO query is running
+        # phase B: restart from the checkpoint. A restarted query only
+        # schedules batches when the source has data, so feed ONE event
+        # for an UNRELATED key — u1/u2 close purely via their
+        # checkpoint-persisted timers, in a batch containing no input
+        # for either key.
+        spark.createDataFrame([("u3", 900)], ["user_id", "ts_long"]).write.mode(
+            "append"
+        ).parquet(src)
+        q = start()
+        deadline = _time.time() + 90
+        while _time.time() < deadline and len(closed) < 2:
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        assert sorted(closed) == [("u1", 100, 140, 2), ("u2", 200, 200, 1)]
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_streaming_partitioned_parquet_file_sink(spark, tmp_path):
     """Native file sink: readStream → writeStream.format('parquet')
     .partitionBy(...) with a checkpoint. The sink's transaction log
