@@ -1008,6 +1008,83 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_near_dup_pairs(emb, threshold=0.45)
 
 
+# ---- semantic benchmark decontamination -----------------------------------
+_SEMDECON_FLAG = 0.3  # report a corpus vec when its best eval cosine >= this
+_SEMDECON_DOT = (
+    "list_sum([CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) "
+    "for i in generate_series(1, len(ea))])"
+)
+
+
+@register(
+    "semantic_decontamination",
+    f"""
+    WITH ev AS (
+      SELECT vec_id AS b, embedding AS eb FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    co AS (
+      SELECT vec_id AS a, embedding AS ea FROM embeddings WHERE vec_id % 97 <> 0
+    ),
+    scored AS (
+      SELECT a, b,
+             round({_SEMDECON_DOT}
+                   / (sqrt({_NA_SQL}) * sqrt({_SEMDECON_DOT.replace("ea", "eb")})), 12)
+               AS cos
+      FROM co CROSS JOIN ev
+    )
+    SELECT a AS vec_id,
+           MAX(cos) AS max_eval_cosine,
+           CAST(SUM(CASE WHEN cos >= {_SEMDECON_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_eval_hits
+    FROM scored
+    GROUP BY a
+    HAVING MAX(cos) >= {_SEMDECON_FLAG}
+    """,
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    complement of `benchmark_contamination`'s verbatim 8-gram check:
+    a training example whose embedding is too close to a held-out eval
+    example is a paraphrase-level leak that n-gram matching misses.
+    Flags every corpus vector whose best eval cosine >= 0.3, with the
+    hit count (the pre-training decontam step used for e.g. paraphrased
+    benchmark contamination audits).
+
+    Scale shape: the eval suite is SMALL by construction (here the
+    ~1% vec_id%97 split; real benchmarks are thousands of rows), so it
+    BROADCASTS and the corpus — the 100 TB side — streams through one
+    narrow pass scoring |corpus| x |eval| dots without ever shuffling;
+    the only exchange is the per-corpus-vec rollup. (If the eval side
+    outgrows broadcast, route candidates through the banded-LSH path
+    `embedding_near_dup_lsh` uses and verify exactly.) Cosines round to
+    12 digits BEFORE thresholding on both engines, sequential-fold dot
+    products, so the DuckDB mirror is hash-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
+        similarity._norm2("embedding").alias("nb"),
+    )
+    co = emb.filter(F.col("vec_id") % 97 != 0).select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
+        similarity._norm2("embedding").alias("na"),
+    )
+    cos = F.round(
+        similarity._dot("ea", "eb") / (F.sqrt("na") * F.sqrt("nb")), 12
+    )
+    return (
+        co.crossJoin(F.broadcast(ev))
+        .select("a", cos.alias("cos"))
+        .groupBy(F.col("a").alias("vec_id"))
+        .agg(
+            F.max("cos").alias("max_eval_cosine"),
+            F.sum(F.when(F.col("cos") >= _SEMDECON_FLAG, 1).otherwise(0))
+            .cast("long")
+            .alias("n_eval_hits"),
+        )
+        .filter(F.col("max_eval_cosine") >= _SEMDECON_FLAG)
+    )
+
+
 # ---- rolling-hash fingerprint ---------------------------------------------
 _RH_TH_SQL = (
     "list_transform(string_split(text, ' '), "
