@@ -738,6 +738,61 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- incremental corpus dedup (new snapshot vs history) -------------------
+@register(
+    "incremental_corpus_dedup",
+    f"""
+    WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {{SHINGLES}} AS shingles FROM docs),
+    hashed AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+    sigs AS ({{SIGS}}),
+    new_sigs AS (SELECT * FROM sigs WHERE doc_id % 10 = 0),
+    hist_sigs AS (SELECT DISTINCT band, minhash FROM sigs WHERE doc_id % 10 <> 0),
+    hits AS (
+      SELECT DISTINCT ns.doc_id FROM new_sigs ns
+      JOIN hist_sigs USING (band, minhash)
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS dup_of_history
+    FROM (SELECT DISTINCT doc_id FROM new_sigs) d
+    LEFT JOIN hits h USING (doc_id)
+    """.replace("{SHINGLES}", SHINGLES_SQL).replace("{SIGS}", _MINHASH_SIGS_SQL),
+)
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup — the production pattern for a GROWING
+    corpus: each new snapshot batch is deduplicated against all history
+    by signature MEMBERSHIP, never by re-pairing the whole corpus. A
+    new doc (doc_id%10==0 here plays the new batch) is dup_of_history
+    when ANY of its minhash band signatures already exists in the
+    history's signature store (doc_id%10<>0).
+
+    Scale shape: membership, not pair generation — a semi-join of the
+    (small) new batch's signatures against the history signature set on
+    (band, minhash), so there is NO quadratic candidate stage and no
+    bucket cap is needed; cost is |new|·bands lookups however large
+    history grows. In production the history signatures are a stored
+    artifact (the txlog MERGE target) appended per batch — exactly the
+    incremental shape `jdbc_delta_scan`/`dedup_new_keys` use for exact
+    keys, lifted to near-dup signatures. Flagged docs route to the
+    pairwise verify (`near_dup_verified`) when exact Jaccard evidence
+    is needed."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    new_sigs = sigs.filter(F.col("doc_id") % 10 == 0)
+    hist = sigs.filter(F.col("doc_id") % 10 != 0).select("band", "minhash").distinct()
+    hits = (
+        new_sigs.join(hist, ["band", "minhash"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        new_sigs.select("doc_id")
+        .distinct()
+        .join(hits, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("__hit"), F.lit(False)).alias("dup_of_history"))
+    )
+
+
 # ---- SimHash --------------------------------------------------------------
 _SIMHASH_SUMS_SQL = ", ".join(
     f"SUM((ascii(substr(h, {j + 1}, 1)) % 2) * 2 - 1) AS s{j}" for j in range(16)
