@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R4_SAMPLE_ROTATION = [
     "bpe_train_merges", "prefix_filtered_jaccard", "image_dhash_near_dup",
     "split_leakage_audit", "kcenter_diverse_seeds", "embedding_near_dup_lsh",
+    "semantic_decontamination", "incremental_corpus_dedup",
     "near_dup_verified", "revenue_topn_q3ish", "regional_revenue_q5ish",
     "quality_filter_funnel", "gap_fill_daily_events", "mom_revenue_change",
     "levenshtein_block_pairs", "kmeans_assign_counts", "tfidf_top_terms",
@@ -51,7 +52,7 @@ _R4_SAMPLE_ROTATION = [
     "zorder_bucket_stats", "merge_upsert_counts", "approx_percentiles_price",
     "weighted_sample_docs", "event_transition_counts", "profile_orders_columns",
     "peak_concurrent_sessions", "price_qty_correlation",
-    "equidepth_price_deciles", "pq_compression_stats", "dq_orders_report",
+    "equidepth_price_deciles",
 ]
 
 

@@ -88,6 +88,18 @@ SELECTED = {
         "keyed, nothing all-pairs, nothing collected. Candidate volume ≈ bands/2^planes of "
         "C(n,2) on uncorrelated data and output-linear once true dups dominate."
     ),
+    "semantic_decontamination": (
+        "Embedding-space benchmark leak audit: the ~1% eval split broadcasts; the corpus — "
+        "the 100 TB side — streams through ONE narrow scoring pass (|corpus|·|eval| "
+        "sequential-fold dots, no shuffle) into the per-vector rollup exchange. No pair "
+        "materialization, no self-join."
+    ),
+    "incremental_corpus_dedup": (
+        "Growing-corpus dedup by signature MEMBERSHIP: the new batch's minhash band "
+        "signatures semi-join the history signature set on (band, minhash) — no candidate "
+        "pairs, no bucket cap, |new|·bands lookups however large history grows; history "
+        "signatures are the stored artifact in production."
+    ),
     "pagerank_part_supplier": (
         "Fixed-point PageRank, 3 iterations: per iteration one shuffle joins ranks onto the "
         "edge list (src) and one keyed aggregation collects contributions (dst) — the same "
