@@ -406,6 +406,61 @@ def test_stateful_seen_filter_transform_with_state(spark, tmp_path):
     not _has_protobuf(),
     reason="transformWithState's Python worker needs google.protobuf (absent in container)",
 )
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python worker needs google.protobuf (absent in container)",
+)
+def test_stateful_event_type_counts_mapstate(spark, tmp_path):
+    """transformWithState MAP STATE: per-(key, event_type) running counts
+    survive a restart via individually-indexed map entries; only types
+    touched in a batch are re-emitted."""
+    from frontpage_spark.incremental import stateful_event_type_counts
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        chk = str(tmp_path / "chk")
+        base = spark.createDataFrame(
+            [("u1", "click"), ("u1", "click"), ("u1", "view"), ("u2", "view")],
+            ["user_id", "event_type"],
+        )
+        base.write.parquet(src)
+
+        got: list = []
+
+        def sink(df, _eid):
+            got.extend((r["user_id"], r["event_type"], r["n"]) for r in df.collect())
+
+        def run_once():
+            stream = spark.readStream.schema(base.schema).parquet(src)
+            q = (
+                stateful_event_type_counts(stream)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        assert sorted(got) == [("u1", "click", 2), ("u1", "view", 1), ("u2", "view", 1)]
+
+        # restart: new batch touches ONLY u1/click — its count continues
+        # from map state; untouched (u1, view) and u2 are NOT re-emitted
+        spark.createDataFrame([("u1", "click")], ["user_id", "event_type"]).write.mode(
+            "append"
+        ).parquet(src)
+        got.clear()
+        run_once()
+        assert got == [("u1", "click", 3)]
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_stateful_session_close_timers(spark, tmp_path):
     """transformWithState TIMERS: a session closes ON IDLENESS — the
     closed-session row is emitted by handleExpiredTimer in a batch with
