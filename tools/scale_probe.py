@@ -121,6 +121,7 @@ HEAVY_QUERIES = [
     "benchmark_contamination",
     "cross_source_ngram_overlap",
     "phrase_search_positional",
+    "incremental_corpus_dedup",
 ]
 
 # profile queries whose single-row output hides their pair volume ->
@@ -150,6 +151,10 @@ NOTES = {
     "benchmark_contamination": "8-gram inverted index; postings bounded by gram rarity filter",
     "cross_source_ngram_overlap": "postings self-join grouped per gram before pairing",
     "phrase_search_positional": "positional index; join bounded by phrase-term postings",
+    "incremental_corpus_dedup": (
+        "membership semi-join of new-batch signatures vs history signature set: "
+        "no candidate pairs, |new|*bands lookups however large history grows"
+    ),
 }
 
 
