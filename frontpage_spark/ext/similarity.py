@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..plans import keep as _keep
+
 def _dot(a: str, b: str) -> Column:
     """Dot product of two float-array columns in double.
 
@@ -503,6 +505,11 @@ def lsh_band_candidates(
         exploded = sigs.withColumn("__bits", bits).select(
             "id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
         )
+    # the signature pass feeds BOTH self-join sides; without a cache the
+    # whole pass executes once per side (the same consumed-twice shape
+    # dedup.lsh_candidate_pairs documents) — keep() is the bounded,
+    # release_kept()-drained cache the engine uses for exactly this
+    exploded = _keep(exploded)
     a = exploded.select(F.col("id").alias("a"), "band", "sig")
     b = exploded.select(F.col("id").alias("b"), "band", "sig")
     return (

@@ -164,6 +164,12 @@ def dialect_ddl(
         null = "" if field.nullable else " NOT NULL"
         cols.append(f"{name} {opt.get().databaseTypeDefinition()}{null}")
     if unique_key is not None:
+        if unique_key not in {f.name for f in schema.fields}:
+            raise ValueError(
+                f"unique_key {unique_key!r} not in schema fields "
+                f"{[f.name for f in schema.fields]}; pass unique_key=None "
+                "for schemas without a natural key"
+            )
         cols.append(f"UNIQUE ({dialect.quoteIdentifier(unique_key)})")
     return f"CREATE TABLE {table} ({', '.join(cols)})"
 
@@ -177,9 +183,13 @@ def pg_insert_on_conflict_sql(table: str, columns: list[str], key: str = "uniq_i
     conflict-skip must happen IN the database (concurrent writers);
     ``insert_if_absent`` above is the engine-side anti-join form that
     needs no dialect support and is what the tests execute end-to-end
-    over Derby."""
+    over Derby.
+
+    Placeholders are ``%s`` (DB-API *pyformat*): every Python Postgres
+    driver a foreachPartition writer would use (psycopg2, pg8000)
+    speaks pyformat and REJECTS JDBC-style ``?`` markers."""
     collist = ", ".join(f'"{c}"' for c in columns)
-    params = ", ".join("?" for _ in columns)
+    params = ", ".join("%s" for _ in columns)
     return (
         f'INSERT INTO {table} ({collist}) VALUES ({params}) '
         f'ON CONFLICT ("{key}") DO NOTHING'

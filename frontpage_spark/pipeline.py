@@ -285,9 +285,13 @@ def apply_cdc(
     surviving upserts — the same one-shuffle MERGE form as
     ``merge_upsert``. Idempotent: applying the same batch twice is a
     no-op (asserted in tests)."""
-    order = [F.desc(ts_col), F.desc(op_col)]
+    # the source sequence is the AUTHORITATIVE order within a timestamp;
+    # op is only the last-resort tie-break (with a seq, same-ts U-then-D
+    # must delete — op letters would wrongly rank 'U' above 'D')
+    order = [F.desc(ts_col)]
     if seq_col is not None:
         order.append(F.desc(seq_col))
+    order.append(F.desc(op_col))
     w = Window.partitionBy(key).orderBy(*order)
     last = (
         changes.withColumn("__rn", F.row_number().over(w))

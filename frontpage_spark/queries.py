@@ -2893,23 +2893,11 @@ def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _component_fixpoint(pairs)
 
 
-# Pair graphs at or below this row count collapse to one partition for the
-# contraction loop (one task/round instead of shuffle-partitions empty
-# tasks); above it, natural partitioning is kept so no single-task
-# serialization point exists at scale.
+# Pair graphs at or below this row count take the single-job local
+# union-find (`_components_local`); above it, the star-contraction loop
+# runs on natural partitioning so no single-task serialization point
+# exists at scale.
 _SMALL_PAIR_GRAPH_ROWS = 100_000
-
-
-def _gated_pair_edges(pairs: DataFrame, small_rows: int = _SMALL_PAIR_GRAPH_ROWS) -> DataFrame:
-    """Orient an (a, b) a<b pair list as (u, v) with u > v, collapsing to
-    one partition ONLY when a bounded probe shows the graph is small.
-    The probe is a limit(N+1).count() — it never materializes more than
-    N+1 rows, so it is safe on a billion-pair graph."""
-    oriented = pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    probe = pairs.limit(small_rows + 1).count()
-    if probe <= small_rows:
-        return oriented.repartition(1)
-    return oriented
 
 
 def _components_local(pairs: DataFrame) -> DataFrame:

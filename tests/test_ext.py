@@ -823,16 +823,25 @@ def test_component_fixpoint_empty_and_single(spark):
 def test_pair_graph_partitioning_is_size_gated(spark):
     """VERDICT r2 item 1: a pair graph over the small-rows threshold must
     NOT collapse to one partition (no single-task serialization point at
-    scale); under the threshold it should (one task per round)."""
-    from frontpage_spark.queries import _component_fixpoint, _gated_pair_edges
+    scale); under the threshold the local union-find runs as ONE
+    single-partition job."""
+    from frontpage_spark.queries import _component_fixpoint, _components_local
 
     big = spark.range(0, 500).select(
         (F.col("id") * 2).alias("a"), (F.col("id") * 2 + 1).alias("b")
     ).repartition(4)
-    assert _gated_pair_edges(big, small_rows=100).rdd.getNumPartitions() > 1
-    assert _gated_pair_edges(big, small_rows=10_000).rdd.getNumPartitions() == 1
+    # under the gate: the local path is ONE single-partition
+    # mapInPandas job
+    local = _components_local(big)
+    assert local.rdd.getNumPartitions() == 1
+    assert "MapInPandas" in local._jdf.queryExecution().executedPlan().toString()
+    # over the gate: the distributed star-contraction route, not the
+    # local union-find (AQE may still coalesce the tiny OUTPUT to one
+    # partition, so the discriminator is the plan shape)
+    dist = _component_fixpoint(big, small_rows=100)
+    assert "MapInPandas" not in dist._jdf.queryExecution().executedPlan().toString()
     # and the fixpoint is still correct when the gate keeps >1 partition
-    got = {r["id"]: r["comp"] for r in _component_fixpoint(big, small_rows=100).collect()}
+    got = {r["id"]: r["comp"] for r in dist.collect()}
     assert len(got) == 1000 and all(got[2 * i] == 2 * i and got[2 * i + 1] == 2 * i for i in range(500))
 
 
@@ -1078,7 +1087,7 @@ def test_lsh_near_dup_recall_one_for_exact_dups(spark):
     emb = (
         spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         .select("vec_id", "embedding")
-        .limit(50)
+        .filter(F.col("vec_id") < 50)  # deterministic sample (limit() is not ordered)
     )
     dup = emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
     corpus = emb.unionByName(dup)
@@ -1098,13 +1107,36 @@ def test_lsh_band_sigs_arrow_equals_expr(spark):
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
-    a = similarity._band_sigs_arrow(emb, "vec_id", "embedding", 10, 10, 64)
-    key = lambda r: (r["id"], r["band"])  # noqa: E731
-    got = sorted(a.collect(), key=key)
-    # expr reference: rebuild via the "expr" branch of the candidates fn
+    arrow = {
+        (r["id"], r["band"]): r["sig"]
+        for r in similarity._band_sigs_arrow(
+            emb, "vec_id", "embedding", 10, 10, 64
+        ).collect()
+    }
+    # expr reference: the pure-Column signature pipeline, inline
+    sigs = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("e")
+    ).withColumn("__planes", similarity._plane_literals(100, 64))
+    bits = F.expr(
+        "transform(__planes, h -> CASE WHEN "
+        "aggregate(zip_with(e, h, (x, v) -> CAST(x AS DOUBLE) * v), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END)"
+    )
+    band_sigs = [
+        F.array_join(F.slice(F.col("__bits"), g * 10 + 1, 10), "") for g in range(10)
+    ]
+    expr = {
+        (r["id"], r["band"]): r["sig"]
+        for r in sigs.withColumn("__bits", bits)
+        .select("id", F.posexplode(F.array(*band_sigs)).alias("band", "sig"))
+        .collect()
+    }
+    assert len(arrow) == emb.count() * 10
+    assert arrow == expr  # every (id, band) -> sig bit string identical
+    # and the derived candidate pairs match between implementations
     ca = similarity.lsh_band_candidates(emb, sig_impl="arrow").orderBy("a", "b").collect()
     ce = similarity.lsh_band_candidates(emb, sig_impl="expr").orderBy("a", "b").collect()
-    assert ca == ce and len(got) == emb.count() * 10
+    assert ca == ce
 
 
 def test_embedding_near_dup_gate(spark, tmp_path):

@@ -406,10 +406,6 @@ def test_stateful_seen_filter_transform_with_state(spark, tmp_path):
     not _has_protobuf(),
     reason="transformWithState's Python worker needs google.protobuf (absent in container)",
 )
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithState's Python worker needs google.protobuf (absent in container)",
-)
 def test_stateful_event_type_counts_mapstate(spark, tmp_path):
     """transformWithState MAP STATE: per-(key, event_type) running counts
     survive a restart via individually-indexed map entries; only types
@@ -461,6 +457,10 @@ def test_stateful_event_type_counts_mapstate(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python worker needs google.protobuf (absent in container)",
+)
 def test_stateful_session_close_timers(spark, tmp_path):
     """transformWithState TIMERS: a session closes ON IDLENESS — the
     closed-session row is emitted by handleExpiredTimer in a batch with

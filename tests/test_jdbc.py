@@ -158,7 +158,9 @@ def test_pg_insert_on_conflict_sql_matches_reference_shape():
     from frontpage_spark.jdbc import pg_insert_on_conflict_sql
 
     sql = pg_insert_on_conflict_sql("backpage_raw", ["id", "uniq_id", "ad"])
+    # %s pyformat markers: what psycopg2/pg8000 (the drivers a
+    # foreachPartition writer would use) accept — not JDBC '?'
     assert sql == (
-        'INSERT INTO backpage_raw ("id", "uniq_id", "ad") VALUES (?, ?, ?) '
+        'INSERT INTO backpage_raw ("id", "uniq_id", "ad") VALUES (%s, %s, %s) '
         'ON CONFLICT ("uniq_id") DO NOTHING'
     )

@@ -258,3 +258,29 @@ def test_apply_cdc_last_wins_and_deletes(spark):
     # idempotence: re-applying the same batch is a no-op
     again = apply_cdc(out, changes, "uniq_id")
     assert {r["uniq_id"]: r["val"] for r in again.collect()} == got
+
+
+def test_apply_cdc_seq_outranks_op_within_equal_ts(spark):
+    """With seq_col, the source sequence decides within an equal ts: a
+    same-ts U(seq=5) then D(seq=6) must DELETE (op-letter ordering
+    would wrongly keep the update)."""
+    from frontpage_spark.pipeline import apply_cdc
+
+    target = spark.createDataFrame([("k1", 10)], ["uniq_id", "val"])
+    changes = spark.createDataFrame(
+        [("U", 7, 5, "k1", 11), ("D", 7, 6, "k1", 0)],
+        ["op", "ts", "seq", "uniq_id", "val"],
+    )
+    out = apply_cdc(target, changes, "uniq_id", seq_col="seq")
+    assert out.collect() == []
+    # and the reverse order of arrival rows changes nothing
+    out2 = apply_cdc(
+        target,
+        spark.createDataFrame(
+            [("D", 7, 6, "k1", 0), ("U", 7, 5, "k1", 11)],
+            ["op", "ts", "seq", "uniq_id", "val"],
+        ),
+        "uniq_id",
+        seq_col="seq",
+    )
+    assert out2.collect() == []
