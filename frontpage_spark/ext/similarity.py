@@ -22,8 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..plans import keep as _keep
-
 def _dot(a: str, b: str) -> Column:
     """Dot product of two float-array columns in double.
 
@@ -505,11 +503,15 @@ def lsh_band_candidates(
         exploded = sigs.withColumn("__bits", bits).select(
             "id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
         )
-    # the signature pass feeds BOTH self-join sides; without a cache the
-    # whole pass executes once per side (the same consumed-twice shape
-    # dedup.lsh_candidate_pairs documents) — keep() is the bounded,
-    # release_kept()-drained cache the engine uses for exactly this
-    exploded = _keep(exploded)
+    # The signature pass feeds BOTH self-join sides and is therefore
+    # evaluated once per side. That is DELIBERATE, unlike
+    # dedup.lsh_candidate_pairs' keep() (whose minhash pass is the
+    # expensive stage): the Arrow signature pass is a cheap narrow
+    # stage, while persisting it would cost a cache materialization,
+    # hold bands*|corpus| rows of signature state in executor memory at
+    # scale, and hide row-count stats behind an InMemoryRelation where
+    # the join planner can't see them. Recompute-twice is the cheaper
+    # and more scale-robust side of that trade here.
     a = exploded.select(F.col("id").alias("a"), "band", "sig")
     b = exploded.select(F.col("id").alias("b"), "band", "sig")
     return (
