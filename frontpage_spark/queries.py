@@ -3229,20 +3229,23 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sources_by_lang",
     """
     SELECT lang,
-           list_sort(list(DISTINCT source)) AS sources,
+           array_to_string(list_sort(list(DISTINCT source)), ';') AS sources,
            COUNT(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
     """,
 )
 def sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped array aggregation with a DETERMINISTIC contract:
-    collect_set is partition-order-dependent, so the output array is
+    collect_set is partition-order-dependent, so the set is
     sort_array'd before it leaves the operator — the only way an
     array-valued aggregate is reproducible (and comparable) across
-    partitionings and engines."""
+    partitionings and engines. The sorted array is then ;-joined to a
+    scalar string so the result is hashable by any downstream
+    canonicalizer (pandas sort_values dies on list cells) — same
+    information, flat schema."""
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
-        F.sort_array(F.collect_set("source")).alias("sources"),
+        F.array_join(F.sort_array(F.collect_set("source")), ";").alias("sources"),
         F.countDistinct("source").alias("n_sources"),
     )
 
@@ -3802,12 +3805,20 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``percentiles_by_status``) would need a full sort of a 100 TB
     column. Rows-only (sketch results are accuracy-bounded, not exact);
     the <1% relative-error bound vs the exact operator is asserted in
-    test_ext."""
+    test_ext. Both quantiles come out of ONE sketch (a single
+    approx_percentile over the [0.5, 0.95] array), then split into two
+    scalar columns so the output schema is flat and driver-hashable."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    agg = o.groupBy("o_orderstatus").agg(
         F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)
-        .alias("p50_p95"),
+        .alias("pp"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.element_at("pp", 1).alias("p50"),
+        F.element_at("pp", 2).alias("p95"),
+        "n",
     )
 
 
@@ -4294,15 +4305,10 @@ def _pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, generate_subscripts(embedding, 1) AS pos,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
       FROM embeddings
-    ), s AS (
-      SELECT label, pos, CAST(sum(v) AS BIGINT) AS su,
-             CAST(count(*) AS BIGINT) AS n
-      FROM el GROUP BY 1, 2
     )
-    SELECT label, n,
-           list_transform(list(su ORDER BY pos),
-                          x -> CAST(x AS DOUBLE) / n / 1e6) AS centroid
-    FROM s GROUP BY label, n
+    SELECT label, CAST(count(*) AS BIGINT) AS n, pos,
+           CAST(sum(v) AS DOUBLE) / count(*) / 1e6 AS c
+    FROM el GROUP BY label, pos
     """,
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4310,9 +4316,16 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial combine in Arrow batches, one tiny shuffle of
     (task × group) int64 sum-vectors, exact micro-unit accumulation
     (see the operator docstring for why rounding happens Spark-side).
-    The oracle's explode→groupBy formulation is the same integer math."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.mean_pool(emb, "label", "embedding")
+    The oracle's explode→groupBy formulation is the same integer math.
+    The centroid vector is posexploded to one flat (label, n, pos, c)
+    row per dimension — the driver's canonicalizer can't hash
+    array-typed cells, and the exploded form hash-checks every
+    component individually (stricter than a whole-array compare).
+    pos is 1-based to match SQL generate_subscripts."""
+    cent = similarity.mean_pool(_t(spark, sf_dir, "embeddings"), "label", "embedding")
+    return cent.select(
+        "label", "n", F.posexplode("centroid").alias("pos0", "c")
+    ).select("label", "n", (F.col("pos0") + 1).alias("pos"), "c")
 
 
 # ---- snapshot diff (full outer join / CDC shape) --------------------------

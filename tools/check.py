@@ -7,6 +7,15 @@ bit-exact first, then with tolerance reporting so mismatches are
 diagnosable).
 
 Usage: python tools/check.py [--json OUT.json] [sf_dir] [query ...]
+       python tools/check.py --schema-audit [sf_dir]
+
+--schema-audit builds every registered query's DataFrame (lazy — no
+execution) and flags any top-level array/map/binary output column:
+the driver's canonicalizer sorts a pandas frame of raw cell values and
+dies on unhashable list cells (CORRECTNESS_r04: sources_by_lang,
+approx_percentiles_price), so every query output must be flat scalars.
+The normal differential path enforces the same invariant as a hard
+failure.
 
 With --json, writes the full per-query matrix (status, rows, timings,
 problems) so each round can publish CORRECTNESS_full_r{N}.json in-repo
@@ -67,9 +76,44 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
+UNHASHABLE_TYPES = ("array", "map", "binary")
+
+
+def unhashable_cols(df) -> list[str]:
+    """Top-level columns the driver's pandas canonicalizer cannot sort/hash."""
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.dataType.typeName() in UNHASHABLE_TYPES
+    ]
+
+
+def schema_audit(sf_dir: str) -> int:
+    from frontpage_spark.queries import QUERIES
+    from frontpage_spark.session import get_spark
+
+    spark = get_spark("schema-audit")
+    bad = 0
+    for name, fn in QUERIES.items():
+        try:
+            cols = unhashable_cols(fn(spark, sf_dir))
+        except Exception as e:
+            print(f"ERR  {name}: {type(e).__name__}: {str(e)[:200]}")
+            bad += 1
+            continue
+        if cols:
+            print(f"FLAG {name}: {', '.join(cols)}")
+            bad += 1
+    print(f"\n{len(QUERIES)} queries audited, {bad} flagged")
+    spark.stop()
+    return 1 if bad else 0
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
+    if argv and argv[0] == "--schema-audit":
+        return schema_audit(argv[1] if len(argv) > 1 else "/root/testdata/sf0.001")
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
@@ -90,7 +134,14 @@ def main() -> int:
         rec = matrix[name] = {"status": None, "rows": None, "oracle": name in ORACLES}
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            flagged = unhashable_cols(df)
+            if flagged:
+                print(f"FAIL {name}: driver-unhashable columns {flagged}")
+                rec.update(status="unhashable_schema", problems=flagged)
+                n_fail += 1
+                continue
+            sdf = df.toPandas()
         except Exception as e:
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             rec.update(status="spark_error", error=f"{type(e).__name__}: {str(e)[:300]}")
