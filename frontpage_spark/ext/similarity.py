@@ -602,8 +602,19 @@ def l2_normalize(
 
 
 def _sq_dist(a, b) -> Column:
+    """Sequential-fold squared L2 distance, computed entirely in DOUBLE:
+    float32 inputs are promoted BEFORE the subtract/multiply so every
+    element op is IEEE-double and bit-reproducible across engines (a
+    float32 subtract here would make the PQ argmin depend on which
+    engine's float path ran — the pq_compression_stats oracle replays
+    this exact recurrence in DuckDB)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

@@ -4128,15 +4128,63 @@ def equidepth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- product quantization profile ------------------------------------------
-@register("pq_compression_stats")
+@register(
+    "pq_compression_stats",
+    """
+    WITH ord AS (
+      SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    sp AS (SELECT unnest(range(4)) AS s),
+    cb AS (
+      SELECT sp.s AS s,
+             list_sort(list(list_transform(
+               embedding[sp.s * 16 + 1 : sp.s * 16 + 16],
+               x -> CAST(x AS DOUBLE)))) AS cws
+      FROM ord, sp GROUP BY sp.s
+    ),
+    enc AS (
+      SELECT e.vec_id, c.s,
+             list_transform(c.cws, cw ->
+               list_reduce(
+                 list_prepend(0.0, list_transform(
+                   list_zip(cw, list_transform(
+                     e.embedding[c.s * 16 + 1 : c.s * 16 + 16],
+                     x -> CAST(x AS DOUBLE))),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                 (a, b) -> a + b)) AS ds
+      FROM embeddings e, cb c
+    ),
+    coded AS (
+      SELECT vec_id, s,
+             CAST(list_position(ds, list_aggregate(ds, 'min')) - 1 AS INTEGER) AS code,
+             list_aggregate(ds, 'min') AS mind
+      FROM enc
+    ),
+    rec AS (
+      SELECT vec_id,
+             list_reduce(list(mind ORDER BY s), (a, b) -> a + b) AS recon_err
+      FROM coded GROUP BY vec_id
+    )
+    SELECT c.s, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT c.code) AS BIGINT) AS codes_used,
+           round(avg(r.recon_err), 6) AS mean_recon_err,
+           round(max(r.recon_err), 6) AS max_recon_err
+    FROM coded c JOIN rec r USING (vec_id)
+    GROUP BY c.s
+    """,
+)
 def pq_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization audit over the embedding corpus
     (``similarity.pq_encode``): rows, distinct codes actually used per
     subspace (codebook utilization), and mean/max reconstruction error.
-    Rows-only like the other approximate-ANN entries — PQ's argmin over
-    float distances is accuracy-bounded, not SQL-exact; its invariants
-    (code bounds, exact self-reconstruction, determinism) are pinned in
-    test_ext."""
+    Graduated from rows-only to a FULL oracle (VERDICT r4 item 4): the
+    codebook is a deterministic corpus sample (sorted subvectors of the
+    first 16 vec_ids) and every distance is a sequential double-precision
+    fold (see ``similarity._sq_dist``), so DuckDB re-derives the exact
+    same codes/argmin and left-assoc recon_err recurrence — only the
+    mean is rounded (sum-order differs across engines). Invariants
+    (code bounds, exact self-reconstruction, determinism) remain pinned
+    in test_ext."""
     from .ext.similarity import pq_encode
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4144,7 +4192,7 @@ def pq_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_sub = enc.select(
         F.posexplode("codes").alias("s", "code"), F.col("recon_err")
     )
-    return per_sub.groupBy("s").agg(
+    return per_sub.groupBy(F.col("s").cast("long").alias("s")).agg(
         F.count("*").alias("n"),
         F.countDistinct("code").alias("codes_used"),
         F.round(F.avg("recon_err"), 6).alias("mean_recon_err"),
@@ -4325,7 +4373,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = similarity.mean_pool(_t(spark, sf_dir, "embeddings"), "label", "embedding")
     return cent.select(
         "label", "n", F.posexplode("centroid").alias("pos0", "c")
-    ).select("label", "n", (F.col("pos0") + 1).alias("pos"), "c")
+    ).select("label", "n", (F.col("pos0") + 1).cast("long").alias("pos"), "c")
 
 
 # ---- snapshot diff (full outer join / CDC shape) --------------------------
@@ -9848,19 +9896,66 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- k-core of the co-purchase graph ---------------------------------------
-@register("kcore_copurchase")  # rows-only: iterative anti-monotone peeling
+@register(
+    "kcore_copurchase",
+    """
+    WITH RECURSIVE pk AS (
+      SELECT p_partkey FROM part WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    ),
+    li AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem JOIN pk ON l_partkey = p_partkey
+    ),
+    sym AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM li x JOIN li y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+    ),
+    peel AS (
+      SELECT a, b, 0 AS rnd FROM sym
+      UNION ALL
+      SELECT a, b, rnd + 1 FROM (
+        SELECT a, b, rnd, da, db,
+               max(CASE WHEN da < 3 OR db < 3 THEN 1 ELSE 0 END) OVER () AS dropped
+        FROM (
+          SELECT a, b, rnd,
+                 count(*) OVER (PARTITION BY a) AS da,
+                 count(*) OVER (PARTITION BY b) AS db
+          FROM peel
+        )
+      ) WHERE da >= 3 AND db >= 3 AND dropped = 1
+    ),
+    last AS (
+      SELECT a, b FROM peel WHERE rnd = (SELECT max(rnd) FROM peel)
+    ),
+    final AS (
+      SELECT a, b FROM (
+        SELECT a, b,
+               count(*) OVER (PARTITION BY a) AS da,
+               count(*) OVER (PARTITION BY b) AS db
+        FROM last
+      ) WHERE da >= 3 AND db >= 3
+    )
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM final GROUP BY a
+    """,
+)
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-CORE of the brand-sliced co-purchase graph (same edge
     construction as `triangle_count_copurchase`): iterative peeling
     deletes nodes whose CURRENT degree is < 3 until stable — the
-    densest-region primitive (community seeds, spam clusters). The
-    fixpoint is anti-monotone (rows only ever disappear), so no
-    monotone recursive-CTE oracle exists — rows-only here; the pytest
-    pins semantics on a planted clique+pendant graph, and the peeled
-    result is deterministic (a node's survival depends only on the
-    final subgraph, not peel order). Scale shape per round: one keyed
-    degree agg + two semi joins on the shrinking edge list, driver
-    sees only convergence scalars (`ext/graph.py:kcore`)."""
+    densest-region primitive (community seeds, spam clusters). Peeling
+    is deterministic (a node's survival depends only on the final
+    subgraph, not peel order), so despite being anti-monotone it IS
+    oracle-expressible: the DuckDB recursive CTE carries the WHOLE
+    surviving edge set per round tagged with a round counter, stops
+    when a whole-set window flag says no row was dropped (or the next
+    set is empty), and one final peel of the max-round set yields the
+    core in both stop cases — the same graduate-to-oracle move as
+    `pagerank_part_supplier`. The pytest additionally pins semantics
+    on a planted clique+pendant graph. Scale shape per round: one
+    keyed degree agg + two semi joins on the shrinking edge list,
+    driver sees only convergence scalars (`ext/graph.py:kcore`)."""
     from .ext.graph import kcore
 
     pk = _t(spark, sf_dir, "part").filter(
