@@ -147,12 +147,21 @@ def main() -> None:
     # not first-call classloading
     QUERIES["global_minmax"](spark, sf_dir).collect()
 
-    def run(name: str) -> float:
+    # per-query 1-min loadavg observed right after each warm sample —
+    # a contended sample (another build sharing the driver box) is then
+    # visibly attributable instead of looking like an engine regression
+    # (r3/r4 driver artifacts both showed 5-10x one-off spikes on the
+    # gemm-path heavies that never reproduced locally)
+    query_loads: dict[str, list[float]] = {name: [] for name in HEADLINE}
+
+    def run(name: str, record_load: bool = False) -> float:
         # noop sink: materializes EVERY output column (count() would let
         # Catalyst prune the expensive projections right out of the plan)
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
+        if record_load:
+            query_loads[name].append(_loadavg()[0])
         # queries that persist() intermediates (near-dup, tf-idf) create a
         # fresh cached DataFrame per call; drop those orphans so later
         # queries aren't timed against another query's cache churn
@@ -175,7 +184,7 @@ def main() -> None:
     for _ in range(WARM_PASSES):
         pass_loads.append(_loadavg())
         for name in HEADLINE:
-            warm_samples[name].append(run(name))
+            warm_samples[name].append(run(name, record_load=True))
 
     per_query: dict[str, float] = {}
     total = 0.0
@@ -205,6 +214,7 @@ def main() -> None:
         "cpus": os.cpu_count(),
         "loadavg_start": load_start,
         "loadavg_passes": pass_loads,
+        "query_loadavg": query_loads,
         "idle_wait_sec": idle_wait,
     }
 

@@ -323,7 +323,15 @@ def _band_sigs_arrow(
     is the SAME sequential left fold as the SQL aggregate() the DuckDB
     oracle retraces — float32→float64 promotion and ±1 products are
     exact, so every intermediate double is bit-equal to the expr path
-    (asserted by test_lsh_band_sigs_arrow_equals_expr)."""
+    (asserted by test_lsh_band_sigs_arrow_equals_expr).
+
+    Precondition: FINITE embeddings. The sign test diverges on
+    non-finite dots — Spark SQL (and DuckDB) order NaN greater than
+    every double so ``NaN > 0`` is TRUE there, while numpy's is False
+    (ADVICE r4) — so a NaN/Inf vector is rejected loudly here rather
+    than silently producing a signature the expr path would disagree
+    with. (The synthetic corpus is finite; real ingest should gate
+    non-finite vectors at the source.)"""
     import numpy as np
     import pandas as pd
 
@@ -340,6 +348,12 @@ def _band_sigs_arrow(
             out_ids: list = []
             out_band: list = []
             out_sig: list = []
+            if not np.isfinite(x).all():
+                raise ValueError(
+                    "_band_sigs_arrow: non-finite embedding component — "
+                    "NaN/Inf sign semantics differ between numpy and Spark "
+                    "SQL; gate non-finite vectors before LSH"
+                )
             for lo in range(0, n, 1024):  # bound the (chunk, total, dim) temp
                 xc = x[lo : lo + 1024]
                 prods = xc[:, None, :] * planes_m[None, :, :]  # (c, total, dim)

@@ -26,9 +26,31 @@ minus the network.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+# Table identifiers are interpolated into DDL/DML below. Quoting them
+# would CHANGE semantics (an unquoted name case-folds per dialect —
+# Derby's round-trip tests depend on that), so instead names that come
+# from config/data are validated against the safe shape: dot-qualified
+# word characters only. Anything else (quotes, spaces, semicolons) is
+# an injection attempt or a bug either way (ADVICE r4).
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)*$")
+
+
+def _check_ident(name: str, what: str = "identifier") -> str:
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"unsafe SQL {what}: {name!r}")
+    return name
+
+
+def _pg_quote(name: str) -> str:
+    """Double-quote an identifier for Postgres, escaping embedded
+    quotes — the case-preserving form psycopg2 writers should use."""
+    return '"' + name.replace('"', '""') + '"'
 
 
 def _opts(url: str, properties: dict[str, str] | None) -> dict[str, str]:
@@ -171,7 +193,7 @@ def dialect_ddl(
                 "for schemas without a natural key"
             )
         cols.append(f"UNIQUE ({dialect.quoteIdentifier(unique_key)})")
-    return f"CREATE TABLE {table} ({', '.join(cols)})"
+    return f"CREATE TABLE {_check_ident(table, 'table name')} ({', '.join(cols)})"
 
 
 def pg_insert_on_conflict_sql(table: str, columns: list[str], key: str = "uniq_id") -> str:
@@ -188,11 +210,11 @@ def pg_insert_on_conflict_sql(table: str, columns: list[str], key: str = "uniq_i
     Placeholders are ``%s`` (DB-API *pyformat*): every Python Postgres
     driver a foreachPartition writer would use (psycopg2, pg8000)
     speaks pyformat and REJECTS JDBC-style ``?`` markers."""
-    collist = ", ".join(f'"{c}"' for c in columns)
+    collist = ", ".join(_pg_quote(c) for c in columns)
     params = ", ".join("%s" for _ in columns)
     return (
-        f'INSERT INTO {table} ({collist}) VALUES ({params}) '
-        f'ON CONFLICT ("{key}") DO NOTHING'
+        f'INSERT INTO {_check_ident(table, "table name")} ({collist}) '
+        f"VALUES ({params}) ON CONFLICT ({_pg_quote(key)}) DO NOTHING"
     )
 
 
@@ -213,10 +235,10 @@ def jdbc_delta_scan(
     # (case-preserved), while bare names fold to the dialect's default
     # case. The key is cast to VARCHAR so the set-difference works even
     # when the dialect stored it as CLOB/TEXT (Derby can't compare CLOBs).
-    k = f'CAST("{key}" AS VARCHAR(512))'
+    k = f'CAST({_pg_quote(key)} AS VARCHAR(512))'
     q = (
-        f"SELECT * FROM {raw_table} WHERE {k} NOT IN "
-        f"(SELECT {k} FROM {clean_table})"
+        f"SELECT * FROM {_check_ident(raw_table, 'table name')} WHERE {k} NOT IN "
+        f"(SELECT {k} FROM {_check_ident(clean_table, 'table name')})"
     )
     if limit is not None:
         # standard row-limit syntax (Derby/Postgres); MySQL would use LIMIT

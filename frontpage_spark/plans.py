@@ -18,7 +18,6 @@ co-location across many jobs):
 
 from __future__ import annotations
 
-import collections
 import os
 import threading
 
@@ -38,7 +37,12 @@ SALT_COL = "__salt"
 # frame silently recomputes from lineage (unlike a checkpoint, whose
 # block loss is fatal) — so the cap trades at worst a recompute of a
 # long-finished query's intermediate for a hard bound on cache growth.
-_KEPT: collections.deque[DataFrame] = collections.deque()
+# Re-keep()ing an already-registered frame LRU-touches it (moves it to
+# the young end instead of double-registering), so a frame a query
+# keeps re-using — bpe_train's per-round keep plus nested keeps from
+# dedup helpers — isn't evicted mid-use by its own later registrations
+# (ADVICE r4).
+_KEPT: list[DataFrame] = []
 _KEPT_MAX = 8
 _KEPT_LOCK = threading.Lock()
 
@@ -50,9 +54,15 @@ def keep(df: DataFrame) -> DataFrame:
     df = df.persist()
     evict: list[DataFrame] = []
     with _KEPT_LOCK:
+        # identity scan, not list.remove(): DataFrame.__eq__ builds a
+        # Column, so equality-based membership would be nonsense here
+        for i, ex in enumerate(_KEPT):
+            if ex is df:
+                del _KEPT[i]
+                break
         _KEPT.append(df)
         while len(_KEPT) > _KEPT_MAX:
-            evict.append(_KEPT.popleft())
+            evict.append(_KEPT.pop(0))
     for old in evict:
         try:
             old.unpersist()

@@ -975,8 +975,12 @@ def _table_rows_meta(sf_dir: str, name: str) -> int:
     limit(N+1).count() gate probe cost one scheduler round per call).
     Matches what the engine itself trusts: parquet num_rows is the
     same statistic Spark's own count-star metadata optimization reads.
-    Cached per (sf_dir, table); falls back to the over-gate answer on
-    any metadata error so the scalable route is chosen when in doubt."""
+    Cached per (sf_dir, table). The except is NARROW (missing pyarrow /
+    missing path / unreadable footer) and the over-gate fallback is
+    LOGGED: a silent broad except here once meant an environment hiccup
+    could route a size-gated operator onto its large-input branch whose
+    semantics differ from the registered oracle (ADVICE r4) — anything
+    unexpected now raises instead of mispicking a branch."""
     key = (sf_dir, name)
     if key not in _rows_meta_cache:
         if len(_rows_meta_cache) >= 256:  # bounded (cache-hygiene rule)
@@ -993,7 +997,15 @@ def _table_rows_meta(sf_dir: str, name: str) -> int:
                 else [path]
             )
             _rows_meta_cache[key] = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        except Exception:
+        except (ImportError, FileNotFoundError, OSError) as e:
+            import warnings
+
+            warnings.warn(
+                f"_table_rows_meta({sf_dir}, {name}): metadata unreadable "
+                f"({type(e).__name__}: {e}); assuming over-gate (scalable branch)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             _rows_meta_cache[key] = 1 << 62
     return _rows_meta_cache[key]
 

@@ -82,6 +82,21 @@ def tune(spark: SparkSession, sf_dir: str | None = None) -> SparkSession:
     return spark
 
 
+#: One BLAS thread per task: Spark schedules a task per core, so any
+#: multi-threaded gemm inside a worker (or the driver, which shares the
+#: box in local mode) oversubscribes cores x tasks. Set both in our own
+#: environment (inherited by the local-mode daemon and by driver-side
+#: numpy) and as executorEnv for real clusters. daemon_preload.py
+#: re-asserts them before its numpy import as defense in depth.
+BLAS_PIN = {
+    "OPENBLAS_NUM_THREADS": "1",
+    "OMP_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+}
+
+
 def get_spark(app_name: str = "frontpage_spark", master: str | None = None) -> SparkSession:
     cpus = default_parallelism()
     # Worker daemons are fresh processes launched with $PYTHONPATH; make
@@ -90,7 +105,11 @@ def get_spark(app_name: str = "frontpage_spark", master: str | None = None) -> S
     _pp = os.environ.get("PYTHONPATH", "")
     if _repo not in _pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{_repo}{os.pathsep}{_pp}" if _pp else _repo
+    for _k, _v in BLAS_PIN.items():
+        os.environ.setdefault(_k, _v)
     builder = SparkSession.builder.appName(app_name)
+    for _k, _v in BLAS_PIN.items():
+        builder = builder.config(f"spark.executorEnv.{_k}", os.environ[_k])
     builder = builder.master(master or f"local[{cpus}]")
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

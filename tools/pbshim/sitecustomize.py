@@ -47,9 +47,19 @@ def _activate() -> bool:
     # package never upgrades to the regular package that just became
     # visible (``_NamespacePath._recalculate`` collects only namespace
     # portions), so drop the stale modules and re-resolve.
+    # Purge ONLY the 'google' namespace root and 'google.protobuf*'
+    # entries — dropping every google.* module here could invalidate
+    # already-imported unrelated namespace packages (google.auth pulled
+    # in by a pytest plugin), leaving stale class identities in other
+    # modules (ADVICE r4). Re-importing 'google' after the protobuf
+    # portion appears is enough for the namespace path to pick it up.
     import importlib
 
-    for _mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+    for _mod in [
+        m
+        for m in sys.modules
+        if m == "google" or m == "google.protobuf" or m.startswith("google.protobuf.")
+    ]:
         del sys.modules[_mod]
     importlib.invalidate_caches()
     try:
