@@ -17,22 +17,16 @@ from pyspark.sql.window import Window
 from . import functions as FF, html
 
 
-def clean_projection(raw: DataFrame) -> DataFrame:
-    """P1 — 13-field projection of a raw ad DataFrame with columns
-    (uniq_id, ad: struct(scrape_date, code, url, read, uniq_id)).
-
-    Matches etl_process.py:203-224 field-for-field; NULL where the
-    reference produced '' (apply ``to_compat`` for exact parity).
-    """
-    url = F.col("ad.url")
-    # one Arrow round trip extracts all six HTML fields (struct column);
-    # everything downstream is native Catalyst expressions
-    with_h = raw.select(
-        F.col("uniq_id"),
-        url.alias("__url"),
-        F.col("ad.scrape_date").alias("__scrape_date"),
-        html.extract_fields(F.col("ad.read")).alias("__h"),
-    )
+def derive_clean(with_h: DataFrame) -> DataFrame:
+    """P1's derivation layer — everything DOWNSTREAM of HTML extraction,
+    as native Catalyst expressions only. Input columns: (uniq_id, __url,
+    __scrape_date, __h struct<post_date_raw, post_title, post_body,
+    poster_age, locations, other_ads>). Split out from
+    ``clean_projection`` so the derivation (F1-F4 URL/date parsing, F6
+    phone mining, array/compat shaping) is independently hash-checkable
+    against a SQL oracle with synthetic extractor outputs
+    (`clean_derivation_layer`), while UDF extraction itself stays
+    rows-only (VERDICT r4 item 7)."""
     h = F.col("__h")
     url = F.col("__url")
     body = h["post_body"]
@@ -51,6 +45,24 @@ def clean_projection(raw: DataFrame) -> DataFrame:
         F.to_timestamp(F.col("__scrape_date")).alias("scrape_date"),
         FF.site_id_from_url(url).alias("site_id"),
     )
+
+
+def clean_projection(raw: DataFrame) -> DataFrame:
+    """P1 — 13-field projection of a raw ad DataFrame with columns
+    (uniq_id, ad: struct(scrape_date, code, url, read, uniq_id)).
+
+    Matches etl_process.py:203-224 field-for-field; NULL where the
+    reference produced '' (apply ``to_compat`` for exact parity).
+    """
+    # one Arrow round trip extracts all six HTML fields (struct column);
+    # everything downstream is native Catalyst expressions (derive_clean)
+    with_h = raw.select(
+        F.col("uniq_id"),
+        F.col("ad.url").alias("__url"),
+        F.col("ad.scrape_date").alias("__scrape_date"),
+        html.extract_fields(F.col("ad.read")).alias("__h"),
+    )
+    return derive_clean(with_h)
 
 
 def enrich(clean: DataFrame, site_map: DataFrame, strict: bool = True) -> DataFrame:

@@ -1755,12 +1755,129 @@ def _ads_fixture(spark: SparkSession, n: int = 200):
 @register("html_clean_projection")  # rows-only: HTML extraction is UDF-land
 def html_clean_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 + F4/F5/F7-F11: full clean projection over a synthetic raw-ad
-    fixture (FIXTURES.md §A1), pandas-UDF HTML extraction inside."""
+    fixture (FIXTURES.md §A1), pandas-UDF HTML extraction inside. The
+    UDF extraction step is the only rows-only part — the derivation
+    layer downstream of it is hash-checked over the full corpus by
+    `clean_derivation_layer`."""
     from .pipeline import clean_projection, to_compat
 
     tune(spark)
     raw = _ads_fixture(spark)
     return to_compat(clean_projection(raw))
+
+
+# ---- P1 derivation layer, oracle-checked over the full corpus -------------
+_VERBOSE_FMT_DUCK = "%A, %B %-d, %Y %-I:%M %p"
+
+
+@register(
+    "clean_derivation_layer",
+    f"""
+    WITH syn AS (
+      SELECT doc_id, text,
+             'http://' || source || '.example.com/cat' || CAST(doc_id % 3 AS VARCHAR)
+               || '/' || CAST(100000 + doc_id AS VARCHAR) || '/x' AS url,
+             TIMESTAMP '2017-01-01 00:00:00'
+               + (doc_id % 527) * INTERVAL 1 HOUR
+               + (doc_id % 59) * INTERVAL 1 MINUTE AS pd_ts,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE CAST(20 + doc_id % 30 AS VARCHAR) END AS age,
+             'title ' || CAST(doc_id AS VARCHAR) AS title,
+             'loc' || CAST(doc_id % 5 AS VARCHAR) || ', uptown' AS locs,
+             '/o/' || CAST(doc_id AS VARCHAR) || '/1;/o/'
+               || CAST(doc_id AS VARCHAR) || '/2' AS other
+      FROM documents
+    ),
+    parts AS (
+      SELECT *,
+             strftime(pd_ts, '{_VERBOSE_FMT_DUCK}') AS pdr,
+             split_part(url, '/', 6) AS ad_id,
+             split_part(url, '/', 4) AS category,
+             split_part(split_part(url, '/', 3), '.', 1) AS site_id
+      FROM syn
+    )
+    SELECT strftime(strptime(pdr, '{_VERBOSE_FMT_DUCK}'), '%Y-%m-%d %H:%M:%S')
+             || '-' || ad_id || '-' || site_id || '-' || category AS uniq_id,
+           ad_id, url AS ad_url, category,
+           locs AS locations,
+           other AS other_ads,
+           COALESCE(array_to_string({{PHONE}}, ';'), '') AS phone,
+           COALESCE(text, '') AS post_body,
+           strptime(pdr, '{_VERBOSE_FMT_DUCK}') AS post_date,
+           COALESCE(age, '') AS poster_age,
+           title AS post_title,
+           pd_ts + INTERVAL 1 DAY AS scrape_date,
+           site_id
+    FROM parts
+    """.replace("{PHONE}", phone_cand_sql("text")),
+)
+def clean_derivation_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1's derivation layer (``pipeline.derive_clean`` + ``to_compat``)
+    hash-checked over the FULL documents corpus (VERDICT r4 item 7):
+    the six extractor outputs are synthesized as deterministic SQL
+    expressions of (doc_id, source, text), so everything DOWNSTREAM of
+    the HTML UDF — F1-F3 URL tokens, F4 verbose-date parse/format, F6
+    phone mining on real document text, F12 uniq_id composition, the
+    array-split/;-join round trip, and the NULL→'' compat boundary —
+    runs through the exact production code path and must match DuckDB
+    bit-for-bit. Only UDF extraction itself remains rows-only
+    (`html_clean_projection`). Plan: narrow per-row expressions over
+    one scan — no shuffle."""
+    from .pipeline import derive_clean, to_compat
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example.com/cat"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("/"),
+        (F.col("doc_id") + 100000).cast("string"),
+        F.lit("/x"),
+    )
+    base = docs.select(
+        "doc_id",
+        "text",
+        url.alias("__url"),
+        F.expr(
+            "timestamp'2017-01-01 00:00:00' + make_interval(0, 0, 0, 0, "
+            "CAST(doc_id % 527 AS INT), CAST(doc_id % 59 AS INT), 0)"
+        ).alias("__pd_ts"),
+    )
+    pdr = F.date_format("__pd_ts", FF.VERBOSE_DATE_FMT_SPARK)
+    hstruct = F.struct(
+        pdr.alias("post_date_raw"),
+        F.concat(F.lit("title "), F.col("doc_id").cast("string")).alias("post_title"),
+        F.col("text").alias("post_body"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("doc_id") % 30 + 20).cast("string"))
+        .alias("poster_age"),
+        F.concat(
+            F.lit("loc"), (F.col("doc_id") % 5).cast("string"), F.lit(", uptown")
+        ).alias("locations"),
+        F.concat(
+            F.lit("/o/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/1;/o/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/2"),
+        ).alias("other_ads"),
+    )
+    with_h = base.select(
+        FF.uniq_id(
+            FF.format_ts(FF.parse_verbose_date(pdr)),
+            FF.ad_id_from_url("__url"),
+            FF.site_id_from_url("__url"),
+            FF.category_from_url("__url"),
+        ).alias("uniq_id"),
+        F.col("__url"),
+        F.date_format(
+            F.expr("__pd_ts + make_interval(0, 0, 0, 1, 0, 0, 0)"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("__scrape_date"),
+        hstruct.alias("__h"),
+    )
+    return to_compat(derive_clean(with_h))
 
 
 @register("embedding_knn_lsh")  # rows-only: approximate operator
