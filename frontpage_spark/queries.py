@@ -5000,15 +5000,52 @@ def iqr_outliers_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- count-min heavy hitters (rows-only: sketch built on xxhash64) --------
-@register("cms_heavy_hitters")
+@register(
+    "cms_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    js AS (SELECT unnest(range(5)) AS j),
+    grid AS (
+      SELECT js.j * 2048
+               + CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || t), 1, 8) AS BIGINT)
+                 % 2048 AS cell,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks, js GROUP BY 1
+    ),
+    top AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS true_count
+      FROM toks GROUP BY t
+      ORDER BY true_count DESC, t LIMIT 15
+    ),
+    probed AS (
+      SELECT top.t, top.true_count, min(g.c) AS est
+      FROM top, js
+      JOIN grid g
+        ON g.cell = js.j * 2048
+             + CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || top.t), 1, 8) AS BIGINT)
+               % 2048
+      GROUP BY 1, 2
+    )
+    SELECT t, true_count, est AS cms_estimate,
+           est - true_count AS overcount
+    FROM probed
+    """,
+)
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter audit with the self-built count-min sketch
     (``ext.sketch``): estimate the corpus frequency of the exact top-15
     tokens from a d×w counter grid instead of a full-cardinality
-    groupBy. Deterministic (integer adds commute) but xxhash64 has no
-    DuckDB twin, so this is rows-only like the other sketch entries;
-    the overcount-only invariant (est ≥ true, bounded excess) is
-    pinned in test_ext."""
+    groupBy. Graduated from rows-only to a FULL oracle (round 5): the
+    sketch's hash basis is now the engine-portable md5 idiom
+    (``_cms_cells`` — 'j:'||key first-8-hex), so DuckDB rebuilds the
+    exact d×w counter grid with a GROUP BY over (cell) and replays the
+    min-over-depth probe; integer adds commute, so the grid (and thus
+    every estimate) is bit-identical for any partitioning AND engine.
+    The overcount-only invariant (est ≥ true, bounded excess) stays
+    pinned in test_ext; ``hash_impl='xxhash64'`` remains for
+    production sketches that never need cross-engine replay."""
     from .ext import sketch as cms
 
     docs = _t(spark, sf_dir, "documents")

@@ -10,9 +10,10 @@ def test_contract_shape():
     assert len(qs) >= 25
     assert set(oracles) <= set(qs)
     # the rows-only set is intentional and small
-    # kcore_copurchase and pq_compression_stats graduated to full
-    # oracles in round 5; the remainder is genuinely approximate
-    # (ANN recall, sketches) + the HTML UDF
+    # kcore_copurchase, pq_compression_stats and cms_heavy_hitters
+    # graduated to full oracles in round 5; the remainder is genuinely
+    # approximate (ANN recall, Spark-internal HLL / quantile sketches)
+    # + the HTML UDF
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "html_clean_projection",
@@ -21,7 +22,6 @@ def test_contract_shape():
         "approx_distinct_users",
         "ann_recall_eval",
         "approx_percentiles_price",
-        "cms_heavy_hitters",
         "hll_sketch_union_users",
     }
 
