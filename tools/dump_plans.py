@@ -258,6 +258,25 @@ SELECTED = {
         "joined on distinct keys -- the exact join size without the join; "
         "independence and md5-key-sample estimates ride the same histogram."
     ),
+    "clean_derivation_layer": (
+        "P1 derivation layer over the full corpus (round 5): synthetic "
+        "extractor outputs as codegen'd expressions feeding the production "
+        "derive_clean + to_compat path -- one narrow per-row stage over one "
+        "scan, zero exchanges; the whole 13-field projection is "
+        "whole-stage-codegen'd."
+    ),
+    "kcore_copurchase": (
+        "3-core peeling (round-5 oracle graduation): per round one keyed "
+        "degree aggregate + two semi joins on the monotonically shrinking "
+        "edge list; localCheckpoint every 4 rounds truncates lineage; the "
+        "driver sees only convergence counts."
+    ),
+    "cms_heavy_hitters": (
+        "Count-min sketch build (round-5 oracle graduation, md5 hash basis): "
+        "mapInPandas folds each task's tokens into ONE d*w counter row, "
+        "zip_with-sum reduce; the shuffle carries (tasks * d*w) counters, "
+        "never keys -- memory independent of token cardinality."
+    ),
 }
 
 
