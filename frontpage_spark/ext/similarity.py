@@ -319,11 +319,17 @@ def _band_sigs_arrow(
     transform/aggregate lambdas are interpreted (never codegen'd), so
     the expression form costs ~0.5 ms/row at bands*planes=100, dim=64;
     this batch form is ~100x faster and byte-identical: the per-plane
-    dot is accumulated with np.cumsum, whose ufunc-accumulate contract
-    is the SAME sequential left fold as the SQL aggregate() the DuckDB
-    oracle retraces — float32→float64 promotion and ±1 products are
-    exact, so every intermediate double is bit-equal to the expr path
-    (asserted by test_lsh_band_sigs_arrow_equals_expr).
+    dot is a sequential fold over dim — acc starts at 0.0 and adds
+    x_i·h_i in index order across the whole (rows × planes) sheet at
+    once, the EXACT recurrence of the SQL aggregate(zip_with(...),
+    0.0, +) the DuckDB oracle retraces — float32→float64 promotion and
+    ±1 products are exact, so every intermediate double is bit-equal
+    to the expr path (asserted by test_lsh_band_sigs_arrow_equals_expr).
+    (An earlier np.cumsum-over-dim formulation was also bit-exact but
+    materialized a rows×planes×dim float64 tensor per chunk — ~100 MB
+    of allocation churn per task whose mmap/THP behavior made the
+    stage's wall time swing 0.5→8 s run-to-run; the fold keeps two
+    rows×planes sheets alive, one of them a reused out= buffer.)
 
     Precondition: FINITE embeddings. The sign test diverges on
     non-finite dots — Spark SQL (and DuckDB) order NaN greater than
@@ -354,10 +360,14 @@ def _band_sigs_arrow(
                     "NaN/Inf sign semantics differ between numpy and Spark "
                     "SQL; gate non-finite vectors before LSH"
                 )
-            for lo in range(0, n, 1024):  # bound the (chunk, total, dim) temp
+            for lo in range(0, n, 1024):
                 xc = x[lo : lo + 1024]
-                prods = xc[:, None, :] * planes_m[None, :, :]  # (c, total, dim)
-                dots = np.cumsum(prods, axis=2)[:, :, -1]  # exact left fold
+                # sequential left fold over dim: acc = ((0 + x0·h0) + x1·h1)…
+                dots = np.zeros((len(xc), total))
+                buf = np.empty_like(dots)
+                for di in range(dim):
+                    np.multiply(xc[:, di, None], planes_m[None, :, di], out=buf)
+                    dots += buf
                 chars = np.where(dots > 0, "1", "0")  # (c, total)
                 ids_c = pdf[id_col].iloc[lo : lo + 1024].tolist()
                 for g in range(bands):
@@ -517,21 +527,37 @@ def lsh_band_candidates(
         exploded = sigs.withColumn("__bits", bits).select(
             "id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
         )
-    # The signature pass feeds BOTH self-join sides and is therefore
-    # evaluated once per side. That is DELIBERATE, unlike
-    # dedup.lsh_candidate_pairs' keep() (whose minhash pass is the
-    # expensive stage): the Arrow signature pass is a cheap narrow
-    # stage, while persisting it would cost a cache materialization,
-    # hold bands*|corpus| rows of signature state in executor memory at
-    # scale, and hide row-count stats behind an InMemoryRelation where
-    # the join planner can't see them. Recompute-twice is the cheaper
-    # and more scale-robust side of that trade here.
-    a = exploded.select(F.col("id").alias("a"), "band", "sig")
-    b = exploded.select(F.col("id").alias("b"), "band", "sig")
+    # Pairs are generated PER BUCKET ROW, not via a (band, sig)
+    # self-join: one groupBy folds the signature stream into bucket id
+    # lists (singletons dropped), and transform/slice expands a < b
+    # pairs inside each bucket. Same candidate set (the DuckDB oracle
+    # keeps its self-join formulation), strictly better plan: the
+    # signature pass executes ONCE (the r4 self-join evaluated the
+    # Python stage once per side and broadcast one copy — measured
+    # 2-9 s swings at sf0.1 from the double fork + broadcast build),
+    # and there is exactly one exchange, on (band, sig). Scale note:
+    # a bucket's id list lives in one aggregation buffer (8 B/id —
+    # ids only, never vectors); hyperplane buckets are geometrically
+    # small (~n/2^planes), and the pathological case (massive
+    # exact-duplicate vectors) belongs to exact dedup upstream, which
+    # is also where the self-join would have produced the same
+    # quadratic pair count anyway.
+    ids = F.array_sort(F.col("ids"))
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        exploded.groupBy("band", "sig")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
 
