@@ -1411,8 +1411,11 @@ def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine boundary as integer micro-bits (round(ent*1e6)): sums/min/
     max/threshold-counts are then exact and partition-order-independent;
     the oracle's explode→groupBy formulation is the same math DuckDB-
-    side (FP agreement at 1e-6 verified over the corpus)."""
-    docs = _t(spark, sf_dir, "documents")
+    side (FP agreement at 1e-6 verified over the corpus). ``_tw``: the
+    per-row count pass is |alphabet| JVM intrinsic calls per document —
+    pure narrow CPU that would serialize on the local single-split
+    file (no-op on a production multi-split table)."""
+    docs = _tw(spark, sf_dir, "documents")
     per = textstats.with_char_entropy(docs, "text", "__ent").select(
         "lang",
         "source",
@@ -1577,8 +1580,14 @@ def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     position selection: spillable sort instead of in-memory buffers);
     for unbounded group COUNTS use the sketch path
     (approx_percentiles_price). Rounded to 6 to absorb cross-engine
-    interpolation ULPs."""
-    orders = _t(spark, sf_dir, "orders")
+    interpolation ULPs. ``fan_out``: the local single-row-group file
+    scans as ONE split, which would run the whole decimal buffer/sort
+    on one core — percentile partial-aggregates (per-partition buffers
+    merge), so widening the map side parallelizes it (no-op on a
+    production multi-split table)."""
+    orders = plans.fan_out(
+        _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    )
     return orders.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
@@ -2666,25 +2675,22 @@ def kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source top-3 TF-IDF terms: explode -> two keyed aggregations
-    (term frequency per source; document frequency across sources) ->
-    broadcast the tiny df/n sides back -> per-source top-k window. The
-    exploded token table is materialized ONCE (persist) and feeds both
-    the tf and df aggregations — without it the scan+explode subplan
-    runs twice (at 100 TB the persist becomes a temp-table write, or the
-    two aggs fold into one pass with grouping sets). The
-    tfidf product is one ln + one multiply (IEEE-deterministic), rounded
-    before ranking so cross-engine ties cannot reorder; ties break on
-    the term itself."""
+    """Per-source top-3 TF-IDF terms: ONE explode pass -> term
+    frequency per (source, term) -> document frequency DERIVED from the
+    tf aggregate (tf is keyed by (source, term), so df(term) is just
+    the tf row count per term — no second pass over the exploded token
+    table, no persist) -> broadcast the tiny df/n sides back -> per-
+    source top-k window. At 100 TB this halves the widest stage: the
+    token table is exploded and shuffled once; every later input is
+    aggregate-sized. The tfidf product is one ln + one multiply
+    (IEEE-deterministic), rounded before ranking so cross-engine ties
+    cannot reorder; ties break on the term itself."""
     docs = _t(spark, sf_dir, "documents")
-    tok = plans.keep(
-        docs.select(
-            "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
-        )
-        .filter(F.col("term") != "")
-    )
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
     tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_src = docs.select(F.countDistinct("source").alias("n_src"))
     scored = (
         tf.join(df, "term")
@@ -7581,23 +7587,30 @@ def order_count_distribution_q13ish(spark: SparkSession, sf_dir: str) -> DataFra
 def min_cost_supplier_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape — for each large part, every supplier quoting its
     minimum price. The correlated scalar subquery (`WHERE price = (SELECT
-    MIN ... WHERE partkey = outer.partkey)`) DECORRELATED into one
-    grouped aggregate joined back on (partkey, price) — the rewrite
-    Catalyst itself applies to correlated subqueries, expressed
-    directly so the plan is two shuffles on l_partkey (co-partitioned,
-    AQE reuses the exchange) + two broadcast dim joins. Ties keep all
-    minimal suppliers, exactly like Q2."""
+    MIN ... WHERE partkey = outer.partkey)`) DECORRELATED: the part
+    filter joins in FIRST (broadcast — prunes the fact scan to large
+    parts before any aggregation, the 100 TB-side win the oracle's
+    optimizer finds via semi-join pushdown), ONE grouped aggregate
+    produces the per-(part, supplier) quote, and the per-part minimum
+    is a window MIN over that aggregate (aggregate-sized input — not a
+    second full fact scan). Ties keep all minimal suppliers, exactly
+    like Q2. Restricting the fact rows to surviving parts cannot
+    change those parts' minima (the filter is on part attributes)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
     s = _t(spark, sf_dir, "supplier")
-    px = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("l_extendedprice").alias("price")
+    px = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("price"))
     )
-    mins = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("mn"))
+    w = Window.partitionBy("p_partkey")
     return (
-        px.join(mins, ["l_partkey"])
+        px.withColumn("mn", F.min("price").over(w))
         .filter(F.col("price") == F.col("mn"))
-        .join(F.broadcast(p), px["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), px["l_suppkey"] == s["s_suppkey"])
         .select("p_partkey", "p_brand", "s_name", F.col("price").alias("min_price"))
     )
@@ -9364,18 +9377,29 @@ def segment_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange — a mega-boilerplate segment is exactly the skewed-join
     case AQE handles), and reassembly is one keyed sort_array
     collect on doc_id. No broadcast of the dup set (it is corpus-
-    sized), no windows over the corpus, no driver collect."""
-    docs = _t(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    segs = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, CAST(ceil(size(split(text, ' ')) / 8.0) AS INT)), "
-                "i -> array_join(slice(split(text, ' '), 8 * (i - 1) + 1, 8), ' '))"
-            )
-        ).alias("pos", "seg"),
-    ).select("doc_id", (F.col("pos") + 1).cast("long").alias("seg_no"), "seg")
+    sized), no windows over the corpus, no driver collect.
+
+    The token array is SPLIT ONCE into a projected column before the
+    per-segment transform — inlining ``split(text)`` inside the lambda
+    would re-split the whole document for every segment index
+    (O(segments x doc_length) per row; measured ~2x on the bench
+    corpus). ``_tw``: the segmentation stage is per-row CPU on a
+    single-split local file, so fan the scan out (no-op on a
+    production multi-split table)."""
+    docs = _tw(spark, sf_dir, "documents")
+    segs = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, CAST(ceil(size(w) / 8.0) AS INT)), "
+                    "i -> array_join(slice(w, 8 * (i - 1) + 1, 8), ' '))"
+                )
+            ).alias("pos", "seg"),
+        )
+        .select("doc_id", (F.col("pos") + 1).cast("long").alias("seg_no"), "seg")
+    )
     dup = (
         segs.groupBy("seg")
         .agg(F.countDistinct("doc_id").alias("nd"))
