@@ -30,6 +30,75 @@ from pyspark.sql import DataFrame, functions as F
 
 PR_SCALE = 10**12
 
+# Edge lists at or below this row count take the single-job local path
+# (`_pagerank_local`); above it, the distributed per-iteration join/agg
+# loop runs on natural partitioning. Same gate pattern (and rationale)
+# as queries._component_fixpoint: iterative graph state at bench/test
+# scale is dominated by Spark's per-job scheduling floor, not by data.
+_SMALL_EDGE_ROWS = 4_000_000
+
+
+def _pagerank_local(
+    edges: DataFrame,
+    iterations: int,
+    damping_num: int,
+    damping_den: int,
+    bidirected: bool = False,
+) -> DataFrame:
+    """Single-job exact-integer PageRank over a SMALL edge list
+    coalesced to one partition — executor-side (mapInPandas), not a
+    driver collect; byte-identical ranks to the distributed loop
+    because the recurrence is truncating int64 division on
+    nonnegative values, which no evaluation order can perturb. One
+    Spark job instead of ~3 per iteration (broadcast exchanges +
+    final checkpoint)."""
+    node_type = edges.schema["src"].dataType.simpleString()
+
+    def pr(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs, dsts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"])
+            dsts.append(pdf["dst"])
+        if not srcs:
+            return
+        src = pd.concat(srcs, ignore_index=True)
+        dst = pd.concat(dsts, ignore_index=True)
+        # hash-based factorize, NOT np.unique: node ids are strings and
+        # a sort-based encode dominated the whole query at ~1M edges
+        idx, nodes = pd.factorize(pd.concat([src, dst], ignore_index=True))
+        si, di = idx[: len(src)], idx[len(src) :]
+        n = len(nodes)
+        if n == 0:
+            return
+        outdeg = np.bincount(si, minlength=n)
+        if bidirected:
+            outdeg = outdeg + np.bincount(di, minlength=n)
+        outdeg = outdeg.astype(np.int64)
+        r = np.full(n, PR_SCALE // n, dtype=np.int64)
+        jump = ((damping_den - damping_num) * PR_SCALE) // (damping_den * n)
+        for _ in range(iterations):
+            # per-edge contribution; every edge ROW contributes (so a
+            # multigraph weighs parallel edges), matching the
+            # distributed loop's groupBy-count outdeg + per-row join.
+            # int64 floor-div == Spark's truncating BIGINT div (nonneg).
+            # weighted bincount accumulates in float64 — exact here:
+            # every term and every partial sum is an integer below the
+            # total mass PR_SCALE = 1e12 << 2^53
+            c = (damping_num * r[si]) // (damping_den * outdeg[si])
+            agg = np.bincount(di, weights=c, minlength=n)
+            if bidirected:
+                c2 = (damping_num * r[di]) // (damping_den * outdeg[di])
+                agg = agg + np.bincount(si, weights=c2, minlength=n)
+            r = jump + agg.astype(np.int64)
+        yield pd.DataFrame({"node": np.asarray(nodes), "r": r})
+
+    # coalesce, not repartition: avoids a full exchange of the edge
+    # list; measured faster at ~600k distinct pairs (1.57s vs 1.86s)
+    return edges.coalesce(1).mapInPandas(pr, schema=f"node {node_type}, r bigint")
+
 
 def pagerank_fixedpoint(
     edges: DataFrame,
@@ -38,6 +107,9 @@ def pagerank_fixedpoint(
     damping_den: int = 100,
     checkpoint_every: int = 4,
     broadcast_state: bool = True,
+    small_edges: int = _SMALL_EDGE_ROWS,
+    bidirected: bool = False,
+    edge_rows_hint: int | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)`` in exact
     integer arithmetic. Returns ``(node, r)`` with Σr ≤ PR_SCALE.
@@ -54,11 +126,35 @@ def pagerank_fixedpoint(
     shuffles where static planning can't see their (small) size. Set
     False for billion-node graphs where ranks exceed broadcast limits;
     the joins then shuffle on src/node and AQE handles skew."""
+    # Size-gate: small graphs take the single-job local path,
+    # byte-identical output. ``edge_rows_hint`` (an UPPER BOUND on the
+    # edge rows, e.g. the base table's parquet-footer count) decides
+    # the gate with zero extra jobs; without a hint, materialize once
+    # (checkpoint, so the probe and the consumer share one execution
+    # of the upstream distinct) and count-probe. ``bidirected=True``
+    # means each input row (u, v) is BOTH u→v and v→u — the reversed
+    # half then never crosses to Python (local path) and is derived
+    # narrowly from checkpointed blocks (distributed path) instead of
+    # being materialized twice by the caller's union.
+    edges = edges.select("src", "dst")
+    mult = 2 if bidirected else 1
+    if edge_rows_hint is not None:
+        gated_small = edge_rows_hint * mult <= small_edges
+        if not gated_small:
+            edges = edges.localCheckpoint()
+    else:
+        edges = edges.localCheckpoint()
+        gated_small = edges.limit(small_edges + 1).count() * mult <= small_edges
+    if gated_small:
+        return _pagerank_local(edges, iterations, damping_num, damping_den, bidirected)
+    if bidirected:
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     # The edge list, node set, and out-degrees are loop INVARIANTS —
-    # without a persist every iteration's join replays their whole
-    # upstream plan (scan + distinct per round). Caching invariants is
-    # the standard Pregel contract; callers drop them with clearCache.
-    edges = edges.select("src", "dst").persist()
+    # without materialization every iteration's join replays their
+    # whole upstream plan (scan + distinct per round). Caching
+    # invariants is the standard Pregel contract.
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -106,7 +202,7 @@ def pagerank_fixedpoint(
     # invariants can be RELEASED here instead of leaking cached blocks
     # into long multi-query sessions (ADVICE r2)
     out = r.localCheckpoint()
-    for inv in (edges, nodes, outdeg):
+    for inv in (nodes, outdeg):  # edges is checkpointed (GC-reclaimed), not persisted
         inv.unpersist()
     return out
 

@@ -4526,8 +4526,17 @@ def _pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     ).distinct()
-    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    r = pagerank_fixedpoint(edges, iterations=3)
+    # bidirected=True: the operator derives the reversed half itself, so
+    # only the distinct directed pairs are ever materialized/transferred.
+    # The parquet-footer row count (>= distinct pairs) gates the local
+    # vs distributed path with no probe job; both paths are
+    # byte-identical so a missing footer only costs speed, never truth.
+    r = pagerank_fixedpoint(
+        e0,
+        iterations=3,
+        bidirected=True,
+        edge_rows_hint=_table_rows_meta(sf_dir, "lineitem"),
+    )
     return (
         r.filter(F.col("node").startswith("s"))
         .orderBy(F.desc("r"), "node")

@@ -413,6 +413,51 @@ def test_pagerank_fixedpoint_star(spark):
     assert rc == {"x": PR_SCALE // 2, "y": PR_SCALE // 2}
 
 
+def test_pagerank_local_matches_distributed(spark):
+    # the size-gated single-job path must be BYTE-identical to the
+    # distributed join/agg loop (small_edges=0 forces the latter) —
+    # irregular multigraph with a sink node and parallel edges
+    from frontpage_spark.ext.graph import pagerank_fixedpoint
+
+    raw = [
+        ("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "a"), ("d", "c"), ("e", "f"), ("f", "e"), ("g", "a"),
+        ("b", "sink"),
+    ]
+    edges = spark.createDataFrame(raw, ["src", "dst"]).repartition(5)
+    local = {
+        (row.node, row.r)
+        for row in pagerank_fixedpoint(edges, iterations=4).collect()
+    }
+    dist = {
+        (row.node, row.r)
+        for row in pagerank_fixedpoint(edges, iterations=4, small_edges=0).collect()
+    }
+    assert local == dist and len(local) == 8
+    # bidirected=True over the directed half == explicit union, on all
+    # four path combinations (local/distributed x probe/hint gate)
+    bi = edges.union(
+        spark.createDataFrame([(b, a) for a, b in raw], ["src", "dst"])
+    )
+    want = {
+        (row.node, row.r)
+        for row in pagerank_fixedpoint(bi, iterations=3).collect()
+    }
+    for kw in (
+        {},
+        {"small_edges": 0},
+        {"edge_rows_hint": len(raw)},
+        {"edge_rows_hint": 1 << 40, "small_edges": 0},
+    ):
+        got = {
+            (row.node, row.r)
+            for row in pagerank_fixedpoint(
+                edges, iterations=3, bidirected=True, **kw
+            ).collect()
+        }
+        assert got == want, kw
+
+
 def test_expectations_report_counts(spark):
     from frontpage_spark.ext.expectations import Expectations
 

@@ -27,11 +27,17 @@ def test_pure_query_is_cached_and_reused(spark):
 
 
 def test_driver_loop_query_never_cached(spark):
-    # pagerank runs fixpoint jobs at build time — caching it would
-    # skip real execution on repeat calls
+    # bpe_train_merges runs its training loop (argmax collects) at
+    # build time — caching it would skip real execution on repeat
+    # calls. (pagerank used to be the probe here, but its build became
+    # pure — metadata-gated single-job plan — so it is now cacheable.)
+    QUERIES["bpe_train_merges"](spark, SF_DIR)
+    QUERIES["bpe_train_merges"](spark, SF_DIR)
+    assert "bpe_train_merges" not in _cache_names()
+    # pagerank's build is job-free and therefore cached
     QUERIES["pagerank_part_supplier"](spark, SF_DIR)
     QUERIES["pagerank_part_supplier"](spark, SF_DIR)
-    assert "pagerank_part_supplier" not in _cache_names()
+    assert "pagerank_part_supplier" in _cache_names()
 
 
 def test_keep_using_query_never_cached(spark):
