@@ -101,10 +101,12 @@ SELECTED = {
         "signatures are the stored artifact in production."
     ),
     "pagerank_part_supplier": (
-        "Fixed-point PageRank, 3 iterations: per iteration one shuffle joins ranks onto the "
-        "edge list (src) and one keyed aggregation collects contributions (dst) — the same "
-        "two exchanges a Pregel superstep pays; node-sized rank/degree tables broadcast. "
-        "Integer mass units make every iteration bit-exact."
+        "Fixed-point PageRank, 3 iterations, size-gated on a parquet-footer edge bound: "
+        "under 4M edges the whole recurrence runs as ONE job (distinct pair shuffle -> "
+        "single-task integer recurrence via mapInPandas); above it, per iteration one "
+        "shuffle joins ranks onto the edge list (src) and one keyed aggregation collects "
+        "contributions (dst) — the same two exchanges a Pregel superstep pays, node-sized "
+        "rank/degree tables broadcast. Integer mass units make both paths bit-identical."
     ),
     "bloom_prune_join": (
         "Bloom semi-join reduction: the selective order keys fold into per-task uint64 "

@@ -59,6 +59,10 @@ PROBE_QUERIES = [
     "cusum_revenue_alarms",
     "dup_clusters",
     "domain_cap_sample",
+    # crosses its size gate at 10x (12M bidirected edges > 4M): the 1x
+    # run takes the single-job local path, the Nx run the distributed
+    # fixpoint — the probe therefore exercises the handoff itself
+    "pagerank_part_supplier",
 ]
 
 
