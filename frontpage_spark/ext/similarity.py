@@ -189,6 +189,63 @@ def cosine_pairs_blocked(
     return bp.mapInPandas(score, schema=f"a {id_type}, b {id_type}, cosine double")
 
 
+def cosine_pairs_within(
+    corpus: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All a<b embedding pairs WITHIN each group (SemDeDup cells,
+    LSH buckets, shard keys) with their cosine — never across groups.
+
+    Plan shape: one shuffle folds each group into a block row
+    (ids + vectors); an Arrow ``mapInPandas`` scores each group with
+    ONE numpy/BLAS gemm instead of |pairs| interpreted array folds
+    (the same trade ``cosine_pairs_blocked`` makes for the all-pairs
+    case). Group population is the caller's knob — SemDeDup grows k
+    with the corpus precisely so cells stay task-sized; a group that
+    outgrows a task should be sub-blocked with the blocked variant.
+
+    Float contract: cosines come from float64 gemm, whose summation
+    order differs from a sequential fold — callers thresholding
+    against a fold-based oracle must round first (see
+    embedding_near_dup: round(cosine, 12) both sides).
+    Output: (g = group key, a, b, cosine), a < b by id value."""
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    g_type = corpus.schema[group_col].dataType.simpleString()
+    blocks = (
+        corpus.select(
+            F.col(group_col).alias("g"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .groupBy("g")
+        .agg(F.collect_list("id").alias("ids"), F.collect_list("v").alias("vs"))
+    )
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids = np.asarray(row.ids)
+                if len(ids) < 2:
+                    continue
+                A = np.array([np.asarray(v) for v in row.vs])
+                nrm = np.sqrt((A * A).sum(axis=1))
+                cos = (A @ A.T) / np.outer(nrm, nrm)
+                i, j = np.triu_indices(len(ids), k=1)
+                u, v, c = ids[i], ids[j], cos[i, j]
+                lo, hi = np.minimum(u, v), np.maximum(u, v)
+                yield pd.DataFrame({"g": row.g, "a": lo, "b": hi, "cosine": c})
+
+    return blocks.mapInPandas(
+        score, schema=f"g {g_type}, a {id_type}, b {id_type}, cosine double"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

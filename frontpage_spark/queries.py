@@ -5636,7 +5636,7 @@ _SEM_NB = "list_sum([CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) for i in gene
       FROM (SELECT cent_id, vec_id, e AS ea FROM assigned) x
       JOIN (SELECT cent_id, vec_id, e AS eb FROM assigned) y USING (cent_id)
       WHERE x.vec_id < y.vec_id
-        AND {_SEM_DOT} / (sqrt({_SEM_NA}) * sqrt({_SEM_NB})) > 0.5
+        AND round({_SEM_DOT} / (sqrt({_SEM_NA}) * sqrt({_SEM_NB})), 12) > 0.5
     ),
     nodes AS (SELECT DISTINCT x AS id FROM (SELECT a AS x FROM pairs UNION SELECT b FROM pairs)),
     edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
@@ -5663,36 +5663,26 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic dedup would remove.
 
     Scale shape: assignment is the broadcast argmax (1 row/vector
-    shuffle); the pair stage joins each cell against itself — cell
+    shuffle); the pair stage folds each cell into one block row and
+    scores it with ONE gemm (similarity.cosine_pairs_within) — cell
     population is controlled by k (k grows with corpus so cells stay
-    bounded, the paper's own knob) and the join shuffles on cent_id;
-    components run on the pair graph, which is tiny relative to the
-    corpus by construction. Threshold compares identical deterministic
-    dot-product folds, so no float flip across engines."""
+    bounded, the paper's own knob); components run on the pair graph,
+    which is tiny relative to the corpus by construction. Both engines
+    round the cosine to 12 decimals before the threshold so the gemm
+    vs sequential-fold summation order cannot flip a borderline pair."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = emb.orderBy("vec_id").limit(8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
-    # both pair sides read the assignment — cache it so the broadcast
-    # argmax (the corpus-wide narrow pass) runs once, not twice
-    assigned = plans.keep(similarity.assign_cosine(emb, cents))
-    pa = assigned.select(
-        "cent_id", F.col("vec_id").alias("a"), F.col("e").alias("ea"),
-        similarity._norm2("e").alias("na"),
-    )
-    pb = assigned.select(
-        "cent_id", F.col("vec_id").alias("b"), F.col("e").alias("eb"),
-        similarity._norm2("e").alias("nb"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
+    assigned = similarity.assign_cosine(emb, cents)
+    # within-cell pairs via one gemm per cell (cosine_pairs_within)
+    # instead of |pairs| interpreted folds; gemm summation order
+    # differs from the oracle's sequential fold, so BOTH sides round
+    # to 12 decimals before thresholding (the embedding_near_dup
+    # contract — 64-dim float64 error is ~1e-15, 3 decades inside it)
     pairs = (
-        pa.join(pb, "cent_id")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", dot / (F.sqrt("na") * F.sqrt("nb")))
-        .filter(F.col("cos") > 0.5)
+        similarity.cosine_pairs_within(assigned, "cent_id", id_col="vec_id", vec_col="e")
+        .filter(F.round("cosine", 12) > 0.5)
         .select("a", "b")
     )
     pairs = plans.keep(pairs)

@@ -253,6 +253,35 @@ def test_cosine_pairs_blocked_matches_expr(spark):
     assert thr == {k for k, v in want.items() if v >= 0.5}
 
 
+def test_cosine_pairs_within_matches_expr(spark):
+    """The per-group gemm path must equal the expression baseline
+    restricted to same-group pairs — never a cross-group pair, every
+    within-group pair exactly once, a<b by id value."""
+    from pyspark.sql import functions as F
+    from frontpage_spark.ext import similarity
+
+    rows = [
+        (i, i % 3, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(4)])
+        for i in range(1, 14)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "cell", "embedding"]).repartition(5)
+    want = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in similarity.cosine_pairs(df).collect()
+        if r["a"] % 3 == r["b"] % 3
+    }
+    got = {
+        (r["a"], r["b"]): (r["g"], r["cosine"])
+        for r in similarity.cosine_pairs_within(df, "cell").collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k][1] - want[k]) < 1e-12 for k in want)
+    assert all(g == a % 3 for (a, _b), (g, _c) in got.items())
+    # singleton and empty groups produce no pairs
+    solo = df.filter(F.col("vec_id") <= 3)
+    assert similarity.cosine_pairs_within(solo, "cell").count() == 0
+
+
 def test_sentiment_scores(spark):
     from frontpage_spark.ext import textstats as ts
 
