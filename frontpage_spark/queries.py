@@ -2552,8 +2552,11 @@ def levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap block key (first token), so the quadratic Levenshtein runs
     within blocks instead of all-pairs — the standard record-linkage
     shape. One shuffle on the block key; prefix truncation caps the
-    per-pair O(m*n) DP cost. JVM codegen levenshtein, no UDF."""
-    docs = _t(spark, sf_dir, "documents")
+    per-pair O(m*n) DP cost. JVM codegen levenshtein, no UDF. ``_tw``:
+    on the single-split local file AQE broadcasts the tiny dim side and
+    the whole fan-out would land in ONE scan task (no-op on a
+    production multi-split table)."""
+    docs = _tw(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         F.split(F.col("text"), " ").getItem(0).alias("blk"),
@@ -3058,8 +3061,12 @@ _DUP_WALK_SQL = """
 def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared fixpoint: (id, comp) connected-component labels over the
     blocked-Levenshtein near-dup pair graph (see ``dup_clusters`` for
-    the plan commentary)."""
-    docs = _t(spark, sf_dir, "documents")
+    the plan commentary). ``_tw``: with a single-split local file, AQE
+    broadcasts the tiny dim side and the blocked self-join's 83x pair
+    fan-out plus the edit-distance filter land in the ONE scan task —
+    fanning the 5k build rows costs a 5k-row shuffle and puts the
+    417k-pair filter on every core (no-op on a multi-split table)."""
+    docs = _tw(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         F.split(F.col("text"), " ").getItem(0).alias("blk"),
@@ -3068,8 +3075,11 @@ def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.select(F.col("doc_id").alias("a"), "blk", F.col("prefix").alias("pa"))
     b = d.select(F.col("doc_id").alias("b"), "blk", F.col("prefix").alias("pb"))
     # The join pays a free length-difference prefilter plus the BOUNDED
-    # levenshtein (early-exit banded DP). Partitioning of the resulting
-    # pair graph is size-gated inside _component_fixpoint.
+    # levenshtein (early-exit banded DP, JVM codegen — measured faster
+    # than an Arrow-vectorized Myers filter once the fan-out above
+    # spreads the pair stream: the builtin stays inside the join stage,
+    # no Python boundary). Partitioning of the resulting pair graph is
+    # size-gated inside _component_fixpoint.
     pairs = (
         a.join(b, "blk")
         .filter(
