@@ -783,8 +783,11 @@ _MINHASH_SIGS_SQL = " UNION ALL ".join(
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (md5-keyed, band=4, r=1) + LSH bucket join with a bucket-size
-    cap — the scale path for near-dup detection."""
-    docs = _t(spark, sf_dir, "documents")
+    cap — the scale path for near-dup detection. ``_tw``: the
+    one-md5-per-shingle signature pass is narrow CPU that would
+    serialize on the single-split local file (no-op on a production
+    multi-split table)."""
+    docs = _tw(spark, sf_dir, "documents")
     pairs = dedup.lsh_candidate_pairs(docs)
     return pairs.agg(
         F.count("*").alias("n_candidate_pairs"),
@@ -3728,8 +3731,10 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram Jaccard verify uses — so cost is |matching grams|, never
     |eval| x |corpus|. Distinct grams per doc keep the join input
     minimal; at 100 TB the gram table is the shuffle and benefits from
-    a bloom-filtered or bucketed layout."""
-    docs = _t(spark, sf_dir, "documents")
+    a bloom-filtered or bucketed layout. ``_tw``: the per-doc hash-chain
+    gram pass is narrow CPU that would serialize on the single-split
+    local file (no-op on a production multi-split table)."""
+    docs = _tw(spark, sf_dir, "documents")
 
     # Grams never exist as strings: tokens hash once per doc, then each
     # 8-gram folds its 8 token hashes through an order-sensitive
