@@ -145,6 +145,96 @@ def stream_dedup(
     return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark([key])
 
 
+def stream_near_dup_dedup(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    sig_dir: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming NEAR-dup dedup for a continuously-ingested corpus —
+    the streaming form of ``incremental_corpus_dedup``: each
+    micro-batch drops documents whose MinHash band signatures already
+    appear in the persistent signature store (LSH-candidate
+    MEMBERSHIP, a semi-join on (band, minhash) — no pair generation,
+    no bucket cap, cost |batch|·bands lookups however large history
+    grows), appends the survivors to ``out_dir`` and their signatures
+    to ``sig_dir``.
+
+    Replay idempotence WITHOUT an exactly-once sink: both writes are
+    hive-partitioned by epoch and use dynamic partition overwrite, so
+    a failure-replayed batch overwrites exactly its own partition; the
+    membership probe reads only ``epoch < current`` (partition-pruned),
+    so a replay sees the identical prior-history state and reproduces
+    the identical survivor set. At 100 TB the signature store is the
+    durable artifact: bucket it on (band, minhash) and the per-batch
+    probe shuffles only the batch side.
+
+    Intra-batch near-dups both survive by design (history membership
+    is the contract; a micro-batch is one snapshot — batch-local pair
+    dedup is ``lsh_candidate_pairs``' job when wanted). From the next
+    batch on, the store contains both and catches their future kin."""
+    from .ext import dedup as _dedup
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        sigs = _dedup.minhash_signatures(
+            batch.select(id_col, text_col), id_col, text_col, bands
+        ).persist()
+        try:
+            try:
+                hist = s.read.parquet(sig_dir).filter(F.col("epoch") < epoch_id)
+            except Exception:  # first batch: no store yet
+                hist = None
+            if hist is not None:
+                dup_ids = (
+                    sigs.join(hist, ["band", "minhash"], "left_semi")
+                    .select(id_col)
+                    .distinct()
+                    .persist()
+                )
+            else:
+                dup_ids = sigs.select(id_col).limit(0).persist()
+            (
+                batch.join(dup_ids, id_col, "left_anti")
+                .withColumn("epoch", F.lit(int(epoch_id)))
+                .write.partitionBy("epoch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+            (
+                sigs.join(dup_ids, id_col, "left_anti")
+                .select(id_col, "band", "minhash")
+                .withColumn("epoch", F.lit(int(epoch_id)))
+                .write.partitionBy("epoch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(sig_dir)
+            )
+            dup_ids.unpersist()
+        finally:
+            sigs.unpersist()
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(source_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_counts(events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
     """ST6 extension — tumbling-window counts with a watermark for late
     data. Works on both batch and streaming DataFrames."""

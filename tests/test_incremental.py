@@ -640,3 +640,50 @@ def test_stream_interval_left_outer_join_emits_unmatched(spark, tmp_path):
     assert out[2]["r_ts"] == datetime(2024, 1, 1, 1, 5)
     # user3 matched inside its window; the inner result always emits
     assert out[3]["r_ts"] == datetime(2024, 1, 1, 6, 1)
+
+
+def test_stream_near_dup_dedup(spark, tmp_path):
+    """Streaming near-dup membership dedup: a later micro-batch's
+    near-duplicate of earlier output is dropped (signature-store
+    membership), fresh docs pass; the store survives a RESTART with
+    the same checkpoint; and a full replay over the same files
+    (fresh checkpoint, epoch-partition overwrite) reproduces the
+    identical survivor set instead of doubling it."""
+    from frontpage_spark.incremental import stream_near_dup_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    sig = str(tmp_path / "sig")
+    chk = str(tmp_path / "chk")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark shuffles and joins")],
+        ["doc_id", "text"],
+    )
+    # near-dup of doc 1 (one trailing word changed -> most shingles
+    # shared -> some band minhash collides) + one fresh doc
+    b2 = spark.createDataFrame(
+        [(3, base[:-5] + "night"), (4, "fresh unrelated corpus entry mentioning parquet files")],
+        ["doc_id", "text"],
+    )
+    b1.coalesce(1).write.parquet(src)
+    q = stream_near_dup_dedup(spark, src, out, sig, chk, schema=b1.schema)
+    q.awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q = stream_near_dup_dedup(spark, src, out, sig, chk, schema=b1.schema)
+    q.awaitTermination(120)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 4}, kept  # 3 = near-dup of history, dropped
+    # signature store holds exactly the survivors' signatures
+    sig_ids = {r["doc_id"] for r in spark.read.parquet(sig).collect()}
+    assert sig_ids == {1, 2, 4}
+    # replay from scratch (fresh checkpoint, same files): the
+    # epoch-partitioned dynamic overwrite reproduces, never duplicates
+    q = stream_near_dup_dedup(
+        spark, src, out, sig, str(tmp_path / "chk2"), schema=b1.schema,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    kept2 = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert sorted(kept2) == [1, 2, 4], kept2
