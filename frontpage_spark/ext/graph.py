@@ -136,7 +136,14 @@ def pagerank_fixedpoint(
     # half then never crosses to Python (local path) and is derived
     # narrowly from checkpointed blocks (distributed path) instead of
     # being materialized twice by the caller's union.
-    edges = edges.select("src", "dst")
+    # NULL endpoints are dropped up front: the local path's factorize
+    # would map them to a -1 sentinel (bincount crash), and the
+    # distributed loop's equi-joins would half-drop them into a
+    # phantom jump-only node — neither is a meaningful rank. Dropping
+    # first makes both paths agree on degenerate input too.
+    edges = edges.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
     mult = 2 if bidirected else 1
     if edge_rows_hint is not None:
         gated_small = edge_rows_hint * mult <= small_edges

@@ -235,10 +235,24 @@ def cosine_pairs_within(
                     continue
                 A = np.array([np.asarray(v) for v in row.vs])
                 nrm = np.sqrt((A * A).sum(axis=1))
+                # fail LOUDLY on degenerate vectors: numpy 0/0 would
+                # silently emit NaN, and Spark orders NaN above every
+                # threshold — the expression path this replaces errors
+                # under ANSI mode instead (DIVIDE_BY_ZERO)
+                if not np.isfinite(A).all() or (nrm == 0).any():
+                    raise ValueError(
+                        "cosine_pairs_within: zero-norm or non-finite embedding "
+                        f"in group {row.g!r} — gate degenerate vectors upstream"
+                    )
                 cos = (A @ A.T) / np.outer(nrm, nrm)
                 i, j = np.triu_indices(len(ids), k=1)
                 u, v, c = ids[i], ids[j], cos[i, j]
                 lo, hi = np.minimum(u, v), np.maximum(u, v)
+                # strict a < b BY VALUE: duplicate ids in a group would
+                # otherwise emit a==b self-pairs (the SQL expression
+                # path's x.id < y.id excluded them)
+                ne = lo != hi
+                lo, hi, c = lo[ne], hi[ne], c[ne]
                 yield pd.DataFrame({"g": row.g, "a": lo, "b": hi, "cosine": c})
 
     return blocks.mapInPandas(

@@ -171,9 +171,15 @@ def stream_near_dup_dedup(
     a failure-replayed batch overwrites exactly its own partition; the
     membership probe reads only ``epoch < current`` (partition-pruned),
     so a replay sees the identical prior-history state and reproduces
-    the identical survivor set. At 100 TB the signature store is the
-    durable artifact: bucket it on (band, minhash) and the per-batch
-    probe shuffles only the batch side.
+    the identical survivor set. Scope: this covers Structured
+    Streaming's actual replay unit — the SAME checkpoint re-runs an
+    epoch with the SAME planned file set (offsets commit before
+    execution). Reprocessing from a FRESH checkpoint only lands on the
+    same epoch boundaries if the trigger batching matches; point a
+    from-scratch reprocess at empty out/sig dirs. At 100 TB the
+    signature store is the durable artifact: bucket it on
+    (band, minhash) and the per-batch probe shuffles only the batch
+    side.
 
     Intra-batch near-dups both survive by design (history membership
     is the contract; a micro-batch is one snapshot — batch-local pair
@@ -186,10 +192,19 @@ def stream_near_dup_dedup(
         sigs = _dedup.minhash_signatures(
             batch.select(id_col, text_col), id_col, text_col, bands
         ).persist()
+        dup_ids = None
         try:
             try:
                 hist = s.read.parquet(sig_dir).filter(F.col("epoch") < epoch_id)
-            except Exception:  # first batch: no store yet
+            except Exception as e:
+                # ONLY a missing store (first batch) may downgrade to
+                # no-history; any other read failure must raise — a
+                # swallowed transient error here would silently admit
+                # near-dups AND append their signatures (permanent
+                # contamination; the _table_rows_meta/ADVICE-r4 rule)
+                msg = str(e)
+                if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                    raise
                 hist = None
             if hist is not None:
                 dup_ids = (
@@ -217,8 +232,9 @@ def stream_near_dup_dedup(
                 .mode("overwrite")
                 .parquet(sig_dir)
             )
-            dup_ids.unpersist()
         finally:
+            if dup_ids is not None:
+                dup_ids.unpersist()
             sigs.unpersist()
 
     reader = spark.readStream

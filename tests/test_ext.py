@@ -1245,3 +1245,43 @@ def test_embedding_near_dup_gate(spark, tmp_path):
 
     small = QUERIES["embedding_near_dup"](spark, SF_DIR).collect()[0]
     assert small["n_pairs"] == n_base * (n_base - 1) // 2
+
+
+def test_cosine_pairs_within_degenerate_inputs(spark):
+    # duplicate ids in a group must not emit a==b self-pairs (strict
+    # a<b BY VALUE, like the expression path's x.id < y.id)
+    from frontpage_spark.ext import similarity
+
+    dup = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (1, 0, [1.0, 0.0]), (2, 0, [0.0, 1.0])],
+        ["vec_id", "cell", "embedding"],
+    )
+    got = [(r["a"], r["b"]) for r in similarity.cosine_pairs_within(dup, "cell").collect()]
+    assert all(a < b for a, b in got) and (1, 2) in got
+    # zero-norm vectors fail LOUDLY (numpy would silently emit NaN,
+    # which Spark orders above every threshold)
+    zero = spark.createDataFrame(
+        [(1, 0, [0.0, 0.0]), (2, 0, [1.0, 0.0])], ["vec_id", "cell", "embedding"]
+    )
+    with pytest.raises(Exception, match="zero-norm|PythonException"):
+        similarity.cosine_pairs_within(zero, "cell").collect()
+
+
+def test_pagerank_null_edges_dropped_both_paths(spark):
+    from frontpage_spark.ext.graph import pagerank_fixedpoint
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), (None, "b"), ("a", None)], ["src", "dst"]
+    )
+    local = {(r.node, r.r) for r in pagerank_fixedpoint(e, iterations=2).collect()}
+    dist = {
+        (r.node, r.r)
+        for r in pagerank_fixedpoint(e, iterations=2, small_edges=0).collect()
+    }
+    clean = {
+        (r.node, r.r)
+        for r in pagerank_fixedpoint(
+            e.dropna(), iterations=2, small_edges=0
+        ).collect()
+    }
+    assert local == dist == clean and len(local) == 2
