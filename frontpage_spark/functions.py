@@ -202,6 +202,38 @@ def compat_join_array(col: Column | str) -> Column:
     return F.coalesce(F.array_join(_c(col), ";"), F.lit(""))
 
 
+def canonical_url(url: Column | str) -> Column:
+    """Crawl-frontier URL canonicalization — the dedup key a crawler
+    uses BEFORE fetching (the reference crawls raw listing URLs,
+    scraper.py:43-83; at corpus scale the frontier must collapse
+    aliases first): drop the fragment, lowercase the host, strip an
+    explicit default port (:80/:443), drop tracking params (utm_*),
+    and SORT the surviving query params so param order never splits
+    one logical URL into many. Pure Column chain (split / filter /
+    array_sort / concat) — no UDF, expressible identically in DuckDB
+    list functions for the oracle."""
+    u = _c(url)
+    base = F.split(u, "#").getItem(0)
+    addr = F.split(base, r"\?").getItem(0)
+    query = F.when(base.contains("?"), F.split(base, r"\?").getItem(1))
+    # scheme://host[:port]/path → scheme + lower(host) − default port + path
+    scheme = F.split(addr, "://").getItem(0)
+    rest = F.split(addr, "://").getItem(1)
+    host = F.lower(F.split(rest, "/").getItem(0))
+    host = F.regexp_replace(host, ":(80|443)$", "")
+    path = F.regexp_replace(rest, "^[^/]*", "")
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    qs = F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
 # Registry used by tests to assert every §2.5 function exists.
 SCALAR_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "F1_ad_id": ad_id_from_url,

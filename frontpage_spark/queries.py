@@ -293,6 +293,105 @@ def url_parse_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- crawl-frontier URL canonicalization + dedup ---------------------------
+_CANON_URL_SQL = """
+      CASE WHEN event_id % 2 = 0
+        THEN 'https://Ads.Example.com:443/' || event_type || '/'
+             || CAST(event_id % 500 AS VARCHAR)
+             || '?a=' || CAST(user_id % 7 AS VARCHAR) || '&utm_source=feed&b=2#top'
+        ELSE 'https://ads.example.com/' || event_type || '/'
+             || CAST(event_id % 500 AS VARCHAR)
+             || '?b=2&utm_campaign=x&a=' || CAST(user_id % 7 AS VARCHAR)
+      END
+"""
+
+
+@register(
+    "url_canonical_dedup",
+    f"""
+    WITH u AS (
+      SELECT event_type, {_CANON_URL_SQL} AS url FROM events
+    ),
+    parts AS (
+      SELECT event_type, url,
+             string_split(string_split(url, '#')[1], '?')[1] AS addr,
+             CASE WHEN contains(string_split(url, '#')[1], '?')
+                  THEN string_split(string_split(url, '#')[1], '?')[2]
+                  ELSE '' END AS query
+      FROM u
+    ),
+    c AS (
+      SELECT event_type, url,
+             string_split(addr, '://')[1] || '://'
+             || regexp_replace(lower(string_split(string_split(addr, '://')[2], '/')[1]),
+                               ':(80|443)$', '')
+             || regexp_replace(string_split(addr, '://')[2], '^[^/]*', '')
+             || CASE WHEN len(list_filter(string_split(query, '&'),
+                                          p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
+                     THEN '?' || array_to_string(
+                            list_sort(list_filter(string_split(query, '&'),
+                                      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+                     ELSE '' END AS canon
+      FROM parts
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+           CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+           CAST(COUNT(DISTINCT url) - COUNT(DISTINCT canon) AS BIGINT)
+             AS n_aliases_collapsed
+    FROM c GROUP BY event_type
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization + dedup — the step a
+    corpus-scale crawler runs BEFORE fetching (the reference fetches
+    raw listing URLs, scraper.py:43-83; one logical page otherwise
+    enters the raw store once per tracking-param/fragment/port/case
+    alias). URLs are synthesized in-query from events (parity selects
+    one of two alias spellings of the same logical URL), canonicalized
+    by ``functions.canonical_url`` (drop fragment, lowercase host,
+    strip default port, drop utm_*, sort surviving params — a pure
+    Column chain, no UDF), and profiled per event_type: raw-distinct
+    vs canonical-distinct counts the aliases a naive frontier would
+    double-fetch. Scale shape: narrow per-row canonicalization, one
+    groupBy with distinct-count partials — the canonical key is what a
+    production frontier shuffles/buckets on."""
+    ev = _t(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(
+            F.lit("https://Ads.Example.com:443/"),
+            F.col("event_type"),
+            F.lit("/"),
+            (F.col("event_id") % 500).cast("string"),
+            F.lit("?a="),
+            (F.col("user_id") % 7).cast("string"),
+            F.lit("&utm_source=feed&b=2#top"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://ads.example.com/"),
+            F.col("event_type"),
+            F.lit("/"),
+            (F.col("event_id") % 500).cast("string"),
+            F.lit("?b=2&utm_campaign=x&a="),
+            (F.col("user_id") % 7).cast("string"),
+        ),
+    )
+    urls = ev.select(
+        "event_type", raw.alias("url"), FF.canonical_url(raw).alias("canon")
+    )
+    return urls.groupBy("event_type").agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct("url").alias("n_raw_distinct"),
+        F.count_distinct("canon").alias("n_canonical"),
+        (F.count_distinct("url") - F.count_distinct("canon")).alias(
+            "n_aliases_collapsed"
+        ),
+    )
+
+
 # ---- F12: composite unique key -------------------------------------------
 @register(
     "composite_uniq_id",

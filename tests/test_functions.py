@@ -148,3 +148,29 @@ def test_html_attr_quote_styles():
         "<div class='cat'><a href='/ad/3'>z</a></div></div>",
     ):
         assert _extract(f"<html>{section}</html>", "other_ads") == "/ad/1;/ad/2;/ad/3", section
+
+
+@pytest.mark.parametrize(
+    "raw, want",
+    [
+        # fragment dropped, host lowercased, default port stripped,
+        # utm_* dropped, params sorted
+        (
+            "https://Ads.Example.com:443/cat/7?b=2&utm_source=x&a=1#frag",
+            "https://ads.example.com/cat/7?a=1&b=2",
+        ),
+        # http default port; no surviving params -> no '?'
+        ("http://HOST.com:80/p?utm_campaign=x", "http://host.com/p"),
+        # no query, no fragment: unchanged modulo host case
+        ("https://A.b/path/x", "https://a.b/path/x"),
+        # non-default port kept; empty path
+        ("https://a.b:8080", "https://a.b:8080"),
+        # already canonical -> idempotent
+        ("https://a.b/p?a=1&b=2", "https://a.b/p?a=1&b=2"),
+    ],
+)
+def test_canonical_url(spark, raw, want):
+    got = one(spark, FF.canonical_url(F.lit(raw)))
+    assert got == want
+    # idempotence: canonicalizing the canonical form is a fixpoint
+    assert one(spark, FF.canonical_url(F.lit(got))) == got
