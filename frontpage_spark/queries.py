@@ -4758,6 +4758,95 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- token-distribution drift (chi-square) ---------------------------------
+@register(
+    "token_drift_chi2",
+    """
+    WITH toks AS (
+      SELECT (doc_id % 10 = 0) AS is_new,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_old
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_new) AS BIGINT) AS t_new,
+             CAST(SUM(n_old) AS BIGINT) AS t_old
+      FROM cnt
+    ),
+    scored AS (
+      SELECT tok, n_old, n_new,
+             round(
+               pow(CAST(n_old AS DOUBLE)
+                   - CAST(n_old + n_new AS DOUBLE) * CAST(t_old AS DOUBLE)
+                     / CAST(t_old + t_new AS DOUBLE), 2)
+               / (CAST(n_old + n_new AS DOUBLE) * CAST(t_old AS DOUBLE)
+                  / CAST(t_old + t_new AS DOUBLE))
+               + pow(CAST(n_new AS DOUBLE)
+                     - CAST(n_old + n_new AS DOUBLE) * CAST(t_new AS DOUBLE)
+                       / CAST(t_old + t_new AS DOUBLE), 2)
+               / (CAST(n_old + n_new AS DOUBLE) * CAST(t_new AS DOUBLE)
+                  / CAST(t_old + t_new AS DOUBLE)),
+             6) AS chi2
+      FROM cnt, tot
+      WHERE n_old + n_new >= 50
+    )
+    SELECT tok, n_old, n_new, chi2
+    FROM scored ORDER BY chi2 DESC, tok LIMIT 20
+    """,
+)
+def token_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DRIFT monitor: chi-square homogeneity score per token
+    between an old snapshot (doc_id%10!=0) and a new batch (%10==0 —
+    the same split convention as incremental_corpus_dedup), surfacing
+    the 20 most-drifted tokens. The production guardrail that catches
+    a scraper regression, a source mix shift, or template boilerplate
+    flooding a new crawl BEFORE it trains. Scale shape: one explode +
+    one (token) groupBy with map-side partials, a 2-scalar broadcast
+    of the totals, then TakeOrdered top-k — no sort of the vocabulary.
+    Both engines evaluate the identical double expression tree and
+    round to 6 before ranking; min support 50 keeps the statistic
+    stable (and the tail deterministic)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 10 == 0).alias("is_new"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).alias("n_old"),
+    )
+    tot = cnt.agg(
+        F.sum("n_new").alias("t_new"), F.sum("n_old").alias("t_old")
+    )
+    e_old = (
+        (F.col("n_old") + F.col("n_new")).cast("double")
+        * F.col("t_old").cast("double")
+        / (F.col("t_old") + F.col("t_new")).cast("double")
+    )
+    e_new = (
+        (F.col("n_old") + F.col("n_new")).cast("double")
+        * F.col("t_new").cast("double")
+        / (F.col("t_old") + F.col("t_new")).cast("double")
+    )
+    chi2 = F.round(
+        F.pow(F.col("n_old").cast("double") - e_old, 2) / e_old
+        + F.pow(F.col("n_new").cast("double") - e_new, 2) / e_new,
+        6,
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_old") + F.col("n_new") >= 50)
+        .select("tok", "n_old", "n_new", chi2.alias("chi2"))
+        .orderBy(F.desc("chi2"), "tok")
+        .limit(20)
+    )
+
+
 # ---- bigram-LM cross-entropy (perplexity-proxy filter) --------------------
 @register(
     "bigram_xentropy_by_source",
