@@ -392,6 +392,61 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- crawl-frontier politeness scheduling ----------------------------------
+@register(
+    "frontier_politeness_schedule",
+    f"""
+    WITH u AS (
+      SELECT lower(replace(n_name, ' ', '')) AS host,
+             lower(c_mktsegment) AS category,
+             c_custkey AS k
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    slotted AS (
+      SELECT host, category,
+             CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY k) - 1) // 2 AS BIGINT)
+               AS slot
+      FROM u
+    )
+    SELECT host, category,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(MIN(slot) AS BIGINT) AS first_slot,
+           CAST(MAX(slot) AS BIGINT) AS last_slot
+    FROM slotted GROUP BY host, category
+    """,
+)
+def frontier_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier POLITENESS scheduling audit: the reference
+    throttles fetches per run with a sleep (scraper.py:78-79,124); at
+    corpus scale the frontier instead assigns each URL of a host to a
+    fetch SLOT (rate cap: 2 fetches/slot here) and fairness questions
+    become queries — when does each category of a host first get
+    fetched (first_slot) and when does it drain (last_slot)? One
+    window per host (ROW_NUMBER over a unique key — deterministic in
+    both engines) + one grouped aggregate. Scale shape: the window
+    partitions by host, so the shuffle key is the politeness domain
+    itself — exactly how a distributed frontier shards; no global
+    sort, no driver state."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    u = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        F.lower(F.regexp_replace("n_name", " ", "")).alias("host"),
+        F.lower(F.col("c_mktsegment")).alias("category"),
+        F.col("c_custkey").alias("k"),
+    )
+    w = Window.partitionBy("host").orderBy("k")
+    slotted = u.select(
+        "host",
+        "category",
+        ((F.row_number().over(w) - 1) / 2).cast("long").alias("slot"),
+    )
+    return slotted.groupBy("host", "category").agg(
+        F.count("*").alias("n_urls"),
+        F.min("slot").alias("first_slot"),
+        F.max("slot").alias("last_slot"),
+    )
+
+
 # ---- F12: composite unique key -------------------------------------------
 @register(
     "composite_uniq_id",
