@@ -148,6 +148,9 @@ def lsh_candidate_pairs(
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
+        # strict BY VALUE: a duplicated id in a bucket would otherwise
+        # emit an a==b self-pair (the self-join form's a < b excluded it)
+        .filter(F.col("p.a") < F.col("p.b"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )

@@ -628,6 +628,10 @@ def lsh_band_candidates(
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") >= 2)
         .select(F.explode(pairs).alias("p"))
+        # strict BY VALUE, not just by position: a duplicated id in a
+        # bucket would otherwise emit an a==b self-pair (the self-join
+        # formulation's a < b excluded it)
+        .filter(F.col("p.a") < F.col("p.b"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )

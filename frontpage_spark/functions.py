@@ -206,31 +206,38 @@ def canonical_url(url: Column | str) -> Column:
     """Crawl-frontier URL canonicalization — the dedup key a crawler
     uses BEFORE fetching (the reference crawls raw listing URLs,
     scraper.py:43-83; at corpus scale the frontier must collapse
-    aliases first): drop the fragment, lowercase the host, strip an
-    explicit default port (:80/:443), drop tracking params (utm_*),
-    and SORT the surviving query params so param order never splits
-    one logical URL into many. Pure Column chain (split / filter /
-    array_sort / concat) — no UDF, expressible identically in DuckDB
-    list functions for the oracle."""
+    aliases first): drop the fragment, lowercase scheme AND host,
+    strip the scheme's OWN default port (http:80 / https:443 — never
+    cross-scheme, http on :443 is a different resource), trim trailing
+    path slashes, drop tracking params (utm_*), and SORT the surviving
+    query params so param order never splits one logical URL into
+    many. This is the shared implementation behind the
+    ``url_canonicalize_dedup`` query (its DuckDB oracle retraces the
+    identical steps); pure Column chain, no UDF."""
     u = _c(url)
-    base = F.split(u, "#").getItem(0)
-    addr = F.split(base, r"\?").getItem(0)
-    query = F.when(base.contains("?"), F.split(base, r"\?").getItem(1))
-    # scheme://host[:port]/path → scheme + lower(host) − default port + path
-    scheme = F.split(addr, "://").getItem(0)
-    rest = F.split(addr, "://").getItem(1)
-    host = F.lower(F.split(rest, "/").getItem(0))
-    host = F.regexp_replace(host, ":(80|443)$", "")
-    path = F.regexp_replace(rest, "^[^/]*", "")
-    params = F.array_sort(
-        F.filter(
-            F.split(F.coalesce(query, F.lit("")), "&"),
-            lambda p: (p != "") & ~p.startswith("utm_"),
-        )
+    nf = F.split_part(u, F.lit("#"), F.lit(1))
+    scheme = F.lower(F.split_part(nf, F.lit("://"), F.lit(1)))
+    rest = F.split_part(nf, F.lit("://"), F.lit(2))
+    hostport = F.lower(F.split_part(rest, F.lit("/"), F.lit(1)))
+    pathq = F.when(
+        rest.contains("/"), rest.substr(F.length(hostport) + F.lit(1), F.length(rest))
+    ).otherwise(F.lit(""))
+    strip_port = F.split_part(hostport, F.lit(":"), F.lit(1))
+    host = (
+        F.when((scheme == "http") & hostport.endswith(":80"), strip_port)
+        .when((scheme == "https") & hostport.endswith(":443"), strip_port)
+        .otherwise(hostport)
     )
-    qs = F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
+    path = F.regexp_replace(F.split_part(pathq, F.lit("?"), F.lit(1)), "/+$", "")
+    query = F.when(pathq.contains("?"), F.split_part(pathq, F.lit("?"), F.lit(2))).otherwise(
         F.lit("")
     )
+    params = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: (p != "") & ~p.startswith("utm_"))
+    )
+    qs = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
     return F.concat(scheme, F.lit("://"), host, path, qs)
 
 

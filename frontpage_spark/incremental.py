@@ -203,7 +203,16 @@ def stream_near_dup_dedup(
                 # near-dups AND append their signatures (permanent
                 # contamination; the _table_rows_meta/ADVICE-r4 rule)
                 msg = str(e)
-                if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                no_store = (
+                    "PATH_NOT_FOUND" in msg
+                    or "Path does not exist" in msg
+                    # deployment tooling may mkdir the store dir before
+                    # the first batch: an EMPTY dir fails schema
+                    # inference, which is still "no history yet"
+                    or "UNABLE_TO_INFER_SCHEMA" in msg
+                    or "Unable to infer schema" in msg
+                )
+                if not no_store:
                     raise
                 hist = None
             if hist is not None:

@@ -38,7 +38,7 @@ DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 # from config/data are validated against the safe shape: dot-qualified
 # word characters only. Anything else (quotes, spaces, semicolons) is
 # an injection attempt or a bug either way (ADVICE r4).
-_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)*$")
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)*\Z")
 
 
 def _check_ident(name: str, what: str = "identifier") -> str:

@@ -58,13 +58,22 @@ _QPLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _QPLAN_MAX = 512
 
 
+def _last_job_id(tracker) -> int:
+    # MAX job id, not len(): ids are monotonic while the status store
+    # EVICTS old entries past spark.ui.retainedJobs (default 1000), so
+    # a long session would saturate a count-based probe and silently
+    # misclassify a driver-loop build as pure
+    ids = tracker.getJobIdsForGroup(None)
+    return max(ids) if ids else -1
+
+
 def _build_cacheable(spark: SparkSession, fn, name: str, sf_dir: str):
     tracker = spark.sparkContext.statusTracker()
-    jobs_before = len(tracker.getJobIdsForGroup(None))
+    jobs_before = _last_job_id(tracker)
     kept_before = [id(k) for k in plans._KEPT]
     df = fn(spark, sf_dir)
     pure = (
-        len(tracker.getJobIdsForGroup(None)) == jobs_before
+        _last_job_id(tracker) == jobs_before
         and [id(k) for k in plans._KEPT] == kept_before
     )
     return df, pure
@@ -81,9 +90,14 @@ def register(name: str, oracle: str | None = None):
             except Exception:
                 key = None
             if key is not None:
+                # tune BEFORE build and hit alike: fixture-based queries
+                # never touch _t()/tune themselves, so without this a
+                # first call would run under whatever profile the
+                # previous query left while cached calls get the tuned
+                # one — same query, two conf profiles
+                tune(spark, sf_dir)
                 hit = _QPLAN_CACHE.get(key)
                 if hit is not None:
-                    tune(spark, sf_dir)  # conf is session-level; re-assert
                     return hit
                 df, pure = _build_cacheable(spark, fn, name, sf_dir)
                 if pure:
@@ -290,105 +304,6 @@ def url_parse_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ads"),
         F.min("ad_id").alias("min_ad_id"),
         F.max("ad_id").alias("max_ad_id"),
-    )
-
-
-# ---- crawl-frontier URL canonicalization + dedup ---------------------------
-_CANON_URL_SQL = """
-      CASE WHEN event_id % 2 = 0
-        THEN 'https://Ads.Example.com:443/' || event_type || '/'
-             || CAST(event_id % 500 AS VARCHAR)
-             || '?a=' || CAST(user_id % 7 AS VARCHAR) || '&utm_source=feed&b=2#top'
-        ELSE 'https://ads.example.com/' || event_type || '/'
-             || CAST(event_id % 500 AS VARCHAR)
-             || '?b=2&utm_campaign=x&a=' || CAST(user_id % 7 AS VARCHAR)
-      END
-"""
-
-
-@register(
-    "url_canonical_dedup",
-    f"""
-    WITH u AS (
-      SELECT event_type, {_CANON_URL_SQL} AS url FROM events
-    ),
-    parts AS (
-      SELECT event_type, url,
-             string_split(string_split(url, '#')[1], '?')[1] AS addr,
-             CASE WHEN contains(string_split(url, '#')[1], '?')
-                  THEN string_split(string_split(url, '#')[1], '?')[2]
-                  ELSE '' END AS query
-      FROM u
-    ),
-    c AS (
-      SELECT event_type, url,
-             string_split(addr, '://')[1] || '://'
-             || regexp_replace(lower(string_split(string_split(addr, '://')[2], '/')[1]),
-                               ':(80|443)$', '')
-             || regexp_replace(string_split(addr, '://')[2], '^[^/]*', '')
-             || CASE WHEN len(list_filter(string_split(query, '&'),
-                                          p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
-                     THEN '?' || array_to_string(
-                            list_sort(list_filter(string_split(query, '&'),
-                                      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
-                     ELSE '' END AS canon
-      FROM parts
-    )
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_urls,
-           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_distinct,
-           CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
-           CAST(COUNT(DISTINCT url) - COUNT(DISTINCT canon) AS BIGINT)
-             AS n_aliases_collapsed
-    FROM c GROUP BY event_type
-    """,
-)
-def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-frontier URL canonicalization + dedup — the step a
-    corpus-scale crawler runs BEFORE fetching (the reference fetches
-    raw listing URLs, scraper.py:43-83; one logical page otherwise
-    enters the raw store once per tracking-param/fragment/port/case
-    alias). URLs are synthesized in-query from events (parity selects
-    one of two alias spellings of the same logical URL), canonicalized
-    by ``functions.canonical_url`` (drop fragment, lowercase host,
-    strip default port, drop utm_*, sort surviving params — a pure
-    Column chain, no UDF), and profiled per event_type: raw-distinct
-    vs canonical-distinct counts the aliases a naive frontier would
-    double-fetch. Scale shape: narrow per-row canonicalization, one
-    groupBy with distinct-count partials — the canonical key is what a
-    production frontier shuffles/buckets on."""
-    ev = _t(spark, sf_dir, "events")
-    raw = F.when(
-        F.col("event_id") % 2 == 0,
-        F.concat(
-            F.lit("https://Ads.Example.com:443/"),
-            F.col("event_type"),
-            F.lit("/"),
-            (F.col("event_id") % 500).cast("string"),
-            F.lit("?a="),
-            (F.col("user_id") % 7).cast("string"),
-            F.lit("&utm_source=feed&b=2#top"),
-        ),
-    ).otherwise(
-        F.concat(
-            F.lit("https://ads.example.com/"),
-            F.col("event_type"),
-            F.lit("/"),
-            (F.col("event_id") % 500).cast("string"),
-            F.lit("?b=2&utm_campaign=x&a="),
-            (F.col("user_id") % 7).cast("string"),
-        ),
-    )
-    urls = ev.select(
-        "event_type", raw.alias("url"), FF.canonical_url(raw).alias("canon")
-    )
-    return urls.groupBy("event_type").agg(
-        F.count("*").alias("n_urls"),
-        F.count_distinct("url").alias("n_raw_distinct"),
-        F.count_distinct("canon").alias("n_canonical"),
-        (F.count_distinct("url") - F.count_distinct("canon")).alias(
-            "n_aliases_collapsed"
-        ),
     )
 
 
@@ -1209,7 +1124,11 @@ def _table_rows_meta(sf_dir: str, name: str) -> int:
                 else [path]
             )
             _rows_meta_cache[key] = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        except (ImportError, FileNotFoundError, OSError) as e:
+        except (ImportError, FileNotFoundError, OSError, ValueError) as e:
+            # ValueError covers pyarrow.lib.ArrowInvalid (truncated /
+            # corrupt footer — "Parquet magic bytes not found"), which
+            # subclasses it; the docstring's "unreadable footer →
+            # over-gate" contract was otherwise a crash
             import warnings
 
             warnings.warn(
@@ -6393,37 +6312,7 @@ def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.array(F.expr(_URL_V1_SQL), F.expr(_URL_V2_SQL))).alias("url"),
     )
-    nf = F.expr("split_part(url, '#', 1)")
-    u = u.withColumn("scheme", F.lower(F.expr("split_part(split_part(url, '#', 1), '://', 1)")))
-    u = u.withColumn("rest", F.expr("split_part(split_part(url, '#', 1), '://', 2)"))
-    u = u.withColumn("hostport", F.lower(F.expr("split_part(rest, '/', 1)")))
-    u = u.withColumn(
-        "pathq",
-        F.expr("CASE WHEN contains(rest, '/') THEN substr(rest, length(split_part(rest, '/', 1)) + 1) ELSE '' END"),
-    )
-    u = u.withColumn(
-        "host",
-        F.expr(
-            "CASE WHEN scheme = 'http' AND endswith(hostport, ':80') THEN split_part(hostport, ':', 1) "
-            "WHEN scheme = 'https' AND endswith(hostport, ':443') THEN split_part(hostport, ':', 1) "
-            "ELSE hostport END"
-        ),
-    )
-    u = u.withColumn("path", F.expr("rtrim('/', split_part(pathq, '?', 1))"))
-    u = u.withColumn(
-        "qp",
-        F.expr(
-            "array_join(array_sort(filter(split(CASE WHEN contains(pathq, '?') "
-            "THEN split_part(pathq, '?', 2) ELSE '' END, '&'), "
-            "p -> p <> '' AND NOT startswith(p, 'utm_'))), '&')"
-        ),
-    )
-    canon = u.withColumn(
-        "canonical",
-        F.expr(
-            "concat(scheme, '://', host, path, CASE WHEN qp <> '' THEN concat('?', qp) ELSE '' END)"
-        ),
-    )
+    canon = u.withColumn("canonical", FF.canonical_url(F.col("url")))
     return canon.groupBy("source").agg(
         F.count("*").alias("n_urls"),
         F.count_distinct("url").alias("n_distinct_raw"),

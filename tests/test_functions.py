@@ -167,6 +167,14 @@ def test_html_attr_quote_styles():
         ("https://a.b:8080", "https://a.b:8080"),
         # already canonical -> idempotent
         ("https://a.b/p?a=1&b=2", "https://a.b/p?a=1&b=2"),
+        # scheme is case-insensitive (RFC 3986) -> lowered
+        ("HTTP://h/x", "http://h/x"),
+        # default-port strip is SCHEME-AWARE: http on :443 is a
+        # different resource, keep it
+        ("http://h:443/x", "http://h:443/x"),
+        ("https://h:80/x", "https://h:80/x"),
+        # trailing path slashes trimmed
+        ("https://h/p///", "https://h/p"),
     ],
 )
 def test_canonical_url(spark, raw, want):

@@ -76,7 +76,7 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
-UNHASHABLE_TYPES = ("array", "map", "binary")
+UNHASHABLE_TYPES = ("array", "map", "binary", "struct")
 
 
 def unhashable_cols(df) -> list[str]:

@@ -108,11 +108,12 @@ SELECTED = {
         "contributions (dst) — the same two exchanges a Pregel superstep pays, node-sized "
         "rank/degree tables broadcast. Integer mass units make both paths bit-identical."
     ),
-    "url_canonical_dedup": (
-        "Crawl-frontier URL canonicalization: a narrow per-row Column chain (split/"
-        "filter/array_sort — no UDF, one codegen span) derives the canonical key; the "
-        "only exchange is the per-event_type distinct-count aggregation. The canonical "
-        "key is what a production frontier shuffles/buckets on."
+    "url_canonicalize_dedup": (
+        "Crawl-frontier URL canonicalization (functions.canonical_url): a narrow "
+        "per-row Column chain (split_part/filter/array_sort — no UDF, one codegen "
+        "span) derives the canonical key; the only exchange is the per-source "
+        "distinct-count aggregation. The canonical key is what a production frontier "
+        "shuffles/buckets on."
     ),
     "bloom_prune_join": (
         "Bloom semi-join reduction: the selective order keys fold into per-task uint64 "

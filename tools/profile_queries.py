@@ -54,15 +54,18 @@ def main() -> None:
         spark.catalog.clearCache()
         best = None
         for _ in range(3):
-            j0 = len(tracker.getJobIdsForGroup(None))
+            # attribute by job-ID VALUE, not list position: the status
+            # store neither guarantees ordering nor unbounded retention
+            ids0 = tracker.getJobIdsForGroup(None)
+            j0 = max(ids0) if ids0 else -1
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             t1 = time.time()
             df.write.format("noop").mode("overwrite").save()
             t2 = time.time()
-            jobs = [j for j in tracker.getJobIdsForGroup(None)][j0:]
+            jobs = [j for j in tracker.getJobIdsForGroup(None) if j > j0]
             n_stages = 0
-            for j in tracker.getJobIdsForGroup(None)[j0:]:
+            for j in jobs:
                 info = tracker.getJobInfo(j)
                 if info is not None:
                     n_stages += len(info.stageIds)
