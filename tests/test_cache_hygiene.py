@@ -117,7 +117,12 @@ def test_twenty_sequential_queries_bounded_cache(spark):
         again = _gc_drain(spark, start)
         jm = spark.sparkContext._jsc.getPersistentRDDs()
         survivors = [str(jm.get(rid))[:120] for rid in list(jm.keySet().toArray())]
-        assert again <= final and again <= start + 4, (
+        # The bound is ABSOLUTE, not monotonic-vs-`final`: how many of
+        # the tail checkpoints' py4j handles have detached by now is
+        # GC-timing noise of +-1-2 either direction (a full-suite run
+        # observed 2 -> 3 — still the plateau). A real leak accumulates
+        # per checkpointing query per run and blows far past start + 4.
+        assert again <= start + 4, (
             f"cached RDDs GROW across repeated runs ({final} -> {again}, "
             f"start {start}): a real leak. survivors={survivors}"
         )
