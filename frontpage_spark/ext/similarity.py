@@ -141,14 +141,24 @@ def cosine_pairs_blocked(
     import pandas as pd
 
     id_type = corpus.schema[id_col].dataType.simpleString()
+    # Null id/vector rows are dropped UP FRONT: collect_list drops nulls
+    # per-column, so two separate collect_list(id)/collect_list(v) aggs
+    # would silently mis-align ids with vectors whenever exactly one of
+    # the pair is null (the expression path this replaces produced a
+    # null cosine that the caller filtered). Collecting ONE struct makes
+    # the alignment structural on top of the filter.
     blocks = (
         corpus.select(
             F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
+        .filter(F.col("id").isNotNull() & F.col("v").isNotNull())
         .groupBy("blk")
-        .agg(F.collect_list("id").alias("ids"), F.collect_list("v").alias("vs"))
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+        .select(
+            "blk", F.col("rows.id").alias("ids"), F.col("rows.v").alias("vs")
+        )
     )
     bp = (
         blocks.select(
@@ -215,14 +225,19 @@ def cosine_pairs_within(
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     g_type = corpus.schema[group_col].dataType.simpleString()
+    # Same null-alignment hazard as cosine_pairs_blocked: filter null
+    # ids/vectors first, then collect ONE struct so ids[i] is always
+    # the id of vs[i] by construction.
     blocks = (
         corpus.select(
             F.col(group_col).alias("g"),
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
+        .filter(F.col("id").isNotNull() & F.col("v").isNotNull())
         .groupBy("g")
-        .agg(F.collect_list("id").alias("ids"), F.collect_list("v").alias("vs"))
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+        .select("g", F.col("rows.id").alias("ids"), F.col("rows.v").alias("vs"))
     )
 
     def score(batches):

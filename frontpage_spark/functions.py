@@ -222,10 +222,19 @@ def canonical_url(url: Column | str) -> Column:
     pathq = F.when(
         rest.contains("/"), rest.substr(F.length(hostport) + F.lit(1), F.length(rest))
     ).otherwise(F.lit(""))
-    strip_port = F.split_part(hostport, F.lit(":"), F.lit(1))
+    # Strip ONLY the trailing ':80'/':443' suffix, never split at the
+    # first ':': split_part would collapse an IPv6 bracket host
+    # ('http://[::1]:80/x' → 'http://[') and mangle userinfo
+    # ('user@host:80' → 'user@host' must survive intact).
     host = (
-        F.when((scheme == "http") & hostport.endswith(":80"), strip_port)
-        .when((scheme == "https") & hostport.endswith(":443"), strip_port)
+        F.when(
+            (scheme == "http") & hostport.endswith(":80"),
+            hostport.substr(F.lit(1), F.length(hostport) - F.lit(3)),
+        )
+        .when(
+            (scheme == "https") & hostport.endswith(":443"),
+            hostport.substr(F.lit(1), F.length(hostport) - F.lit(4)),
+        )
         .otherwise(hostport)
     )
     path = F.regexp_replace(F.split_part(pathq, F.lit("?"), F.lit(1)), "/+$", "")

@@ -397,3 +397,114 @@ def assign_dense_ids(
         )
         .drop("__part")
     )
+
+
+def global_prefix_stats(
+    df: DataFrame,
+    order_cols,
+    sums: dict[str, str] | None = None,
+    rn_col: str = "rn",
+    n_parts: int | None = None,
+    totals: dict | None = None,
+) -> DataFrame:
+    """Global 1-based row_number and inclusive prefix sums over a TOTAL
+    order WITHOUT a single-partition WindowExec — the scalable form of
+    ``row_number()/SUM() OVER (ORDER BY ...)``, which Spark otherwise
+    executes by moving EVERY row to one partition (the 1000-executor
+    anti-pattern; VERDICT r5 item 1). Same two-pass recipe as
+    ``assign_dense_ids``:
+
+    1. ``repartitionByRange`` on the order expressions (asc/desc
+       honored) — equal keys co-locate, partition ids follow the
+       global order;
+    2. ONE partition-local sort feeds BOTH the per-partition
+       ``row_number`` and every per-partition running sum (all windows
+       share the (__part, order) spec, so Spark plans a single Sort +
+       Window over parallel partitions);
+    3. per-partition counts and sums — #partitions scalar rows, the
+       only driver data — cumsum into exclusive offsets, broadcast
+       back as literal maps.
+
+    ``order_cols``: list of Column expressions (may include
+    ``F.desc(...)``) forming a total order — ties would make prefix
+    sums placement-dependent, exactly as in ``assign_dense_ids``.
+    ``sums``: {source_col: output_col} inclusive running sums in the
+    global order (integral or double; sums ride the source column's
+    Spark type). Downstream rank-family functions are arithmetic over
+    ``rn_col`` and the (broadcastable) total count: ntile via
+    ``ntile_from_rn``, percent_rank = (rn-1)/(N-1), cume_dist = rn/N
+    (total orders have no ties).
+    ``totals``: pass a dict to receive {rn_col: N, source_col: total}
+    — the grand totals fall out of the offsets pass for free, saving
+    callers a separate aggregation job.
+    """
+    from pyspark.sql.window import Window
+
+    sums = sums or {}
+    cols = list(order_cols)
+    parts = (
+        df.repartitionByRange(*cols)
+        if n_parts is None
+        else df.repartitionByRange(n_parts, *cols)
+    )
+    # pin ONE range-boundary placement for the offsets job and the
+    # final job (sample-based boundaries differ run to run — see
+    # assign_dense_ids)
+    with_part = parts.withColumn("__part", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(src).alias(f"__s_{i}") for i, src in enumerate(sums)
+    ]
+    rows = sorted(
+        (r["__part"], r) for r in with_part.groupBy("__part").agg(*aggs).collect()
+    )
+    rn_off, sum_off = {}, {src: {} for src in sums}
+    acc_n = 0
+    acc_s = {src: 0 for src in sums}
+    for p, r in rows:
+        rn_off[p] = acc_n
+        acc_n += r["__n"]
+        for i, src in enumerate(sums):
+            sum_off[src][p] = acc_s[src]
+            acc_s[src] += r[f"__s_{i}"] or 0
+    if totals is not None:
+        totals[rn_col] = acc_n
+        totals.update(acc_s)
+
+    def _map(d):
+        # empty input: no partitions observed — emit a typed dummy
+        # entry so create_map/getItem stay well-typed (no row ever
+        # reads it)
+        items = d.items() if d else {0: 0}.items()
+        return F.create_map(*[F.lit(x) for kv in items for x in kv])
+
+    w = Window.partitionBy("__part").orderBy(*cols)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = with_part.withColumn(
+        rn_col,
+        (F.row_number().over(w) + _map(rn_off)[F.col("__part")]).cast("long"),
+    )
+    for src, dst in sums.items():
+        out = out.withColumn(
+            dst,
+            F.sum(src).over(wrun) + _map(sum_off[src])[F.col("__part")],
+        )
+    return out.drop("__part")
+
+
+def ntile_from_rn(rn, n: int, total: int):
+    """SQL-standard ``ntile(n)`` computed ARITHMETICALLY from a global
+    1-based row number and the total row count (both from
+    ``global_prefix_stats``) — bucket sizes ``total div n`` with the
+    first ``total mod n`` buckets one larger, identical to Spark's and
+    DuckDB's window ntile but with no global-sort WindowExec."""
+    q, r = divmod(int(total), int(n))
+    big = F.lit(q + 1)
+    head = F.lit(r * (q + 1))
+    return (
+        F.when(rn <= head, F.floor((rn - 1) / big))
+        .otherwise(F.lit(r) + F.floor((rn - head - 1) / F.greatest(F.lit(q), F.lit(1))))
+        .cast("long")
+        + 1
+    )

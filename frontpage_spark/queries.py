@@ -750,6 +750,47 @@ def incremental_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- streaming batch cores under DuckDB oracles (VERDICT r5 item 6) ------
+@register(
+    "stateful_type_counts_batch",
+    """
+    WITH per_day AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events WHERE user_id % 29 = 0 GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(SUM(c) OVER (PARTITION BY user_id, event_type ORDER BY d) AS BIGINT)
+             AS n_running
+    FROM per_day
+    """,
+)
+def stateful_type_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fold of ``incremental.stateful_event_type_counts`` (MapState
+    transformWithState) in batch form (VERDICT r5 item 6): micro-batches
+    are modeled as calendar days, and the output reproduces the
+    operator's UPDATE-mode emission stream — one row per (key,
+    event_type) per day with input, carrying the all-time running count
+    after that day. A keyed window (partitioned by user_id, event_type —
+    never global) computes the same recurrence the state store folds.
+    Keys are subsampled (user_id % 29) to keep the emission table
+    driver-hashable; the streaming pytest covers the full keyspace."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    per_day = ev.groupBy(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "user_id",
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.sum("c").over(w).cast("long").alias("n_running"),
+    )
+
+
 # ---- P1: clean projection over synthesized URLs --------------------------
 @register(
     "clean_projection_urls",
@@ -826,6 +867,53 @@ _MINHASH_SIGS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, list_min(list_transform(hs, h -> substr(h, {1 + 8 * b}, 8))) AS minhash FROM hashed"
     for b in range(dedup.DEFAULT_BANDS)
 )
+
+
+# ---- streaming batch cores under DuckDB oracles (VERDICT r5 item 6) ------
+@register(
+    "stream_near_dup_batch_core",
+    f"""
+    WITH docs AS (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {{SHINGLES}} AS shingles FROM docs),
+    hashed AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+    sigs_all AS ({{SIGS}}),
+    batch AS (SELECT * FROM sigs_all WHERE doc_id % 2 = 1),
+    hist AS (SELECT * FROM sigs_all WHERE doc_id % 2 = 0),
+    dups AS (
+      SELECT DISTINCT s.doc_id FROM batch s JOIN batch c USING (band, minhash)
+      WHERE c.doc_id < s.doc_id
+      UNION
+      SELECT DISTINCT s.doc_id FROM batch s JOIN hist h USING (band, minhash)
+      WHERE h.doc_id < s.doc_id
+    )
+    SELECT d.doc_id, d.source FROM docs d
+    WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM dups)
+    """.replace("{SHINGLES}", SHINGLES_SQL).replace("{SIGS}", _MINHASH_SIGS_SQL),
+)
+def stream_near_dup_batch_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic per-batch survivor computation of
+    ``incremental.stream_near_dup_dedup``, in batch form so the
+    streaming family gets DuckDB hash signal (VERDICT r5 item 6; the
+    same move ``incremental_delta_scan`` makes for S8): odd doc_ids
+    play the micro-batch, even doc_ids the signature history, and the
+    output is exactly the rows the streaming sink would append —
+    batch docs with NO smaller-id claimant in any shared
+    (band, minhash) bucket, intra-batch or historical (min-claimant
+    rule). Runs the IDENTICAL code path the foreachBatch loop runs
+    (``near_dup_batch_dups``). Plan: narrow signature derivation, two
+    (band, minhash)-keyed joins (per-bucket min + inequality
+    left-semi), one anti join — no pair generation anywhere."""
+    from .ext.dedup import minhash_signatures
+    from .incremental import near_dup_batch_dups
+
+    docs = plans.fan_out(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    hist_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    sigs = minhash_signatures(batch_docs.select("doc_id", "text"))
+    hist = minhash_signatures(hist_docs.select("doc_id", "text"))
+    dups = near_dup_batch_dups(sigs, hist, "doc_id")
+    return batch_docs.join(dups, "doc_id", "left_anti").select("doc_id", "source")
+
 
 @register(
     "minhash_lsh_candidates",
@@ -2276,16 +2364,36 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users")  # rows-only: HLL estimate is engine-specific
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (approx_count_distinct): the
     constant-memory cardinality path — at 100 TB an exact
     count_distinct shuffles every key, the sketch shuffles ~kilobytes
-    per partition. Estimate differs per engine -> rows-only here; the
-    pytest asserts <5% relative error against the exact count."""
+    per partition. The raw estimate is engine-specific, so the oracle
+    contract is a deterministic BOUND CHECK (VERDICT r5 item 3): Spark
+    computes the sketch AND the exact count in one aggregation and
+    emits ``within_5pct`` — abs(approx − exact) ≤ 5% · exact — which
+    the DuckDB oracle asserts as literal TRUE alongside the exact
+    counts. A sketch drifting past its rsd bound now fails the
+    differential gate, not just a pytest."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02).cast("double")
+                - F.count_distinct("user_id")
+            )
+            <= 0.05 * F.count_distinct("user_id")
+        ).alias("within_5pct"),
     )
 
 
@@ -4075,28 +4183,50 @@ def merge_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- approximate percentiles (quantile sketch) -----------------------------
-@register("approx_percentiles_price")
+@register(
+    "approx_percentiles_price",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p50_exact,
+           round(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p95_exact,
+           TRUE AS p50_within_1pct,
+           TRUE AS p95_within_1pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch per order status: ``approx_percentile`` merges
     bounded-size sketches instead of shuffling every value to a sorted
     partition — the scale path when exact percentiles
     (``percentiles_by_status``) would need a full sort of a 100 TB
-    column. Rows-only (sketch results are accuracy-bounded, not exact);
-    the <1% relative-error bound vs the exact operator is asserted in
-    test_ext. Both quantiles come out of ONE sketch (a single
-    approx_percentile over the [0.5, 0.95] array), then split into two
-    scalar columns so the output schema is flat and driver-hashable."""
-    o = _t(spark, sf_dir, "orders")
+    column. The sketch values are engine-specific, so the oracle
+    contract is a deterministic BOUND CHECK (VERDICT r5 item 3): ONE
+    aggregation computes the sketch (both quantiles from a single
+    approx_percentile over the [0.5, 0.95] array) AND the exact
+    interpolated percentiles, emitting the exact values plus
+    ``p50/p95_within_1pct`` — abs(sketch − exact) ≤ 1% · exact — which
+    the DuckDB oracle asserts as literal TRUE next to its own exact
+    percentile_cont."""
+    o = plans.fan_out(_t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice"))
     agg = o.groupBy("o_orderstatus").agg(
         F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)
         .alias("pp"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("x50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("x95"),
         F.count("*").alias("n"),
     )
     return agg.select(
         "o_orderstatus",
-        F.element_at("pp", 1).alias("p50"),
-        F.element_at("pp", 2).alias("p95"),
         "n",
+        F.round("x50", 6).alias("p50_exact"),
+        F.round("x95", 6).alias("p95_exact"),
+        (F.abs(F.element_at("pp", 1) - F.col("x50")) <= 0.01 * F.abs("x50")).alias(
+            "p50_within_1pct"
+        ),
+        (F.abs(F.element_at("pp", 2) - F.col("x95")) <= 0.01 * F.abs("x95")).alias(
+            "p95_within_1pct"
+        ),
     )
 
 
@@ -4252,14 +4382,15 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions via sweep line: sessionize (one shuffle
     on user_id), collapse to per-session [start, end] intervals (the
     keyed agg shrinks events -> sessions), then +1/-1 boundary points
-    with a running sum. The global cumsum window runs over SESSION
-    BOUNDARIES, not raw events — at 100 TB that's two rows per session,
-    orders of magnitude smaller than the event stream; if even that
-    overflows one partition, the sweep decomposes into per-day partial
-    sweeps + carried offsets (the classic two-phase prefix sum). Ties
-    (+1 sorts before -1 at the same instant; then user/session) are
-    total-ordered so both engines agree exactly."""
+    with a running sum. The global cumsum is the two-phase prefix sum
+    (``plans.global_prefix_stats``): range exchange on the sweep
+    order + per-partition running sums in parallel + broadcast carried
+    offsets — no single-partition WindowExec even though the sweep is
+    globally ordered (VERDICT r5 item 1). Ties (+1 sorts before -1 at
+    the same instant; then user/session) are total-ordered so both
+    engines agree exactly."""
     from .incremental import sessionize
+    from .plans import global_prefix_stats
 
     ev = _t(spark, sf_dir, "events")
     iv = (
@@ -4274,11 +4405,12 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_idx"
         )
     )
-    w = (
-        Window.orderBy(F.col("ts"), F.col("delta").desc(), "user_id", "session_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    run = pts.select("ts", F.sum("delta").over(w).alias("conc"))
+    run = global_prefix_stats(
+        pts,
+        [F.col("ts"), F.col("delta").desc(), F.col("user_id"), F.col("session_idx")],
+        sums={"delta": "conc"},
+        rn_col="__rn",
+    ).select("ts", "conc")
     mx = run.agg(F.max("conc").alias("m"))
     return (
         run.crossJoin(F.broadcast(mx))
@@ -6270,9 +6402,9 @@ _URL_V2_SQL = (
     split3 AS (
       SELECT source, url, scheme,
              CASE WHEN scheme = 'http' AND ends_with(hostport, ':80')
-                       THEN split_part(hostport, ':', 1)
+                       THEN left(hostport, len(hostport) - 3)
                   WHEN scheme = 'https' AND ends_with(hostport, ':443')
-                       THEN split_part(hostport, ':', 1)
+                       THEN left(hostport, len(hostport) - 4)
                   ELSE hostport END AS host,
              rtrim(split_part(pathq, '?', 1), '/') AS path,
              CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2) ELSE '' END AS q
@@ -6343,21 +6475,32 @@ def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ntile_analytics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family analytic functions (ntile/percent_rank/cume_dist)
-    over a deterministic total order. Per-decile MIN/MAX are exact
-    (no float accumulation); pr/cd are positional ratios, identical in
-    any engine. Note the global ORDER BY window: one range-partitioned
-    sort — the operator Spark executes as a single total-order exchange
-    (acceptable for ranked reporting; at 100 TB prefer keyed windows
-    like topn_per_segment's)."""
-    from pyspark.sql.window import Window
+    over a deterministic total order — WITHOUT the global ORDER BY
+    WindowExec (which moves every order to ONE partition): the global
+    row number comes from ``plans.global_prefix_stats`` (range
+    exchange + parallel per-partition sort + broadcast offsets), and
+    since (o_totalprice, o_orderkey) is a total order the whole rank
+    family is arithmetic over (rn, N): ntile via ``ntile_from_rn``,
+    percent_rank = (rn-1)/(N-1), cume_dist = rn/N. Per-decile MIN/MAX
+    are exact (no float accumulation); pr/cd are positional ratios,
+    identical in any engine."""
+    from .plans import global_prefix_stats, ntile_from_rn
 
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    r = o.select(
+    t: dict = {}
+    ranked = global_prefix_stats(
+        o.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rn_col="__rn",
+        totals=t,
+    )
+    n = t["__rn"]
+    rn = F.col("__rn")
+    r = ranked.select(
         "o_totalprice",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+        ntile_from_rn(rn, 10, n).alias("decile"),
+        ((rn - 1).cast("double") / max(n - 1, 1)).alias("pr"),
+        (rn.cast("double") / max(n, 1)).alias("cd"),
     )
     return r.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count("*").alias("n"),
@@ -9610,7 +9753,20 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- DataSketches HLL: mergeable sketches, the re-aggregatable path --------
-@register("hll_sketch_union_users")  # rows-only: sketch estimates are engine-specific
+@register(
+    "hll_sketch_union_users",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    """,
+)
 def hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting (Apache DataSketches HLL via
     `hll_sketch_agg`/`hll_union_agg`): per-event-type user sketches
@@ -9623,18 +9779,37 @@ def hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     that works in a 100 TB incremental warehouse (store one 1-3 KB
     sketch per partition-day, merge on demand).
 
-    Estimates are engine-specific → rows-only; the pytest gates both
-    levels against exact counts at <5% relative error and asserts
-    union-estimate == merge-of-parts-estimate determinism."""
+    Estimates are engine-specific, so the oracle contract is a
+    deterministic BOUND CHECK (VERDICT r5 item 3): every level emits
+    its exact distinct count plus ``within_5pct`` — abs(estimate −
+    exact) ≤ 5% · exact, with the ALL row's estimate coming from the
+    MERGED per-type sketches (the re-aggregatable path under test) —
+    and the DuckDB oracle asserts literal TRUE next to its own exact
+    counts. The merge==direct determinism stays in pytest
+    (test_hll_sketch_union_bounds)."""
     ev = _t(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
-    merged = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
-    ).select(F.lit("ALL").alias("event_type"), "est")
+    exact_all = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    merged = (
+        per_type.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_users",
+            (F.abs(F.col("est") - F.col("exact_users")) <= 0.05 * F.col("exact_users"))
+            .alias("within_5pct"),
+        )
+    )
     parts = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("est")
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
     )
     return parts.unionByName(merged)
 
@@ -10148,12 +10323,16 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: every ntile orders by (metric, custkey) so quintile
     boundaries never depend on partitioning.
 
-    Scale: one keyed rollup on custkey; the three ntile windows are
-    global sorts over the CUSTOMER aggregate (rows = customers, not
-    orders). At true 100 TB customer counts, swap ntile for bucketing
-    by approx quantile boundaries (percentile_approx + range join) —
-    noted here because the exact-quintile contract is what the oracle
-    checks."""
+    Scale: one keyed rollup on custkey; each quintile score is a
+    ``plans.global_prefix_stats`` pass over the CUSTOMER aggregate —
+    range exchange + parallel per-partition row_number + broadcast
+    offsets, ntile derived arithmetically (``ntile_from_rn``) — so NO
+    single-partition WindowExec exists anywhere in the plan (VERDICT
+    r5 item 1; the previous version ran three global-sort ntile
+    windows). The rollup is localCheckpointed once so the three rank
+    passes don't re-shuffle orders."""
+    from .plans import global_prefix_stats, ntile_from_rn
+
     o = _t(spark, sf_dir, "orders")
     horizon = o.agg(F.max("o_orderdate").alias("tmax"))
     rfm = (
@@ -10171,10 +10350,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c",
         )
     )
-    scored = rfm.select(
-        F.ntile(5).over(Window.orderBy(F.desc("recency_d"), F.col("o_custkey"))).alias("r"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
-        F.ntile(5).over(Window.orderBy("monetary_c", "o_custkey")).alias("m"),
+    rfm = rfm.localCheckpoint(eager=True)
+    t: dict = {}
+    s = global_prefix_stats(
+        rfm, [F.desc("recency_d"), F.col("o_custkey")], rn_col="__rn_r", totals=t
+    )
+    s = global_prefix_stats(s, [F.col("frequency"), F.col("o_custkey")], rn_col="__rn_f")
+    s = global_prefix_stats(s, [F.col("monetary_c"), F.col("o_custkey")], rn_col="__rn_m")
+    n = t["__rn_r"]
+    scored = s.select(
+        ntile_from_rn(F.col("__rn_r"), 5, n).alias("r"),
+        ntile_from_rn(F.col("__rn_f"), 5, n).alias("f"),
+        ntile_from_rn(F.col("__rn_m"), 5, n).alias("m"),
         "monetary_c",
     )
     return scored.groupBy(
@@ -10870,22 +11057,31 @@ def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry 80% of tokens has a diversity problem; same query, swap the
     rollup). The crossing point is found with an integer cross-
     multiplication (cum·5 ≥ tot·4 — no float threshold), prefix sums
-    ride one window over the CUSTOMER rollup, and the two output
-    ratios are single IEEE divisions. Scale: keyed rollup shuffle +
-    a window over customers (not orders) + a 1-row reduce."""
+    come from ``plans.global_prefix_stats`` — range exchange + parallel
+    per-partition running sums + broadcast offsets, NO single-partition
+    WindowExec (VERDICT r5 item 1) — and the grand totals fall out of
+    its offsets pass for free. Scale: keyed rollup shuffle + one range
+    exchange over customers (not orders) + a 1-row reduce."""
+    from .plans import global_prefix_stats
+
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
     )
-    tot = per_cust.agg(
-        F.sum("rev_c").alias("tot_c"), F.count(F.lit(1)).alias("n")
-    )
-    w = Window.orderBy(F.desc("rev_c"), "o_custkey")
-    ranked = per_cust.select(
+    t: dict = {}
+    ranked = global_prefix_stats(
+        per_cust,
+        [F.desc("rev_c"), F.col("o_custkey")],
+        sums={"rev_c": "cum_c"},
+        rn_col="rnk",
+        totals=t,
+    ).select(
         "rev_c",
-        F.sum("rev_c").over(w).alias("cum_c"),
-        F.row_number().over(w).cast("long").alias("rnk"),
-    ).crossJoin(F.broadcast(tot))
+        "cum_c",
+        "rnk",
+        F.lit(t["rev_c"]).cast("long").alias("tot_c"),
+        F.lit(t["rnk"]).cast("long").alias("n"),
+    )
     return (
         ranked.filter(F.col("cum_c") * 5 >= F.col("tot_c") * 4)
         .groupBy()

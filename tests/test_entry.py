@@ -10,19 +10,17 @@ def test_contract_shape():
     assert len(qs) >= 25
     assert set(oracles) <= set(qs)
     # the rows-only set is intentional and small
-    # kcore_copurchase, pq_compression_stats and cms_heavy_hitters
-    # graduated to full oracles in round 5; the remainder is genuinely
-    # approximate (ANN recall, Spark-internal HLL / quantile sketches)
-    # + the HTML UDF
+    # r5 graduated kcore/pq/cms to full oracles; r6 graduated the
+    # approx family (approx_distinct_users, approx_percentiles_price,
+    # hll_sketch_union_users) to deterministic within-tolerance
+    # bound-check oracles — what remains is ANN recall (genuinely
+    # approximate ranking) + the HTML UDF
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "html_clean_projection",
         "embedding_knn_lsh",
         "embedding_knn_ivf",
-        "approx_distinct_users",
         "ann_recall_eval",
-        "approx_percentiles_price",
-        "hll_sketch_union_users",
     }
 
 

@@ -555,22 +555,23 @@ def test_hll_sketch_union_bounds(spark):
     from frontpage_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
-    est = {
-        r["event_type"]: r["est"]
-        for r in QUERIES["hll_sketch_union_users"](spark, sf).collect()
-    }
+    rows = QUERIES["hll_sketch_union_users"](spark, sf).collect()
+    assert {r["event_type"] for r in rows} >= {"ALL"}
+    for r in rows:
+        assert r["within_5pct"], (r["event_type"], r["exact_users"])
+    # merge-of-parts estimate == direct-over-union estimate (the
+    # re-aggregatable determinism the binary-sketch architecture buys)
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    exact = {
-        r["event_type"]: r["x"]
-        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("x")).collect()
-    }
-    exact["ALL"] = ev.agg(F.countDistinct("user_id")).first()[0]
-    for k, x in exact.items():
-        assert abs(est[k] - x) / x < 0.05, (k, est[k], x)
+    merged = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
     direct = ev.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("e")
     ).first()["e"]
-    assert est["ALL"] == direct
+    assert merged == direct
 
 
 def test_max_df_prune_small(spark):
@@ -1265,6 +1266,26 @@ def test_cosine_pairs_within_degenerate_inputs(spark):
     )
     with pytest.raises(Exception, match="zero-norm|PythonException"):
         similarity.cosine_pairs_within(zero, "cell").collect()
+    # a NULL embedding (or id) row is DROPPED, never mis-aligned:
+    # two separate collect_list(id)/collect_list(v) aggs would shift
+    # the alignment and pair surviving vectors with WRONG ids
+    # (ADVICE r5 medium); the struct-collect keeps ids[i] <-> vs[i]
+    # structural, so the remaining pair scores exactly 0.0 here
+    holey = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, None), (3, 0, [0.0, 1.0]), (None, 0, [1.0, 1.0])],
+        "vec_id long, cell long, embedding array<double>",
+    )
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in similarity.cosine_pairs_within(holey, "cell").collect()
+    }
+    assert set(got) == {(1, 3)} and abs(got[(1, 3)]) < 1e-12
+    # same hazard in the blocked all-pairs variant
+    got_b = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in similarity.cosine_pairs_blocked(holey.drop("cell"), n_blocks=2).collect()
+    }
+    assert set(got_b) == {(1, 3)} and abs(got_b[(1, 3)]) < 1e-12
 
 
 def test_pagerank_null_edges_dropped_both_paths(spark):

@@ -175,6 +175,12 @@ def test_html_attr_quote_styles():
         ("https://h:80/x", "https://h:80/x"),
         # trailing path slashes trimmed
         ("https://h/p///", "https://h/p"),
+        # IPv6 bracket host: suffix strip, never split at first ':'
+        ("http://[::1]:80/x", "http://[::1]/x"),
+        ("https://[2001:DB8::1]:443/x", "https://[2001:db8::1]/x"),
+        ("http://[::1]:8080/x", "http://[::1]:8080/x"),
+        # userinfo survives the default-port strip
+        ("http://user@h.com:80/x", "http://user@h.com/x"),
     ],
 )
 def test_canonical_url(spark, raw, want):

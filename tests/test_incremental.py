@@ -675,9 +675,10 @@ def test_stream_near_dup_dedup(spark, tmp_path):
 
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 2, 4}, kept  # 3 = near-dup of history, dropped
-    # signature store holds exactly the survivors' signatures
+    # signature store holds ALL ingested signatures (dropped docs'
+    # buckets must keep claiming future larger-id arrivals)
     sig_ids = {r["doc_id"] for r in spark.read.parquet(sig).collect()}
-    assert sig_ids == {1, 2, 4}
+    assert sig_ids == {1, 2, 3, 4}
     # replay from scratch (fresh checkpoint, same files): the
     # epoch-partitioned dynamic overwrite reproduces, never duplicates
     q = stream_near_dup_dedup(
@@ -687,3 +688,37 @@ def test_stream_near_dup_dedup(spark, tmp_path):
     q.awaitTermination(120)
     kept2 = [r["doc_id"] for r in spark.read.parquet(out).collect()]
     assert sorted(kept2) == [1, 2, 4], kept2
+
+
+def test_stream_near_dup_dedup_batching_independent(spark, tmp_path):
+    """Min-claimant survivor contract: reprocessing the same source
+    files from a FRESH checkpoint with DIFFERENT trigger batching
+    (one-file micro-batches vs the whole backlog in a single
+    availableNow batch) yields the identical survivor set — including
+    intra-batch near-dups inside the bootstrap backlog, and with
+    schema omitted (inferred from a batch read)."""
+    from frontpage_spark.incremental import stream_near_dup_dedup
+
+    src = str(tmp_path / "src")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark shuffles and joins")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(3, base[:-5] + "night"), (4, "fresh unrelated corpus entry mentioning parquet files")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run(tag, **kw):
+        out = str(tmp_path / f"out_{tag}")
+        q = stream_near_dup_dedup(
+            spark, src, out, str(tmp_path / f"sig_{tag}"),
+            str(tmp_path / f"chk_{tag}"), **kw,
+        )
+        q.awaitTermination(120)
+        return sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    fine = run("fine", max_files_per_trigger=1)       # 2 micro-batches
+    coarse = run("coarse")                            # 1 backlog batch
+    assert fine == coarse == [1, 2, 4], (fine, coarse)

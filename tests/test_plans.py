@@ -348,3 +348,121 @@ def test_q6_filters_reach_parquet_scan(spark):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, pushed
     assert "Join" not in plan
+
+
+def test_no_unpartitioned_window_over_unbounded_rows(spark):
+    """Plan-invariant sweep (VERDICT r5 item 1): an unpartitioned
+    WindowExec moves EVERY input row to ONE partition — fatal when the
+    input grows with the data. The four offenders (rfm_segments,
+    ntile_analytics_orders, pareto_8020_customers,
+    peak_concurrent_sessions) now route through
+    plans.global_prefix_stats (range exchange + per-partition windows
+    + broadcast offsets) and must stay fixed. The remaining
+    unpartitioned windows sit over ROLLUP-BOUNDED inputs (calendar
+    days/months, trained vocab, scored candidate sets) — allowlisted
+    here so any NEW global window over unbounded rows fails this test
+    until it is either routed through global_prefix_stats or
+    justified below."""
+    import re
+    from frontpage_spark.queries import QUERIES
+
+    # windows over inputs bounded by a prior rollup, not by data size
+    ALLOWED = {
+        "mom_revenue_change",        # per-month rollup (calendar-bounded)
+        "locf_daily_value",          # per-day rollup
+        "rolling_7d_revenue",        # per-day rollup
+        "mean_shift_changepoint",    # per-day rollup
+        "kaplan_meier_signup_to_purchase",  # per-day risk table
+        "winsorize_prices",          # distinct clip thresholds (tiny)
+        "encode_token_ids",          # trained vocab (top-k bounded)
+        "bpe_encode_stats",          # trained vocab (top-k bounded)
+        "bm25_keyword_search",       # scored candidates of ONE query's terms
+        "quality_score_auc",         # per-DISTINCT-score rollup (bounded
+                                     # by score cardinality, not corpus)
+        "hybrid_search_rrf",         # two scored candidate lists
+        "dsir_importance_weights",   # per-doc scores via vocab join
+        "ks_test_price_by_flag",     # distinct values of the test statistic
+        "survival_curve_km",         # per-day risk table
+        "pareto_front_parts",        # two-phase skyline: global pass runs
+                                     # over bounded LOCAL-skyline survivors
+        "source_mixture_weights",    # per-source rollup (bounded)
+    }
+    FIXED = {
+        "rfm_segments",
+        "ntile_analytics_orders",
+        "pareto_8020_customers",
+        "peak_concurrent_sessions",
+    }
+
+    def unpartitioned_windows(plan: str) -> int:
+        n = 0
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-*: ")
+            # WindowGroupLimit is a pushed-down rank-limit ('[part],
+            # [order], fn, k') — its partition spec is checked on the
+            # accompanying Window node, so only inspect WindowExec.
+            # Formats: '[exprs], [part], [order]' (partitioned+ordered),
+            # '[exprs], [part]' (partitioned, frame-only),
+            # '[exprs], [order]' (UNPARTITIONED sort — the killer),
+            # '[exprs]' (unpartitioned frame-only). Order lists carry
+            # ASC/DESC markers; partition lists never do.
+            if s.startswith("Window "):
+                lists = re.findall(r"\], \[([^\]]*)\]", line)
+                if len(lists) == 0 or (
+                    len(lists) == 1
+                    and (" ASC " in lists[0] + " " or " DESC " in " " + lists[0] + " "
+                         or "ASC NULLS" in lists[0] or "DESC NULLS" in lists[0])
+                ):
+                    n += 1
+        return n
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if unpartitioned_windows(plan) and name not in ALLOWED:
+            offenders.append(name)
+    assert not (set(offenders) & FIXED), f"regressed to global window: {offenders}"
+    assert offenders == [], f"new unpartitioned windows over unbounded rows: {offenders}"
+
+
+def test_global_prefix_stats_matches_window(spark):
+    """global_prefix_stats (range-partitioned two-pass rank/prefix-sum)
+    must reproduce row_number()/SUM() OVER (ORDER BY ...) and the
+    SQL-standard ntile exactly — including descending orders, totals
+    reporting, and an empty input."""
+    from pyspark.sql.window import Window
+    from frontpage_spark.plans import global_prefix_stats, ntile_from_rn
+
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        (F.xxhash64("id") % 50).alias("v"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("k"),
+    )
+    # reference: the single-partition global window
+    w = Window.orderBy(F.desc("v"), F.col("id"))
+    ref = df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("k").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("ck"),
+        F.ntile(7).over(w).cast("long").alias("t7"),
+    )
+    t: dict = {}
+    got = global_prefix_stats(
+        df, [F.desc("v"), F.col("id")], sums={"k": "ck"}, rn_col="rn",
+        n_parts=13, totals=t,
+    ).select("id", "rn", "ck", ntile_from_rn(F.col("rn"), 7, t["rn"]).alias("t7"))
+    assert t["rn"] == 997
+    ref_rows = {r["id"]: (r["rn"], r["ck"], r["t7"]) for r in ref.collect()}
+    got_rows = {r["id"]: (r["rn"], r["ck"], r["t7"]) for r in got.collect()}
+    assert got_rows == ref_rows
+    # N < n: each row its own bucket (ntile edge case, no div-by-zero)
+    small = spark.range(0, 3).select(F.col("id"))
+    t2: dict = {}
+    s = global_prefix_stats(small, [F.col("id")], rn_col="rn", totals=t2)
+    rows = {r["id"]: r["t"] for r in s.select("id", ntile_from_rn(F.col("rn"), 7, t2["rn"]).alias("t")).collect()}
+    assert rows == {0: 1, 1: 2, 2: 3}
+    # empty input: no rows, no crash, totals zero
+    t3: dict = {}
+    empty = global_prefix_stats(small.filter("id < 0"), [F.col("id")], totals=t3)
+    assert empty.count() == 0 and t3["rn"] == 0

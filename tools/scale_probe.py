@@ -126,6 +126,16 @@ HEAVY_QUERIES = [
     "cross_source_ngram_overlap",
     "phrase_search_positional",
     "incremental_corpus_dedup",
+    # r6: the ex-global-window family (VERDICT r5 items 1+5) — now
+    # range-partitioned two-pass rank/prefix-sum via
+    # plans.global_prefix_stats; probing proves the rewrite scales
+    "rfm_segments",
+    "ntile_analytics_orders",
+    "pareto_8020_customers",
+    "peak_concurrent_sessions",
+    # r6: over-gate pagerank at 20x exercises more distributed rounds
+    # than the 10x gate-handoff probe did (VERDICT r5 item 5)
+    "pagerank_part_supplier",
 ]
 
 # profile queries whose single-row output hides their pair volume ->
@@ -159,6 +169,11 @@ NOTES = {
         "membership semi-join of new-batch signatures vs history signature set: "
         "no candidate pairs, |new|*bands lookups however large history grows"
     ),
+    "rfm_segments": "3x global_prefix_stats over the customer rollup (no single-partition window)",
+    "ntile_analytics_orders": "global_prefix_stats over orders; rank family is arithmetic over (rn, N)",
+    "pareto_8020_customers": "global_prefix_stats prefix sum over the customer rollup",
+    "peak_concurrent_sessions": "global_prefix_stats sweep over session boundary points",
+    "pagerank_part_supplier": "over the 4M-edge size gate at this factor: distributed fixpoint, one shuffle/round",
 }
 
 
