@@ -296,6 +296,66 @@ def stream_near_dup_dedup(
     )
 
 
+def compact_signature_store(
+    spark: SparkSession, sig_dir: str, upto_epoch: int, id_col: str = "doc_id"
+) -> int:
+    """Maintenance job for ``stream_near_dup_dedup``'s signature store:
+    fold every epoch partition BELOW ``upto_epoch`` into one
+    (band, minhash) → min(id) claimant row per bucket, stored under the
+    reserved partition ``epoch=-1``. Returns the compacted row count.
+
+    Why: the store grows one row per (doc, band) forever, and the
+    per-batch claimant probe scans all of history. Under the
+    min-claimant rule the ONLY fact history contributes is the minimum
+    id per bucket, so compaction is lossless for every future
+    decision: dup iff min-claimant(bucket) < id, and min over the
+    compacted row equals min over the raw rows. Bucket count (not
+    corpus size) bounds the compacted store.
+
+    Replay safety: epoch=-1 sorts below every real epoch, so the
+    ``epoch < current`` probe keeps seeing the compacted history; only
+    epochs strictly below ``upto_epoch`` are folded, so an in-flight
+    replay of epoch e >= upto_epoch reads the identical claimant state
+    it saw before compaction. Run it from the same single-writer
+    maintenance slot that owns checkpoint cleanup — it rewrites
+    partitions the streaming query only ever reads."""
+    import os
+    import shutil
+
+    hist = spark.read.parquet(sig_dir).filter(
+        (F.col("epoch") < upto_epoch) & (F.col("epoch") != -1)
+    )
+    prior = spark.read.parquet(sig_dir).filter(F.col("epoch") == -1).drop("epoch")
+    folded = (
+        hist.drop("epoch")
+        .unionByName(prior)
+        .groupBy("band", "minhash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "band", "minhash")
+        .withColumn("epoch", F.lit(-1))
+    )
+    # materialize BEFORE writing: the fold reads the same directory the
+    # write overwrites, and Spark (correctly) refuses a plan that reads
+    # from its own overwrite target — the checkpoint cuts that lineage
+    folded = folded.localCheckpoint(eager=True)
+    # write the fold FIRST (dynamic overwrite of epoch=-1 only), then
+    # drop the folded epoch dirs — a crash in between leaves duplicate
+    # claimant rows, which min() makes harmless
+    folded.write.partitionBy("epoch").option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(sig_dir)
+    root = sig_dir[len("file:"):] if sig_dir.startswith("file:") else sig_dir
+    for name in os.listdir(root):
+        if name.startswith("epoch=") and name != "epoch=-1":
+            try:
+                e = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if e < upto_epoch:
+                shutil.rmtree(os.path.join(root, name))
+    return spark.read.parquet(sig_dir).filter(F.col("epoch") == -1).count()
+
+
 def windowed_counts(events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
     """ST6 extension — tumbling-window counts with a watermark for late
     data. Works on both batch and streaming DataFrames."""

@@ -6181,6 +6181,255 @@ def hashed_ngram_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Gopher-style rule-based quality gate ----------------------------------
+@register(
+    "gopher_quality_flags",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id, source, len(w) AS nw,
+             list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS mean_len,
+             len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(w)
+               AS alpha_frac,
+             len(list_intersect(list_distinct(w),
+                 ['the','a','of','to','and','in','is'])) AS n_stop
+      FROM w
+    ),
+    bg AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)])
+                 AS bigram
+        FROM w WHERE len(w) >= 2
+      ) GROUP BY 1, 2
+    ),
+    rep AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_share FROM bg GROUP BY 1),
+    flags AS (
+      SELECT s.source,
+             CASE WHEN s.nw < 30 THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN s.mean_len < 4.0 OR s.mean_len > 10.0 THEN 1 ELSE 0 END AS f_ml,
+             CASE WHEN s.alpha_frac < 0.8 THEN 1 ELSE 0 END AS f_alpha,
+             CASE WHEN s.n_stop < 2 THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN COALESCE(rep.top_share, 0.0) > 0.1 THEN 1 ELSE 0 END AS f_rep
+      FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_wc) AS BIGINT) AS n_fail_wordcount,
+           CAST(SUM(f_ml) AS BIGINT) AS n_fail_meanlen,
+           CAST(SUM(f_alpha) AS BIGINT) AS n_fail_alpha,
+           CAST(SUM(f_stop) AS BIGINT) AS n_fail_stopwords,
+           CAST(SUM(f_rep) AS BIGINT) AS n_fail_repetition,
+           CAST(SUM(CASE WHEN f_wc + f_ml + f_alpha + f_stop + f_rep = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM flags GROUP BY source
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, table A1
+    — the pre-filter every LLM corpus pipeline runs before dedup):
+    per-document word count, mean word length, alphabetic-word
+    fraction, stop-word presence, and top-bigram repetition share,
+    thresholded into boolean rules and rolled up per source as failure
+    counts + the all-rules pass count.
+
+    Plan shape: one narrow pass computes the four per-doc scalar stats
+    as array expressions (codegen'd, no UDF); the repetition share is
+    RELATIONAL — explode bigrams, count per (doc, bigram), max/sum per
+    doc — so the hot per-row loop is an exchange Spark can size, never
+    a per-row dict in Python (at 100 TB the bigram explode shuffles
+    ~|tokens| skinny rows; the (doc_id, bigram) key is near-unique so
+    map-side partials collapse it early). All thresholds compare exact
+    integer ratios (IEEE division of exact ints — both engines round
+    identically), so the oracle is hash-exact."""
+    docs = _tw(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    stop = F.array(*[F.lit(x) for x in ["the", "a", "of", "to", "and", "in", "is"]])
+    s = w.select(
+        "doc_id",
+        "source",
+        F.size("w").alias("nw"),
+        (
+            F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            .cast("double")
+            / F.size("w")
+        ).alias("mean_len"),
+        (
+            F.size(F.filter("w", lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+            / F.size("w")
+        ).alias("alpha_frac"),
+        F.size(F.array_intersect(F.array_distinct("w"), stop)).alias("n_stop"),
+    )
+    bigrams = w.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(w, (x, i) ->"
+                " IF(i < size(w) - 1, concat(x, ' ', element_at(w, i + 2)), NULL)),"
+                " x -> x IS NOT NULL)"
+            )
+        ).alias("bigram"),
+    )
+    rep = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_share"))
+    )
+    flags = s.join(rep, "doc_id", "left").select(
+        "source",
+        F.when(F.col("nw") < 30, 1).otherwise(0).alias("f_wc"),
+        F.when((F.col("mean_len") < 4.0) | (F.col("mean_len") > 10.0), 1)
+        .otherwise(0)
+        .alias("f_ml"),
+        F.when(F.col("alpha_frac") < 0.8, 1).otherwise(0).alias("f_alpha"),
+        F.when(F.col("n_stop") < 2, 1).otherwise(0).alias("f_stop"),
+        F.when(F.coalesce("top_share", F.lit(0.0)) > 0.1, 1).otherwise(0).alias("f_rep"),
+    )
+    tot = F.col("f_wc") + F.col("f_ml") + F.col("f_alpha") + F.col("f_stop") + F.col("f_rep")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_wc").cast("long").alias("n_fail_wordcount"),
+        F.sum("f_ml").cast("long").alias("n_fail_meanlen"),
+        F.sum("f_alpha").cast("long").alias("n_fail_alpha"),
+        F.sum("f_stop").cast("long").alias("n_fail_stopwords"),
+        F.sum("f_rep").cast("long").alias("n_fail_repetition"),
+        F.sum(F.when(tot == 0, 1).otherwise(0)).cast("long").alias("n_pass"),
+    )
+
+
+# ---- shingle novelty: what does each doc contribute first? -----------------
+@register(
+    "shingle_novelty_by_source",
+    f"""
+    WITH docs AS (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, source, unnest({{SHINGLES}}) AS shingle FROM docs),
+    d AS (SELECT DISTINCT doc_id, source, shingle FROM sh),
+    first_claim AS (SELECT shingle, MIN(doc_id) AS claimant FROM d GROUP BY shingle),
+    per_doc AS (
+      SELECT d.doc_id, d.source,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN f.claimant = d.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM d JOIN first_claim f USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS novel_shingles,
+           CAST(SUM(CASE WHEN n_novel * 2 < n_shingles THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mostly_derivative
+    FROM per_doc GROUP BY source
+    """.replace("{SHINGLES}", SHINGLES_SQL),
+)
+def shingle_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty attribution — the corpus-curation complement of
+    near-dup removal: for every document, the fraction of its distinct
+    shingles it is the FIRST (minimum doc_id — ingest order, the
+    reference's SERIAL key) to contribute. A doc whose shingles are
+    mostly already claimed is derivative even if no single earlier doc
+    crosses a near-dup threshold (mosaic plagiarism / template churn —
+    LSH pair semantics cannot see it because the overlap is spread
+    across MANY predecessors). Rolled up per source: total vs novel
+    shingles and how many docs are >50% derivative (integer
+    cross-multiplication, no float threshold).
+
+    Plan shape: the same min-claimant idea the streaming near-dup store
+    uses, on shingles instead of signatures — one distinct, one
+    groupBy(shingle) min, one re-join on shingle (both sides already
+    hash-partitioned on it, exchange reused), one keyed rollup. No
+    pairs anywhere, so cost is |shingles|, never |docs|^2."""
+    docs = _tw(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(dedup.shingles_col("text")).alias("shingle")
+    ).distinct()
+    first_claim = sh.groupBy("shingle").agg(F.min("doc_id").alias("claimant"))
+    per_doc = (
+        sh.join(first_claim, "shingle")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("claimant") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_shingles").cast("long").alias("total_shingles"),
+        F.sum("n_novel").cast("long").alias("novel_shingles"),
+        F.sum(F.when(F.col("n_novel") * 2 < F.col("n_shingles"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mostly_derivative"),
+    )
+
+
+# ---- fixed-token-budget corpus selection -----------------------------------
+@register(
+    "token_budget_selection",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')) AS score
+      FROM documents
+    ),
+    budget AS (SELECT CAST(SUM(n_tokens) // 10 AS BIGINT) AS b FROM scored),
+    ranked AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum_t
+      FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected
+    FROM ranked, budget WHERE cum_t <= b
+    GROUP BY source
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget corpus selection — the data-mixing step after
+    quality scoring: rank every document by a quality score (here
+    lexical diversity = distinct/total words, an exact integer ratio
+    both engines divide identically) and keep the best prefix whose
+    cumulative token count fits the budget (10% of corpus tokens).
+
+    The greedy prefix needs a GLOBAL ordered cumulative sum over every
+    candidate document — exactly the operator that is a one-partition
+    WindowExec if written naively. It rides ``plans.global_prefix_stats``
+    (range exchange + per-partition running sums + broadcast offsets),
+    with the corpus token total falling out of the same offsets pass,
+    so selection stays fully parallel at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    wsplit = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(wsplit).alias("n_tokens"),
+        (F.size(F.array_distinct(wsplit)).cast("double") / F.size(wsplit)).alias(
+            "score"
+        ),
+    )
+    t: dict = {}
+    ranked = plans.global_prefix_stats(
+        scored,
+        [F.desc("score"), F.col("doc_id")],
+        sums={"n_tokens": "cum_t"},
+        rn_col="__rn",
+        totals=t,
+    )
+    budget = int(t["n_tokens"]) // 10
+    return (
+        ranked.filter(F.col("cum_t") <= budget)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").cast("long").alias("tokens_selected"),
+        )
+    )
+
+
 # ---- ANSI-safe ingestion: try_* family ------------------------------------
 @register(
     "try_cast_safety_audit",

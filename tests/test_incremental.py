@@ -722,3 +722,50 @@ def test_stream_near_dup_dedup_batching_independent(spark, tmp_path):
     fine = run("fine", max_files_per_trigger=1)       # 2 micro-batches
     coarse = run("coarse")                            # 1 backlog batch
     assert fine == coarse == [1, 2, 4], (fine, coarse)
+
+
+def test_compact_signature_store(spark, tmp_path):
+    """Compaction folds history epochs into one claimant row per
+    (band, minhash) bucket under epoch=-1, losslessly for every future
+    dedup decision: a near-dup arriving after compaction is dropped
+    exactly as it would have been against the raw epoch store."""
+    from frontpage_spark.incremental import (
+        compact_signature_store,
+        stream_near_dup_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    sig = str(tmp_path / "sig")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark shuffles and joins")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(4, "fresh unrelated corpus entry mentioning parquet files")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_near_dup_dedup(
+        spark, src, out, sig, str(tmp_path / "chk"), max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    raw_rows = spark.read.parquet(sig).count()
+    n = compact_signature_store(spark, sig, upto_epoch=10_000)
+    store = spark.read.parquet(sig)
+    assert store.filter("epoch != -1").count() == 0
+    assert n == store.count() <= raw_rows
+    # buckets keep their MIN claimant and nothing else
+    assert store.groupBy("band", "minhash").count().filter("count > 1").count() == 0
+    # a near-dup of doc 1 arriving AFTER compaction is still dropped
+    spark.createDataFrame(
+        [(9, base[:-5] + "night")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_near_dup_dedup(
+        spark, src, out, sig, str(tmp_path / "chk"), max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 4], kept
+    # idempotent: compacting a compacted store is a no-op
+    assert compact_signature_store(spark, sig, upto_epoch=10_000) >= n

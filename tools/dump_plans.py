@@ -286,6 +286,33 @@ SELECTED = {
         "zip_with-sum reduce; the shuffle carries (tasks * d*w) counters, "
         "never keys -- memory independent of token cardinality."
     ),
+    "ntile_analytics_orders": (
+        "Round-6 global-window fix: the rank family rides "
+        "plans.global_prefix_stats -- RangePartitioning exchange, "
+        "per-partition Sort+Window (partitioned by __part, fully "
+        "parallel), broadcast offset map; ntile/percent_rank/cume_dist "
+        "are pure arithmetic over (rn, N). No Exchange SinglePartition, "
+        "no unpartitioned WindowExec anywhere (plan-sweep-asserted)."
+    ),
+    "pareto_8020_customers": (
+        "Round-6 global-window fix: customer rollup -> "
+        "global_prefix_stats prefix sum (range exchange + parallel "
+        "running sums + broadcast carried offsets); grand totals come "
+        "from the same offsets pass as literals, so the old broadcast "
+        "total crossJoin disappeared too."
+    ),
+    "token_budget_selection": (
+        "New round-6 operator built ON global_prefix_stats: global "
+        "quality ordering with a cumulative token budget cut -- the "
+        "greedy corpus-mixing prefix computed without a one-partition "
+        "sort; budget is a driver literal from the offsets pass."
+    ),
+    "shingle_novelty_by_source": (
+        "Min-claimant novelty attribution: distinct (doc, shingle) -> "
+        "groupBy(shingle) min -> re-join on shingle (exchange reused; "
+        "both sides hash-partitioned identically) -> keyed rollup. "
+        "Cost |shingles|; no pair generation."
+    ),
 }
 
 
