@@ -313,6 +313,18 @@ SELECTED = {
         "both sides hash-partitioned identically) -> keyed rollup. "
         "Cost |shingles|; no pair generation."
     ),
+    "sequence_packing_stats": (
+        "Concatenate-and-cut packing audit: global ordered prefix sum "
+        "over every document via global_prefix_stats, then pure integer "
+        "span arithmetic + keyed rollup. The layout that would be a "
+        "one-partition SUM OVER (ORDER BY) stays fully parallel."
+    ),
+    "vocab_growth_by_decile": (
+        "Heaps-law saturation: global occurrence position over the "
+        "EXPLODED bigram stream (the largest ranking input here) via "
+        "global_prefix_stats; first-occurrence is a keyed min; decile "
+        "assignment integer arithmetic over (rn, N)."
+    ),
 }
 
 
