@@ -63,6 +63,14 @@ PROBE_QUERIES = [
     # run takes the single-job local path, the Nx run the distributed
     # fixpoint — the probe therefore exercises the handoff itself
     "pagerank_part_supplier",
+    # r6 additions: the curation operators and the global_prefix_stats
+    # consumers (global ordered rank/prefix-sum WITHOUT a
+    # single-partition window — the probe proves the two-pass scales)
+    "gopher_quality_flags",
+    "token_budget_selection",
+    "shingle_novelty_by_source",
+    "sequence_packing_stats",
+    "vocab_growth_by_decile",
 ]
 
 
@@ -174,6 +182,11 @@ NOTES = {
     "pareto_8020_customers": "global_prefix_stats prefix sum over the customer rollup",
     "peak_concurrent_sessions": "global_prefix_stats sweep over session boundary points",
     "pagerank_part_supplier": "over the 4M-edge size gate at this factor: distributed fixpoint, one shuffle/round",
+    "gopher_quality_flags": "narrow array exprs + relational bigram repetition (near-unique keys, map-side combine)",
+    "token_budget_selection": "global_prefix_stats cumsum over doc scores; budget from the offsets pass",
+    "shingle_novelty_by_source": "min-claimant attribution, cost |shingles|, no pairs",
+    "sequence_packing_stats": "global_prefix_stats over documents; integer span arithmetic",
+    "vocab_growth_by_decile": "global_prefix_stats over the EXPLODED bigram stream + keyed first-occurrence min",
 }
 
 
