@@ -101,11 +101,20 @@ def make_wav(n_samples: int, seed: bytes, channels: int = 1, rate: int = 8000) -
 
 
 def make_y4m(width: int, height: int, frames: int, seed: bytes) -> bytes:
-    """YUV4MPEG2 stream: text header + FRAME-delimited 4:2:0 planes."""
+    """YUV4MPEG2 stream: text header + FRAME-delimited 4:2:0 planes.
+    Frame CONTENT varies per index (fill seed = md5(hex(seed) + str(i)),
+    hex-string domain so a SQL oracle can recompute it with
+    VARCHAR-only md5) — content-level video ops (scene detection, luma
+    profiles) get real per-frame signal, while the layout (header,
+    offsets, sizes) stays a pure function of (w, h, frames), which is
+    what the layout oracles predict."""
     head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1\n".encode()
     frame_size = width * height * 3 // 2  # Y + U/4 + V/4 at 8bpp
-    frame = b"FRAME\n" + _fill(seed, frame_size)
-    return head + frame * frames
+    out = [head]
+    for i in range(frames):
+        fseed = hashlib.md5(seed.hex().encode() + str(i).encode()).digest()
+        out.append(b"FRAME\n" + _fill(fseed, frame_size))
+    return b"".join(out)
 
 
 # --------------------------------------------------------------------------
@@ -339,6 +348,50 @@ def resize_media(df: DataFrame, width: int = 224, height: int = 224) -> DataFram
             )
 
     return df.select("media_id", "kind", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def video_luma_profile(df: DataFrame) -> DataFrame:
+    """Per-frame EXACT luma mass from the real y4m bytes: for every
+    video payload, walk the FRAME-delimited stream and sum the Y plane
+    (the first w*h bytes of each 4:2:0 frame) into one BIGINT per
+    frame — the content-level primitive scene-change detection runs
+    on. Integer sums, so a DuckDB oracle can predict them
+    arithmetically from the synth spec (fill = md5-seeded 16-byte
+    cycle) and any byte the parser mis-addresses breaks the match.
+    Non-video rows are skipped. Narrow mapInPandas, no shuffle; row
+    fan-out = frames."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("luma_sum", T.LongType()),
+            T.StructField("y_bytes", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "video":
+                    continue
+                b = bytes(payload)
+                w, h, _ = decode_y4m(b)
+                wh = w * h
+                frame_size = wh * 3 // 2
+                pos, no = b.index(b"\n") + 1, 0
+                while pos + 5 <= len(b) and b[pos : pos + 5] == b"FRAME":
+                    y0 = b.index(b"\n", pos) + 1
+                    out.append((media_id, no, sum(b[y0 : y0 + wh]), wh))
+                    pos = y0 + frame_size
+                    no += 1
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_no", "luma_sum", "y_bytes"]
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, out_schema)
 
 
 def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:

@@ -6298,6 +6298,82 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- video scene-change detection over real y4m bytes ----------------------
+@register(
+    "video_scene_changes",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS L, md5(text) AS shex
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    dims AS (
+      SELECT media_id, (L%16+1)*2 AS w, (L%8+1)*2 AS h, L%4+1 AS n, shex FROM m
+    ),
+    frames AS (
+      SELECT media_id, w*h AS wh, f.i AS frame_no,
+             md5(shex || CAST(f.i AS VARCHAR)) AS fhex
+      FROM dims, LATERAL unnest(generate_series(0, n-1)) AS f(i)
+    ),
+    lum AS (
+      SELECT media_id, wh, frame_no,
+             (wh // 16) * list_sum(bs) + COALESCE(list_sum(bs[1 : wh % 16]), 0) AS luma
+      FROM (
+        SELECT media_id, wh, frame_no,
+               [CAST('0x' || substr(fhex, 2*j-1, 2) AS INT)
+                for j in generate_series(1, 16)] AS bs
+        FROM frames
+      )
+    ),
+    diffs AS (
+      SELECT media_id, wh, luma,
+             luma - lag(luma) OVER (PARTITION BY media_id ORDER BY frame_no) AS d
+      FROM lum
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(luma) AS BIGINT) AS luma_total,
+           CAST(SUM(CASE WHEN abs(d) > 4 * wh THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+    FROM diffs GROUP BY media_id
+    """,
+)
+def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over REAL video container bytes: parse
+    each y4m stream, sum every frame's Y plane exactly
+    (``multimodal.video_luma_profile``), and flag a cut wherever the
+    luma mass jumps by more than 4 gray levels per pixel between
+    adjacent frames (integer comparison |Δ| > 4·w·h — no floats). The
+    oracle recomputes every frame's luma arithmetically from the synth
+    spec (md5-seeded 16-byte fill cycle), so one mis-addressed byte in
+    the encoder's layout or the parser's plane walk breaks the match —
+    the same trust chain as multimodal_frames, extended from layout to
+    CONTENT.
+
+    Plan: narrow synthesize→profile Arrow passes (row fan-out =
+    frames), then a lag window PARTITIONED by media (keyed, never
+    global) and a keyed rollup. At 100 TB of video this is the
+    shuffle-light shape: per-frame stats stay with their media key
+    end to end."""
+    from .ext import multimodal
+
+    docs = _tw(spark, sf_dir, "documents", min_parts=8).filter(F.col("doc_id") % 3 == 2)
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    lum = multimodal.video_luma_profile(media)
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    diffs = lum.select(
+        "media_id",
+        "luma_sum",
+        "y_bytes",
+        (F.col("luma_sum") - F.lag("luma_sum").over(w)).alias("d"),
+    )
+    return diffs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("luma_sum").cast("long").alias("luma_total"),
+        F.sum(F.when(F.abs("d") > 4 * F.col("y_bytes"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cuts"),
+    )
+
+
 # ---- Heaps-law vocabulary growth -------------------------------------------
 @register(
     "vocab_growth_by_decile",

@@ -598,3 +598,92 @@ def test_random_cast_chain_matches_duckdb(spark, duck, ast):
     s = norm_rows(render_cast_spark(spark, ast).toPandas())
     o = norm_rows(duck.execute(render_cast_sql(ast)).df())
     assert s == o, f"AST {ast}\nSQL {render_cast_sql(ast)}"
+
+
+# --------------------------------------------------------------------------
+# generator 7: global_prefix_stats vs SQL window functions
+# --------------------------------------------------------------------------
+# The range-partitioned two-pass rank/prefix-sum helper (round 6) is
+# core infrastructure — five registry queries ride it. Fuzz it directly:
+# random total orders (1-2 columns, random asc/desc, unique key
+# tiebreak), a random running-sum column (ints exact; cents as
+# round(x*100) BIGINT), random partition widths, and optionally the
+# arithmetic ntile — all compared against DuckDB's window functions.
+
+_PREFIX_KEYS = {"orders": "o_orderkey", "customer": "c_custkey"}
+
+
+@st.composite
+def prefix_ast(draw):
+    table = draw(st.sampled_from(["orders", "customer"]))
+    key = _PREFIX_KEYS[table]
+    cand = [c for c, k in TABLES[table] if c != key]
+    n_order = draw(st.integers(1, 2))
+    order = draw(
+        st.lists(st.sampled_from(cand), min_size=n_order, max_size=n_order, unique=True)
+    )
+    dirs = [draw(st.booleans()) for _ in order]  # True = DESC
+    sum_col, sum_kind = draw(
+        st.sampled_from([(c, k) for c, k in TABLES[table] if k in ("int", "cents")])
+    )
+    nt = draw(st.sampled_from([None, 2, 5, 7]))
+    n_parts = draw(st.sampled_from([None, 3, 13]))
+    return table, key, order, dirs, sum_col, sum_kind, nt, n_parts
+
+
+def render_prefix_sql(ast) -> str:
+    table, key, order, dirs, sum_col, sum_kind, nt, _ = ast
+    order_sql = ", ".join(
+        f"{c} {'DESC' if d else 'ASC'}" for c, d in zip(order, dirs)
+    ) + f", {key} ASC"
+    sval = cents_sql(sum_col) if sum_kind == "cents" else sum_col
+    sel = [
+        f"{key} AS k",
+        f"CAST(row_number() OVER (ORDER BY {order_sql}) AS BIGINT) AS rn",
+        f"CAST(SUM({sval}) OVER (ORDER BY {order_sql}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum",
+    ]
+    if nt is not None:
+        sel.append(f"CAST(ntile({nt}) OVER (ORDER BY {order_sql}) AS BIGINT) AS t")
+    return f"SELECT {', '.join(sel)} FROM {table}"
+
+
+def render_prefix_spark(spark, ast):
+    from frontpage_spark.plans import global_prefix_stats, ntile_from_rn
+
+    table, key, order, dirs, sum_col, sum_kind, nt, n_parts = ast
+    df = spark.read.parquet(os.path.join(SF_DIR, table + ".parquet"))
+    sval = (
+        F.round(F.col(sum_col) * 100).cast("long")
+        if sum_kind == "cents"
+        else F.col(sum_col)
+    )
+    base = df.select(F.col(key), *[F.col(c) for c in order], sval.alias("__s"))
+    order_exprs = [
+        F.desc(c) if d else F.col(c) for c, d in zip(order, dirs)
+    ] + [F.col(key)]
+    t: dict = {}
+    out = global_prefix_stats(
+        base, order_exprs, sums={"__s": "cum"}, rn_col="rn", n_parts=n_parts, totals=t
+    )
+    sel = [
+        F.col(key).alias("k"),
+        F.col("rn"),
+        F.col("cum").cast("long").alias("cum"),
+    ]
+    if nt is not None:
+        sel.append(ntile_from_rn(F.col("rn"), nt, t["rn"]).alias("t"))
+    return out.select(*sel)
+
+
+@settings(
+    max_examples=20 * _MULT,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ast=prefix_ast())
+def test_random_prefix_stats_matches_duckdb(spark, duck, ast):
+    s = norm_rows(render_prefix_spark(spark, ast).toPandas())
+    o = norm_rows(duck.execute(render_prefix_sql(ast)).df())
+    assert s == o, f"AST {ast}\nSQL {render_prefix_sql(ast)}\nspark={s[:3]} oracle={o[:3]}"

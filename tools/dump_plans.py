@@ -325,6 +325,12 @@ SELECTED = {
         "global_prefix_stats; first-occurrence is a keyed min; decile "
         "assignment integer arithmetic over (rn, N)."
     ),
+    "video_scene_changes": (
+        "Content-level video op: two narrow Arrow passes (synthesize, "
+        "per-frame Y-plane luma sums from real y4m bytes), then a lag "
+        "window PARTITIONED by media and a keyed rollup -- per-frame "
+        "stats never leave their media key."
+    ),
 }
 
 
