@@ -318,7 +318,9 @@ def compact_signature_store(
     replay of epoch e >= upto_epoch reads the identical claimant state
     it saw before compaction. Run it from the same single-writer
     maintenance slot that owns checkpoint cleanup — it rewrites
-    partitions the streaming query only ever reads."""
+    partitions the streaming query only ever reads. The folded-epoch
+    directory removal uses local-fs listing (this deployment's store);
+    on an object store swap it for the Hadoop FileSystem API."""
     import os
     import shutil
 

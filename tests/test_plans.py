@@ -456,6 +456,16 @@ def test_global_prefix_stats_matches_window(spark):
     ref_rows = {r["id"]: (r["rn"], r["ck"], r["t7"]) for r in ref.collect()}
     got_rows = {r["id"]: (r["rn"], r["ck"], r["t7"]) for r in got.collect()}
     assert got_rows == ref_rows
+    # wide-partition path: >64 partitions switches the offset shipping
+    # from literal maps to the broadcast-joined offsets table — results
+    # must be identical
+    t128: dict = {}
+    wide = global_prefix_stats(
+        df, [F.desc("v"), F.col("id")], sums={"k": "ck"}, rn_col="rn",
+        n_parts=128, totals=t128,
+    ).select("id", "rn", "ck", ntile_from_rn(F.col("rn"), 7, t128["rn"]).alias("t7"))
+    wide_rows = {r["id"]: (r["rn"], r["ck"], r["t7"]) for r in wide.collect()}
+    assert wide_rows == ref_rows and t128["rn"] == 997
     # N < n: each row its own bucket (ntile edge case, no div-by-zero)
     small = spark.range(0, 3).select(F.col("id"))
     t2: dict = {}
