@@ -26,50 +26,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["phone_mine_segments"](spark, "/root/testdata/sf0.001")
 
 
-# Round-6 sample rotation (VERDICT r5 item 2): the driver's
-# CORRECTNESS file samples the first 50 registry entries. Ledger:
-# rounds 1-5 sampled 150 distinct queries; 55 oracle-checked entries
-# have never had a driver-side hard signal. This head is 50 of them —
-# all with full DuckDB oracles (the r5 'rows-only in the head' slot
-# waste cannot recur: the approx family graduated to bound-check
-# oracles this round) — leading with the queries this round repaired
-# (global-window family routed through plans.global_prefix_stats) or
-# graduated (hll_sketch_union_users). The 5 spilled + any new r6
-# queries lead the round-7 rotation (CORRECTNESS_SAMPLE_r06.md).
+# Round-7 sample rotation (VERDICT r6 item 2 — retire the ledger): the
+# driver's CORRECTNESS file samples the first 50 registry entries.
+# Rounds 1-6 sampled 200 distinct queries; exactly 13 oracle-checked
+# entries have never had a driver-side hard signal — the 5 spilled from
+# the r6 rotation plus the 8 queries registered new in round 6
+# (CORRECTNESS_SAMPLE_r06.md). They lead this head, so after this round
+# EVERY registry entry has been driver-sampled at least once. The rest
+# of the head re-verifies the queries whose PLANS changed this round
+# (the global_prefix_stats family re-engineered off the eager
+# localCheckpoint — VERDICT r6 item 1) plus a cross-section of heavies.
 # Pure reordering — same keys, same callables, full matrix still in
 # CORRECTNESS_full_r{N}.json via tools/check.py.
-_R6_SAMPLE_ROTATION = [
-    # repaired this round (single-partition window fix) — must be green
-    "rfm_segments", "pareto_8020_customers",
-    # graduated this round (bound-check oracle)
-    "hll_sketch_union_users",
-    # never-sampled remainder
-    "ab_test_conversion", "attribution_last_touch", "audio_silence_runs",
-    "benford_price_audit", "bfs_distances_copurchase",
-    "big_order_customers_q18ish", "bination_volume_q7ish",
-    "bootstrap_revenue_ci", "char_shingle_lsh_zh", "clean_derivation_layer",
-    "cusum_revenue_alarms", "dense_ids_documents",
-    "disjunctive_revenue_q19ish", "domain_cap_sample",
-    "dsir_importance_by_source", "embedding_dim_variance",
-    "embedding_outlier_audit", "excess_suppliers_q20ish",
-    "exp_smoothing_forecast", "forecast_revenue_q6ish",
-    "frontier_politeness_schedule", "hybrid_search_rrf",
-    "idle_rich_customers_q22ish", "image_dhash_profile",
-    "image_dup_clusters", "join_size_estimate",
-    "kaplan_meier_signup_to_purchase", "kcore_copurchase",
-    "label_centroid_similarity", "late_order_priority_q4ish",
-    "luhn_cc_audit", "market_share_q8ish", "mean_shift_changepoint",
-    "min_cost_supplier_q2ish", "mojibake_repair_stats",
-    "neyman_allocation_orders", "order_count_distribution_q13ish",
-    "pareto_front_parts", "part_value_fraction_q11ish",
-    "phrase_search_positional", "pmi_collocations", "product_profit_q9ish",
-    "promo_revenue_q14ish", "returned_revenue_q10ish",
-    "segment_dedup_prune", "token_drift_chi2", "top_event_trigram_paths",
+_R7_SAMPLE_ROTATION = [
+    # --- the 13 never-sampled (5 spilled from r6 + 8 new in r6)
+    "ship_delay_priority_q12ish", "supplier_variety_q16ish",
+    "top_supplier_q15ish", "weekday_seasonality", "winsorize_prices",
+    "stream_near_dup_batch_core", "stateful_type_counts_batch",
+    "gopher_quality_flags", "token_budget_selection",
+    "shingle_novelty_by_source", "sequence_packing_stats",
+    "vocab_growth_by_decile", "video_scene_changes",
+    # --- plans changed this round: global_prefix_stats consumers
+    # (deterministic sampled-boundary buckets, no localCheckpoint)
+    "rfm_segments", "ntile_analytics_orders", "pareto_8020_customers",
+    "peak_concurrent_sessions", "dense_ids_documents",
+    # --- re-verification cross-section: heavies + core paths
+    "minhash_lsh_candidates", "near_dup_verified", "dup_clusters",
+    "embedding_near_dup", "embedding_near_dup_lsh",
+    "semantic_dedup_report", "pagerank_part_supplier",
+    "prefix_filtered_jaccard", "bpe_train_merges", "kmeans_lloyd_counts",
+    "phone_mine_segments", "url_parse_tokens", "group_counts_q1",
+    "incremental_delta_scan", "conform_temporal", "conform_referential",
+    "sessionize_users", "session_window_stats", "tumbling_window_counts",
+    "dedup_exact", "simhash_buckets", "cdc_substring_dups",
+    "benchmark_contamination", "split_leakage_audit",
+    "tfidf_top_terms", "bm25_keyword_search", "quality_filter_funnel",
+    "lang_id_heuristic", "token_counts_by_source", "doc_fingerprints",
+    "topk_orders", "enrich_broadcast",
 ]
 
 
 def _rotated(mapping: dict) -> dict:
-    head = {n: mapping[n] for n in _R6_SAMPLE_ROTATION if n in mapping}
+    head = {n: mapping[n] for n in _R7_SAMPLE_ROTATION if n in mapping}
     return head | {n: v for n, v in mapping.items() if n not in head}
 
 

@@ -352,12 +352,13 @@ def assign_dense_ids(
     """Contiguous 0..n-1 ids in global ``order_cols`` order WITHOUT a
     single-partition sort — the scalable zipWithIndex replacement:
 
-    1. ``repartitionByRange`` on the order columns (range exchange,
-       boundaries from a sample — placement may vary, ids never do);
-    2. per-partition ``row_number`` (each physical partition is its own
-       window group, so the sort parallelizes);
+    1. a deterministic bucket id from sampled range boundaries (the
+       ``global_prefix_stats`` recipe — boundaries are literals, so
+       placement is a pure function of the row and ids never vary);
+    2. per-partition ``row_number`` (each bucket is its own window
+       group, so the sort parallelizes);
     3. partition row-counts — #partitions scalars, the only driver
-       data — cumsum into per-partition offsets, broadcast back.
+       data — cumsum into per-partition offsets, shipped back.
 
     ``monotonically_increasing_id`` is NOT this: it's non-contiguous
     and order-free. A global ``row_number() OVER (ORDER BY ...)`` IS
@@ -375,6 +376,180 @@ def assign_dense_ids(
     return out.withColumn(id_col, (F.col(id_col) - 1).cast("long"))
 
 
+def _sort_pairs(order_cols):
+    """Normalize ``order_cols`` entries into (Column, ascending) pairs.
+
+    Entries are a plain ``Column`` (ascending) or a ``(Column, "desc")``
+    / ``(Column, "asc")`` tuple. Sort-order Columns (``F.desc(c)``)
+    are rejected with a pointer to the tuple form: the helper needs the
+    BASE expression (to sample boundary values and build the bucket
+    comparator), and classic PySpark 4 exposes no way to decompose a
+    SortOrder Column back into (child, direction)."""
+    pairs = []
+    for c in order_cols:
+        if isinstance(c, tuple):
+            col, d = c
+            pairs.append((col, str(d).lower() != "desc"))
+            continue
+        r = repr(c)
+        if " DESC NULLS" in r or " ASC NULLS" in r:
+            raise TypeError(
+                "global_prefix_stats: pass (column, 'desc') tuples, not "
+                f"F.desc(...) sort-order columns (got {r}) — the helper "
+                "needs the base expression to sample range boundaries"
+            )
+        pairs.append((c, True))
+    return pairs
+
+
+def _cmp_factory(ascs):
+    """Driver-side comparator for sampled key tuples under the total
+    order: per-column asc/desc with Spark's default null placement
+    (ASC NULLS FIRST / DESC NULLS LAST)."""
+
+    def _cmp(a, b):
+        for i, asc in enumerate(ascs):
+            x, y = a[i], b[i]
+            if x is None and y is None:
+                continue
+            if x is None:
+                return -1 if asc else 1
+            if y is None:
+                return 1 if asc else -1
+            if x == y:
+                continue
+            lt = x < y
+            return (-1 if lt else 1) if asc else (1 if lt else -1)
+        return 0
+
+    return _cmp
+
+
+def _pick_bounds(samp, nb, cmp):
+    """Sort the sampled key tuples in the total order and pick nb-1
+    evenly-spaced, strictly-increasing boundary tuples."""
+    import functools
+
+    samp = sorted(samp, key=functools.cmp_to_key(cmp))
+    bounds: list[tuple] = []
+    m = len(samp)
+    if m:
+        for j in range(1, nb):
+            cand = samp[min(m - 1, (j * m) // nb)]
+            if not bounds or cmp(bounds[-1], cand) < 0:
+                bounds.append(cand)
+    return bounds
+
+
+def _sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_lit(v, sql_type: str) -> str:
+    """Render a sampled boundary value as a Spark SQL literal of the
+    key column's exact type (explicit CASTs keep struct field types
+    uniform across boundaries and avoid coercion surprises). Strings go
+    through unhex(hex(utf8)) so arbitrary content (quotes, backslashes,
+    newlines) round-trips byte-exact regardless of parser escaping."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return f"CAST(NULL AS {sql_type})"
+    if sql_type in ("tinyint", "smallint", "int", "bigint"):
+        return f"CAST({int(v)} AS {sql_type})"
+    if sql_type in ("float", "double"):
+        f = float(v)
+        if f != f:
+            s = "NaN"
+        elif f == float("inf"):
+            s = "Infinity"
+        elif f == float("-inf"):
+            s = "-Infinity"
+        else:
+            s = repr(f)
+        return f"CAST('{s}' AS {sql_type})"
+    if sql_type == "string":
+        return f"CAST(unhex('{v.encode('utf-8').hex()}') AS STRING)"
+    if sql_type == "date":
+        return f"DATE '{v.isoformat()}'"
+    if sql_type.startswith("timestamp"):
+        if isinstance(v, datetime.datetime):
+            return f"CAST('{v.isoformat(sep=' ')}' AS {sql_type})"
+        return f"CAST('{v}' AS {sql_type})"
+    if sql_type.startswith("decimal"):
+        return f"CAST('{decimal.Decimal(v)}' AS {sql_type})"
+    if sql_type == "boolean":
+        return "TRUE" if v else "FALSE"
+    raise TypeError(
+        f"global_prefix_stats: unsupported order-key type {sql_type} "
+        f"for boundary value {v!r}"
+    )
+
+
+def _bucket_search_sql(names, ascs, types, bounds) -> str:
+    """Deterministic range-bucket id as a SQL branchless binary search:
+    bucket(x) = #boundaries <= x over the sorted boundary literals.
+
+    Shape matters twice over: the boundaries live in ONE array<struct>
+    literal (constant-folded once, bound to a lambda variable via a
+    1-element ``transform`` so the array is not re-inlined per field
+    reference), and the search is ``aggregate`` over the bit steps
+    [2^m..1] — O(log #buckets) comparisons per row with an expression
+    tree of O(log + #boundaries) nodes. The round-7 first cut was a
+    nested CASE WHEN tree: same O(log) runtime but O(#buckets)
+    DUPLICATED comparison subtrees, whose whole-stage codegen cost
+    ~3-5 s of one-time JIT per plan. A flat CASE chain or literal-map
+    scan would be O(#buckets) per ROW — the cost the round-5
+    literal-map review flagged. Because the id is a pure function of
+    the row, every job that evaluates it agrees on placement (no
+    checkpoint needed to pin boundaries).
+
+    ``names``: SQL identifiers of the key columns; ``ascs``: per-key
+    ascending flag (Spark default null placement: ASC NULLS FIRST /
+    DESC NULLS LAST); ``types``: per-key Spark SQL type strings;
+    ``bounds``: sorted list of boundary value tuples."""
+    K = len(bounds)
+    if K == 0:
+        return "0"
+    arr = "array(" + ",".join(
+        "named_struct("
+        + ",".join(
+            f"'c{i}', {_sql_lit(b[i], types[i])}" for i in range(len(names))
+        )
+        + ")"
+        for b in bounds
+    ) + ")"
+    # key < e (lexicographic, strict booleans; e = the boundary struct)
+    lt = "FALSE"
+    for name, asc, i in reversed(list(zip(names, ascs, range(len(names))))):
+        c, e = _sql_ident(name), f"e.c{i}"
+        if asc:
+            col_lt = (
+                f"(({c} IS NULL AND {e} IS NOT NULL) OR "
+                f"({c} IS NOT NULL AND {e} IS NOT NULL AND {c} < {e}))"
+            )
+        else:
+            col_lt = f"({c} IS NOT NULL AND ({e} IS NULL OR {c} > {e}))"
+        lt = f"({col_lt} OR (({c} <=> {e}) AND {lt}))"
+    bits, b = [], 1
+    while b * 2 <= K:
+        b *= 2
+    while b >= 1:
+        bits.append(b)
+        b //= 2
+    steps = "array(" + ",".join(str(x) for x in bits) + ")"
+    # bind e := bounds[pos + bit] once per step via a 1-element transform
+    probe = (
+        f"element_at(transform(array(element_at({arr}, pos + bit)), "
+        f"e -> IF(NOT {lt}, pos + bit, pos)), 1)"
+    )
+    return (
+        f"aggregate({steps}, 0, (pos, bit) -> "
+        f"IF(pos + bit > {K}, pos, {probe}))"
+    )
+
+
 def global_prefix_stats(
     df: DataFrame,
     order_cols,
@@ -387,129 +562,264 @@ def global_prefix_stats(
     order WITHOUT a single-partition WindowExec — the scalable form of
     ``row_number()/SUM() OVER (ORDER BY ...)``, which Spark otherwise
     executes by moving EVERY row to one partition (the 1000-executor
-    anti-pattern; VERDICT r5 item 1). The two-pass recipe
-    (``assign_dense_ids`` is now a thin wrapper over this):
+    anti-pattern; VERDICT r5 item 1).
 
-    1. ``repartitionByRange`` on the order expressions (asc/desc
-       honored) — equal keys co-locate, partition ids follow the
-       global order;
-    2. ONE partition-local sort feeds BOTH the per-partition
-       ``row_number`` and every per-partition running sum (all windows
-       share the (__part, order) spec, so Spark plans a single Sort +
-       Window over parallel partitions);
-    3. per-partition counts and sums — #partitions scalar rows, the
-       only driver data — cumsum into exclusive offsets, shipped back
-       size-gated: ≤64 partitions inline as literal-map lookups (zero
-       extra plan nodes — the measured winner at local scale), above
-       that a broadcast hash join on the partition id (O(1) per row at
-       ANY width, where a literal map lookup scans its entries
-       linearly per row — 5000 shuffle partitions would mean a
-       5000-entry scan per row).
+    Recipe (no materialization of the input — VERDICT r6 item 1; the
+    round-6 form pinned ``repartitionByRange``'s sampled boundaries
+    with an eager full-relation ``localCheckpoint``, which at 100 TB
+    writes the whole relation to executor-local disk AND severs
+    lineage, so one lost executor fails the job):
 
-    Cost: two full exchanges of the rows — the range exchange (pinned
-    by the checkpoint) plus one hash exchange on the partition id,
-    inserted because checkpointing erases partitioning metadata. Both
-    are fully parallel; still strictly better than the one-partition
-    global sort this replaces.
+    1. ONE bounded sampling job picks explicit range boundaries: the
+       ``n_parts*60`` rows with the smallest ``xxhash64`` of the order
+       key (a TakeOrderedAndProject over the column-pruned key
+       projection — fully parallel, driver receives only the sample;
+       no count job, no RNG — and even sample nondeterminism would be
+       harmless, the boundaries are collected once and embedded as
+       literals so every downstream job shares them), sorted
+       driver-side in the total order, evenly-spaced boundary tuples
+       kept as PYTHON LITERALS;
+    2. ``__part`` = a deterministic bucket id computed FROM THE ROW
+       VALUES by a binary-search CASE tree over those literals
+       (``_bucket_tree``, O(log n_parts) per row) — the cross-job
+       nondeterminism that forced the round-6 checkpoint
+       (repartitionByRange resamples boundaries per execution) is gone
+       by construction, lineage stays intact, and a lost executor just
+       recomputes its split;
+    3. per-partition counts and sums (ONE aggregation job — map-side
+       combined, shuffles #partitions scalar rows) cumsum into
+       exclusive offsets at the driver;
+    4. the final plan hash-exchanges on ``__part`` once (the window's
+       own partitioning), runs ONE partition-local sort feeding BOTH
+       the per-partition ``row_number`` and every per-partition running
+       sum, and ships the offsets back size-gated: ≤64 partitions
+       inline as literal-map lookups (zero extra plan nodes — the
+       measured winner at local scale), above that a broadcast hash
+       join on the partition id (O(1) per row at ANY width).
 
-    ``order_cols``: list of Column expressions (may include
-    ``F.desc(...)``) forming a total order — ties would make prefix
-    sums placement-dependent, exactly as in ``assign_dense_ids``.
+    Cost: two bounded auxiliary jobs (sample + offsets — they shuffle
+    only scalars) and exactly ONE full-row exchange (down from round
+    6's two exchanges plus a full local-disk materialization). The
+    input lineage is recomputed by the auxiliary jobs, so callers
+    whose input is an expensive derived relation (a multi-join rollup)
+    should ``persist`` THAT bounded rollup themselves — see
+    ``rfm_segments`` — rather than have this helper pin an unbounded
+    relation for everyone. Several independent orderings over the same
+    relation should ride ``global_prefix_stats_multi``, which shares
+    the sample and offsets jobs across all of them.
+
+    ``order_cols``: list of Column expressions forming a total order —
+    plain Column = ascending, ``(Column, "desc")`` for descending
+    (ties would make prefix sums placement-dependent). Null ordering
+    follows Spark's defaults: ASC = NULLS FIRST, DESC = NULLS LAST.
     ``sums``: {source_col: output_col} inclusive running sums in the
     global order (integral or double; sums ride the source column's
     Spark type — note float sums accumulate per-partition + offset, a
     DIFFERENT addition order than one sequential window, so
     cross-engine exact comparison needs integer sums, e.g. cents; every
     registry consumer and the fuzz generator sum integers). Downstream
-    rank-family functions are arithmetic over
-    ``rn_col`` and the (broadcastable) total count: ntile via
-    ``ntile_from_rn``, percent_rank = (rn-1)/(N-1), cume_dist = rn/N
-    (total orders have no ties).
+    rank-family functions are arithmetic over ``rn_col`` and the
+    (broadcastable) total count: ntile via ``ntile_from_rn``,
+    percent_rank = (rn-1)/(N-1), cume_dist = rn/N (total orders have
+    no ties).
     ``totals``: pass a dict to receive {rn_col: N, source_col: total}
     — the grand totals fall out of the offsets pass for free, saving
     callers a separate aggregation job.
     """
+    return global_prefix_stats_multi(
+        df,
+        [{"order": order_cols, "sums": sums, "rn_col": rn_col, "totals": totals}],
+        n_parts=n_parts,
+    )
+
+
+def global_prefix_stats_multi(
+    df: DataFrame, specs: list[dict], n_parts: int | None = None
+) -> DataFrame:
+    """K INDEPENDENT ``global_prefix_stats`` passes over the SAME
+    relation, sharing ONE boundary-sample job and ONE offsets job —
+    the fixed-cost amortization for callers like ``rfm_segments``
+    (three quintile orderings over one customer rollup), cutting
+    3×(sample + offsets + final) = 9 jobs to 3 (VERDICT r6 item 3).
+
+    Each spec: {"order": [Column | (Column, "desc"), ...],
+    "sums": {src: out} | None, "rn_col": str, "totals": dict | None}
+    with ``global_prefix_stats`` semantics per spec.
+
+    Sharing works because (a) one uniform row sample is a uniform
+    sample under EVERY ordering — the driver just re-sorts the same
+    sampled tuples per spec to pick that spec's boundaries; (b) the
+    per-bucket counts/sums for all K deterministic bucket columns fit
+    in ONE aggregation via GROUPING SETS ((__part0), ..., __partK-1))
+    — the Expand doubles/triples the aggregation input rows but still
+    shuffles only #buckets·K scalar rows; (c) the K windows chain in
+    the single final plan exactly as K sequential hash exchanges —
+    the same exchanges K separate jobs would each pay once."""
     from pyspark.sql.window import Window
 
-    sums = sums or {}
-    cols = list(order_cols)
-    parts = (
-        df.repartitionByRange(*cols)
-        if n_parts is None
-        else df.repartitionByRange(n_parts, *cols)
-    )
-    # pin ONE range-boundary placement for the offsets job and the
-    # final job: repartitionByRange picks boundaries from a random
-    # SAMPLE, so without the checkpoint each job would re-execute the
-    # exchange with different boundaries — per-partition counts from
-    # one run applied to row_numbers of another (silent corruption;
-    # bit the dense-ids predecessor at sf0.1)
-    with_part = parts.withColumn("__part", F.spark_partition_id()).localCheckpoint(
-        eager=True
-    )
-    aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum(src).alias(f"__s_{i}") for i, src in enumerate(sums)
+    if n_parts is not None:
+        nb = int(n_parts)
+    else:
+        try:
+            nb = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            nb = 32
+
+    parsed = []
+    for sp in specs:
+        pairs = _sort_pairs(sp["order"])
+        parsed.append(
+            {
+                "keys": [c for c, _ in pairs],
+                "ascs": [a for _, a in pairs],
+                "sort": [c.asc() if a else c.desc() for c, a in pairs],
+                "sums": dict(sp.get("sums") or {}),
+                "rn": sp.get("rn_col", "rn"),
+                "totals": sp.get("totals"),
+            }
+        )
+    K = len(parsed)
+
+    # --- job 1: ONE boundary sample serving every spec
+    flat = [
+        (k, i, c)
+        for k, p in enumerate(parsed)
+        for i, c in enumerate(p["keys"])
     ]
-    rows = sorted(
-        (r["__part"], r) for r in with_part.groupBy("__part").agg(*aggs).collect()
+    proj = df.select(*[c.alias(f"__b{k}_{i}") for k, i, c in flat])
+    cap = min(max(nb * 60, 200), 200_000)
+    hash_cols = [F.col(f"__b{k}_{i}") for k, i, _ in flat]
+    samp_rows = proj.orderBy(F.xxhash64(*hash_cols).asc()).limit(cap).collect()
+    key_types = {
+        (k, i): proj.schema[f"__b{k}_{i}"].dataType.simpleString() for k, i, _ in flat
+    }
+    for k, p in enumerate(parsed):
+        vals = [
+            tuple(r[f"__b{k}_{i}"] for i in range(len(p["keys"]))) for r in samp_rows
+        ]
+        p["cmp"] = _cmp_factory(p["ascs"])
+        p["bounds"] = _pick_bounds(vals, nb, p["cmp"])
+        p["types"] = [key_types[(k, i)] for i in range(len(p["keys"]))]
+
+    # The bucket expression is generated SQL, so each key expression
+    # needs a referencable NAME: plain named columns are used as-is,
+    # computed expressions are materialized once as __gk{k}_{i}.
+    import re as _re
+
+    gk_cols: dict[str, "Column"] = {}
+    for k, p in enumerate(parsed):
+        names = []
+        for i, c in enumerate(p["keys"]):
+            m = _re.fullmatch(r"Column<'([A-Za-z_][A-Za-z0-9_]*)'>", repr(c))
+            if m:
+                names.append(m.group(1))
+            else:
+                gk = f"__gk{k}_{i}"
+                gk_cols[gk] = c
+                names.append(gk)
+        p["names"] = names
+    wp = df.withColumns(gk_cols) if gk_cols else df
+    wp = wp.withColumns(
+        {
+            f"__part{k}": F.expr(
+                f"CAST({_bucket_search_sql(p['names'], p['ascs'], p['types'], p['bounds'])} AS INT)"
+            )
+            for k, p in enumerate(parsed)
+        }
     )
-    srcs = list(sums)
-    off_rows, acc_n = [], 0
-    acc_s = {src: 0 for src in srcs}
-    for p, r in rows:
-        off_rows.append((p, acc_n, *[acc_s[src] for src in srcs]))
-        acc_n += r["__n"]
-        for i, src in enumerate(srcs):
-            acc_s[src] += r[f"__s_{i}"] or 0
-    if totals is not None:
-        totals[rn_col] = acc_n
-        totals.update(acc_s)
-    w = Window.partitionBy("__part").orderBy(*cols)
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    if len(off_rows) <= 64:
-        # FEW partitions: inline the offsets as literal-map lookups —
-        # zero extra plan nodes, and a <=64-entry scan per row is
-        # cheaper than a broadcast exchange per pass (measured: three
-        # chained passes cost ~0.4 s/pass more as joins at local scale)
-        def _map(i):
-            items = {p: r[i] for p, *r in off_rows} or {0: 0}
-            return F.create_map(*[F.lit(x) for kv in items.items() for x in kv])
+    # --- job 2: ONE offsets aggregation (plain groupBy for K=1,
+    # GROUPING SETS above). Bucket ids are never NULL, so a result row
+    # belongs to spec k iff its __part{k} is non-NULL.
+    all_srcs: list[str] = []
+    for p in parsed:
+        for src in p["sums"]:
+            if src not in all_srcs:
+                all_srcs.append(src)
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(src).alias(f"__s_{i}") for i, src in enumerate(all_srcs)
+    ]
+    part_cols = [F.col(f"__part{k}") for k in range(K)]
+    if K == 1:
+        grouped = wp.groupBy(part_cols[0]).agg(*aggs)
+    else:
+        grouped = wp.groupingSets([[pc] for pc in part_cols], *part_cols).agg(*aggs)
+    collected = grouped.collect()
 
-        out = with_part.withColumn(
-            rn_col, (F.row_number().over(w) + _map(0)[F.col("__part")]).cast("long")
+    out = wp
+    drop_cols: list[str] = []
+    for k, p in enumerate(parsed):
+        rows = sorted(
+            (r[f"__part{k}"], r) for r in collected if r[f"__part{k}"] is not None
+        )
+        srcs = list(p["sums"])
+        src_idx = {src: all_srcs.index(src) for src in srcs}
+        off_rows, acc_n = [], 0
+        acc_s = {src: 0 for src in srcs}
+        for pid, r in rows:
+            off_rows.append((pid, acc_n, *[acc_s[src] for src in srcs]))
+            acc_n += r["__n"]
+            for src in srcs:
+                acc_s[src] += r[f"__s_{src_idx[src]}"] or 0
+        if p["totals"] is not None:
+            p["totals"][p["rn"]] = acc_n
+            p["totals"].update(acc_s)
+
+        pc = f"__part{k}"
+        drop_cols.append(pc)
+        w = Window.partitionBy(pc).orderBy(*p["sort"])
+        wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+        if len(off_rows) <= 64:
+            # FEW partitions: inline the offsets as literal-map lookups
+            # — zero extra plan nodes, and a <=64-entry scan per row is
+            # cheaper than a broadcast exchange per pass (measured:
+            # three chained passes cost ~0.4 s/pass more as joins at
+            # local scale)
+            def _map(i, _rows=off_rows):
+                items = {pid: r[i] for pid, *r in _rows} or {0: 0}
+                return F.create_map(*[F.lit(x) for kv in items.items() for x in kv])
+
+            out = out.withColumn(
+                p["rn"], (F.row_number().over(w) + _map(0)[F.col(pc)]).cast("long")
+            )
+            for i, src in enumerate(srcs):
+                out = out.withColumn(
+                    p["sums"][src], F.sum(src).over(wrun) + _map(i + 1)[F.col(pc)]
+                )
+            continue
+
+        # MANY partitions (the cluster case): a literal map would scan
+        # its entries linearly per ROW — broadcast-join the offsets
+        # table instead (O(1) hash lookup per row at any partition
+        # count). Typed: integral sums offset as long, float as double
+        # (other sum types would need the Spark sum result type
+        # threaded through — no consumer sums them, so fail loudly).
+        def _off_type(src):
+            t = wp.schema[src].dataType.simpleString()
+            if t in ("tinyint", "smallint", "int", "bigint"):
+                return "bigint"
+            if t in ("float", "double"):
+                return "double"
+            raise TypeError(
+                f"global_prefix_stats: unsupported sum column type {t} for {src!r}"
+            )
+
+        off_schema = f"{pc} int, __off_rn bigint" + "".join(
+            f", __off_{i} {_off_type(src)}" for i, src in enumerate(srcs)
+        )
+        off_df = df.sparkSession.createDataFrame(off_rows, off_schema)
+        out = out.join(F.broadcast(off_df), pc)
+        out = out.withColumn(
+            p["rn"], (F.row_number().over(w) + F.col("__off_rn")).cast("long")
         )
         for i, src in enumerate(srcs):
             out = out.withColumn(
-                sums[src], F.sum(src).over(wrun) + _map(i + 1)[F.col("__part")]
+                p["sums"][src], F.sum(src).over(wrun) + F.col(f"__off_{i}")
             )
-        return out.drop("__part")
+        out = out.drop("__off_rn", *[f"__off_{i}" for i in range(len(srcs))])
 
-    # MANY partitions (the cluster case): a literal map would scan its
-    # entries linearly per ROW — broadcast-join the offsets table
-    # instead (O(1) hash lookup per row at any partition count).
-    # Typed: integral sums offset as long, float as double (other sum
-    # types would need the Spark sum result type threaded through — no
-    # consumer sums them, so fail loudly).
-    def _off_type(src):
-        t = with_part.schema[src].dataType.simpleString()
-        if t in ("tinyint", "smallint", "int", "bigint"):
-            return "bigint"
-        if t in ("float", "double"):
-            return "double"
-        raise TypeError(f"global_prefix_stats: unsupported sum column type {t} for {src!r}")
-
-    off_schema = "__part int, __off_rn bigint" + "".join(
-        f", __off_{i} {_off_type(src)}" for i, src in enumerate(srcs)
-    )
-    off_df = df.sparkSession.createDataFrame(off_rows, off_schema)
-    out = with_part.join(F.broadcast(off_df), "__part")
-    out = out.withColumn(
-        rn_col, (F.row_number().over(w) + F.col("__off_rn")).cast("long")
-    )
-    for i, src in enumerate(srcs):
-        out = out.withColumn(sums[src], F.sum(src).over(wrun) + F.col(f"__off_{i}"))
-    return out.drop("__part", "__off_rn", *[f"__off_{i}" for i in range(len(srcs))])
+    return out.drop(*drop_cols, *gk_cols)
 
 
 def ntile_from_rn(rn, n: int, total: int):
@@ -517,13 +827,21 @@ def ntile_from_rn(rn, n: int, total: int):
     1-based row number and the total row count (both from
     ``global_prefix_stats``) — bucket sizes ``total div n`` with the
     first ``total mod n`` buckets one larger, identical to Spark's and
-    DuckDB's window ntile but with no global-sort WindowExec."""
+    DuckDB's window ntile but with no global-sort WindowExec. Bucket
+    arithmetic is EXACT integer division (SQL ``div``): ``floor`` of a
+    double quotient diverges from integer division once the dividend
+    nears 2^53 (~4e15 rows — reachable for token-level row numbers at
+    the 100 TB contract; ADVICE r6)."""
     q, r = divmod(int(total), int(n))
     big = F.lit(q + 1)
     head = F.lit(r * (q + 1))
+
+    def _idiv(a, b):
+        return F.call_function("div", a.cast("long"), b)
+
     return (
-        F.when(rn <= head, F.floor((rn - 1) / big))
-        .otherwise(F.lit(r) + F.floor((rn - head - 1) / F.greatest(F.lit(q), F.lit(1))))
+        F.when(rn <= head, _idiv(rn - 1, big))
+        .otherwise(F.lit(r) + _idiv(rn - head - 1, F.greatest(F.lit(q), F.lit(1))))
         .cast("long")
         + 1
     )

@@ -660,7 +660,7 @@ def render_prefix_spark(spark, ast):
     )
     base = df.select(F.col(key), *[F.col(c) for c in order], sval.alias("__s"))
     order_exprs = [
-        F.desc(c) if d else F.col(c) for c, d in zip(order, dirs)
+        (F.col(c), "desc") if d else F.col(c) for c, d in zip(order, dirs)
     ] + [F.col(key)]
     t: dict = {}
     out = global_prefix_stats(

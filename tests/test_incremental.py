@@ -769,3 +769,123 @@ def test_compact_signature_store(spark, tmp_path):
     assert kept == [1, 2, 4], kept
     # idempotent: compacting a compacted store is a no-op
     assert compact_signature_store(spark, sig, upto_epoch=10_000) >= n
+
+
+def test_stream_near_dup_content_tiebreak_id_reassignment(spark, tmp_path):
+    """content_tiebreak=True makes the survivor set a pure function of
+    the ingested CONTENT: reprocessing the same texts under a
+    completely different id assignment (reversed ids, as a re-crawl
+    with a reset SERIAL key would produce) converges to the same
+    survivor TEXTS — the raw-id min-claimant rule would not (VERDICT
+    r6 item 4)."""
+    from frontpage_spark.incremental import stream_near_dup_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [
+        base,
+        base[:-5] + "night",  # near-dup of base
+        "completely different text about spark shuffles and joins",
+        "fresh unrelated corpus entry mentioning parquet files",
+    ]
+
+    def run(tag, ids):
+        src = str(tmp_path / f"src_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        rows = list(zip(ids, texts))
+        spark.createDataFrame(rows[:2], ["doc_id", "text"]).coalesce(1).write.parquet(src)
+        spark.createDataFrame(rows[2:], ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_near_dup_dedup(
+            spark, src, out, str(tmp_path / f"sig_{tag}"),
+            str(tmp_path / f"chk_{tag}"), content_tiebreak=True,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+        return sorted(r["text"] for r in spark.read.parquet(out).collect())
+
+    a = run("fwd", [1, 2, 3, 4])
+    b = run("rev", [4, 3, 2, 1])
+    assert a == b, (a, b)
+    # exactly one of the two near-dup texts survives in both runs
+    assert len(a) == 3 and sum(t.startswith("the quick") for t in a) == 1
+
+
+def test_claimant_probe_reads_only_matching_buckets(spark, tmp_path):
+    """The signature store is hive-partitioned (epoch, bkt) and the
+    claimant probe prunes to the batch's buckets: a probe restricted
+    to a bkt subset must list NO files from other bkt directories
+    (VERDICT r6 item 4 — probe I/O follows the batch, not the store)."""
+    from frontpage_spark.incremental import (
+        SIG_STORE_BUCKETS,
+        read_claimant_history,
+        stream_near_dup_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    sig = str(tmp_path / "sig")
+    rows = [(i, f"document number {i} with some words making shingles {i * 7}") for i in range(40)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    q = stream_near_dup_dedup(
+        spark, src, str(tmp_path / "out"), sig, str(tmp_path / "chk")
+    )
+    q.awaitTermination(120)
+    store_bkts = {
+        r["bkt"] for r in spark.read.parquet(sig).select("bkt").distinct().collect()
+    }
+    assert len(store_bkts) > 1, "fixture must spread over multiple buckets"
+    probe_bkts = sorted(store_bkts)[:1]
+    hist = read_claimant_history(spark, sig, before_epoch=10_000, bkts=probe_bkts)
+    # input_file_name() reports the files the EXECUTED scan actually
+    # read — i.e. after partition pruning (inputFiles() lists the
+    # whole unpruned relation and would not prove anything)
+    files = [
+        r["f"]
+        for r in hist.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files, "pruned probe still reads its matching bucket"
+    assert all(f"bkt={probe_bkts[0]}/" in f for f in files), files
+    # and the probe sees exactly that bucket's rows
+    assert {r["bkt"] for r in hist.select("bkt").distinct().collect()} == set(probe_bkts)
+    assert 0 < len(files) < len(spark.read.parquet(sig).inputFiles())
+    assert SIG_STORE_BUCKETS >= len(store_bkts)
+
+
+def test_stream_near_dup_in_stream_compaction(spark, tmp_path):
+    """compact_every wires the store compactor into the batch loop
+    (serialized with the probes — the ADVICE r6 coordination fix):
+    after a multi-batch run, history epochs strictly below the last
+    compaction point are folded into epoch=-1, survivors are identical
+    to an uncompacted run, and later near-dups are still dropped."""
+    from frontpage_spark.incremental import stream_near_dup_dedup
+
+    src = str(tmp_path / "src")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    batches = [
+        [(1, base), (2, "completely different text about spark shuffles and joins")],
+        [(4, "fresh unrelated corpus entry mentioning parquet files")],
+        [(9, base[:-5] + "night")],  # near-dup of doc 1, arrives last
+    ]
+    for b in batches:
+        spark.createDataFrame(b, ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(tag, **kw):
+        out = str(tmp_path / f"out_{tag}")
+        sig = str(tmp_path / f"sig_{tag}")
+        q = stream_near_dup_dedup(
+            spark, src, out, sig, str(tmp_path / f"chk_{tag}"),
+            max_files_per_trigger=1, **kw,
+        )
+        q.awaitTermination(120)
+        kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        epochs = {r["epoch"] for r in spark.read.parquet(sig).select("epoch").distinct().collect()}
+        return kept, epochs
+
+    plain_kept, plain_epochs = run("plain")
+    comp_kept, comp_epochs = run("comp", compact_every=1)
+    assert comp_kept == plain_kept == [1, 2, 4]
+    assert -1 not in plain_epochs
+    # epochs below the last compaction point were folded into -1
+    assert -1 in comp_epochs and comp_epochs < plain_epochs | {-1}

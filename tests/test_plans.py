@@ -449,7 +449,7 @@ def test_global_prefix_stats_matches_window(spark):
     )
     t: dict = {}
     got = global_prefix_stats(
-        df, [F.desc("v"), F.col("id")], sums={"k": "ck"}, rn_col="rn",
+        df, [(F.col("v"), "desc"), F.col("id")], sums={"k": "ck"}, rn_col="rn",
         n_parts=13, totals=t,
     ).select("id", "rn", "ck", ntile_from_rn(F.col("rn"), 7, t["rn"]).alias("t7"))
     assert t["rn"] == 997
@@ -461,7 +461,7 @@ def test_global_prefix_stats_matches_window(spark):
     # must be identical
     t128: dict = {}
     wide = global_prefix_stats(
-        df, [F.desc("v"), F.col("id")], sums={"k": "ck"}, rn_col="rn",
+        df, [(F.col("v"), "desc"), F.col("id")], sums={"k": "ck"}, rn_col="rn",
         n_parts=128, totals=t128,
     ).select("id", "rn", "ck", ntile_from_rn(F.col("rn"), 7, t128["rn"]).alias("t7"))
     wide_rows = {r["id"]: (r["rn"], r["ck"], r["t7"]) for r in wide.collect()}
