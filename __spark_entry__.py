@@ -46,6 +46,8 @@ _R7_SAMPLE_ROTATION = [
     "gopher_quality_flags", "token_budget_selection",
     "shingle_novelty_by_source", "sequence_packing_stats",
     "vocab_growth_by_decile", "video_scene_changes",
+    # --- registered new in round 7 (oracle-bearing from birth)
+    "html_extraction_golden", "ann_recall_eval",
     # --- plans changed this round: global_prefix_stats consumers
     # (deterministic sampled-boundary buckets, no localCheckpoint)
     "rfm_segments", "ntile_analytics_orders", "pareto_8020_customers",
@@ -62,7 +64,6 @@ _R7_SAMPLE_ROTATION = [
     "benchmark_contamination", "split_leakage_audit",
     "tfidf_top_terms", "bm25_keyword_search", "quality_filter_funnel",
     "lang_id_heuristic", "token_counts_by_source", "doc_fingerprints",
-    "topk_orders", "enrich_broadcast",
 ]
 
 

@@ -18,6 +18,8 @@ value hash. Conventions that make the hashes exact:
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution needs module scope)
@@ -1984,14 +1986,93 @@ def _ads_fixture(spark: SparkSession, n: int = 200):
 def html_clean_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 + F4/F5/F7-F11: full clean projection over a synthetic raw-ad
     fixture (FIXTURES.md §A1), pandas-UDF HTML extraction inside. The
-    UDF extraction step is the only rows-only part — the derivation
-    layer downstream of it is hash-checked over the full corpus by
-    `clean_derivation_layer`."""
+    UDF extraction step is rows-only HERE, but since round 7 the same
+    extractor is hash-checked against an independently-parsed golden
+    fixture by `html_extraction_golden`."""
     from .pipeline import clean_projection, to_compat
 
     tune(spark)
     raw = _ads_fixture(spark)
     return to_compat(clean_projection(raw))
+
+
+# ---- F5/F7-F11 golden differential: the HTML UDF's hash-grade signal -------
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_HTML_CORPUS = os.path.join(_REPO_ROOT, "fixtures", "html_corpus.parquet")
+_HTML_GOLDEN = os.path.join(_REPO_ROOT, "fixtures", "html_golden.parquet")
+_HTML_FIELDS = (
+    "post_date_raw", "post_title", "post_body", "poster_age", "locations", "other_ads"
+)
+
+
+@register(
+    "html_extraction_golden",
+    """
+    WITH g AS (SELECT * FROM read_parquet('{GOLDEN}')),
+    long AS (
+      {UNION}
+    )
+    SELECT field,
+           CAST(COUNT(*) AS BIGINT) AS n_match,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           md5(string_agg(coalesce(v, chr(0)), chr(31) ORDER BY k)) AS vals_md5
+    FROM long GROUP BY field
+    """.replace("{GOLDEN}", _HTML_GOLDEN.replace("'", "''")).replace(
+        "{UNION}",
+        " UNION ALL ".join(
+            f"SELECT k, '{f}' AS field, {f} AS v FROM g" for f in _HTML_FIELDS
+        ),
+    ),
+)
+def html_extraction_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTML pandas-UDF extraction layer's cross-engine hash signal
+    (VERDICT r6 item 5 — the last reference-surface operator that was
+    rows-only). fixtures/html_corpus.parquet is a 500-doc seeded corpus
+    exercising the reference's selector surface (attribute quoting
+    variants, multi-token class lists, nested same-tag markup, CRLF +
+    unicode noise, missing elements, unclosed tails);
+    fixtures/html_golden.parquet holds the expected extractions computed
+    by an INDEPENDENT parser (stdlib html.parser event walker — no
+    regexes; tools/html_golden_gen.py). Spark runs the production Arrow
+    extractor (html.extract_fields, etl_process.py:31-178 semantics)
+    and emits per-field match counts against the golden plus an
+    order-stable md5 over ITS OWN extracted values; DuckDB recomputes
+    counts and md5 from the golden fixture. The hashes agree iff the
+    engine's extraction is byte-identical to the independent parse on
+    every doc and field — n_match alone would miss compensating errors.
+
+    Scale: the fixture is bounded by design (a differential gate, not a
+    data path); the extractor under test is the same one-Arrow-pass UDF
+    the pipeline applies per partition at any scale."""
+    from .html import extract_fields
+
+    tune(spark)
+    corpus = spark.read.parquet(_HTML_CORPUS)
+    golden = spark.read.parquet(_HTML_GOLDEN)
+    ext = corpus.select("k", extract_fields("html").alias("e")).select(
+        "k", *[F.col(f"e.{f}").alias(f"s_{f}") for f in _HTML_FIELDS]
+    )
+    joined = ext.join(
+        F.broadcast(golden.select("k", *[F.col(f).alias(f"g_{f}") for f in _HTML_FIELDS])),
+        "k",
+    )
+    stack = ", ".join(f"'{f}', s_{f}, g_{f}" for f in _HTML_FIELDS)
+    long = joined.selectExpr(
+        "k", f"stack({len(_HTML_FIELDS)}, {stack}) AS (field, sv, gv)"
+    )
+    return long.groupBy("field").agg(
+        F.sum(F.col("sv").eqNullSafe(F.col("gv")).cast("long")).alias("n_match"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.md5(
+            F.concat_ws(
+                "\x1f",  # joins like the oracle's string_agg(..., chr(31))
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "sv"))),
+                    lambda s: F.coalesce(s["sv"], F.lit("\x00")),
+                ),
+            )
+        ).alias("vals_md5"),
+    )
 
 
 # ---- P1 derivation layer, oracle-checked over the full corpus -------------
@@ -3054,13 +3135,36 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- ANN recall evaluation (quality harness) ------------------------------
-@register("ann_recall_eval")  # rows-only: evaluates approximate operators
+_ANN_FLOORS = {"lsh": 0.2, "ivf": 0.6, "ivf_trained": 0.6}
+
+
+@register(
+    "ann_recall_eval",
+    """
+    WITH nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings WHERE vec_id < 5)
+    SELECT 'lsh' AS method, n AS n_queries, TRUE AS above_floor FROM nq
+    UNION ALL
+    SELECT 'ivf', n, TRUE FROM nq
+    UNION ALL
+    SELECT 'ivf_trained', n, TRUE FROM nq
+    """,
+)
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the two ANN paths against exact brute force — the
     quality harness every approximate index needs: per-query |ANN ∩
     exact| / k via inner joins of (qid, cid) pairs, then one tiny
     aggregation per method. Runs the three searches once each; the
-    exact side is the same broadcast-Q scan the baseline uses."""
+    exact side is the same broadcast-Q scan the baseline uses.
+
+    Bound-check oracle (VERDICT r6 item 6, the r6 approx-family
+    pattern): the recall value itself is the approximate part, so it
+    enters the cross-engine hash only as a deterministic ``above_floor``
+    boolean against conservative per-method floors (lsh >= 0.2,
+    ivf/ivf_trained >= 0.6 — measured 0.40-0.68 and 0.84-1.0 across the
+    three SFs, both hyperplanes and codebook seeded). DuckDB mirrors
+    the expected booleans and recomputes n_queries from the table; a
+    broken index (recall collapse) or a lost query row flips the hash.
+    Tighter per-configuration CIs live in the recall-gate pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     exact = similarity.cosine_topk(emb, q, k=10).select("qid", "cid")
@@ -3072,8 +3176,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") / F.lit(k)).alias("recall")
         ).agg(
             F.lit(method).alias("method"),
-            F.round(F.avg("recall"), 4).alias("avg_recall"),
-            F.count("*").alias("n_queries"),
+            F.count("*").cast("long").alias("n_queries"),
+            (F.avg("recall") >= F.lit(_ANN_FLOORS[method])).alias("above_floor"),
         )
 
     lsh = recall(similarity.lsh_topk(emb, q, k=k, planes=4), "lsh")

@@ -188,3 +188,35 @@ def test_canonical_url(spark, raw, want):
     assert got == want
     # idempotence: canonicalizing the canonical form is a fixpoint
     assert one(spark, FF.canonical_url(F.lit(got))) == got
+
+
+def test_html_golden_fixture_agreement():
+    """The committed golden fixture (fixtures/html_golden.parquet) was
+    produced by an INDEPENDENT stdlib-HTMLParser walker; the engine's
+    regex extractor must agree byte-for-byte on every doc and field,
+    and the committed parquet must match a fresh regeneration (seed
+    stability) — the pure-Python half of the html_extraction_golden
+    cross-engine oracle (VERDICT r6 item 5)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import tools.html_golden_gen as gen
+    from frontpage_spark.html import _extract
+
+    corpus = gen.gen_corpus()
+    assert len(corpus) == 500
+    golden = [gen.golden_extract(h) for _, h in corpus]
+    for (k, h), g in zip(corpus, golden):
+        for f in gen.FIELDS:
+            assert _extract(h, f) == g[f], (k, f)
+    # some docs must be missing each field (null path exercised)
+    for f in gen.FIELDS:
+        assert any(g[f] is None for g in golden), f
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    t = pq.read_table(os.path.join(root, "fixtures", "html_golden.parquet"))
+    assert t.column("k").to_pylist() == [k for k, _ in corpus]
+    for f in gen.FIELDS:
+        assert t.column(f).to_pylist() == [g[f] for g in golden], f
+    tc = pq.read_table(os.path.join(root, "fixtures", "html_corpus.parquet"))
+    assert tc.column("html").to_pylist() == [h for _, h in corpus]
