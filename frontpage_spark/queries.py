@@ -918,6 +918,58 @@ def stream_near_dup_batch_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_near_dup_tiebreak_core",
+    f"""
+    WITH docs AS (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents),
+    ck AS (SELECT doc_id, md5(text) AS c FROM docs),
+    sh AS (SELECT doc_id, {{SHINGLES}} AS shingles FROM docs),
+    hashed AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+    sigs_raw AS ({{SIGS}}),
+    sigs_all AS (SELECT s.*, ck.c FROM sigs_raw s JOIN ck USING (doc_id)),
+    batch AS (SELECT * FROM sigs_all WHERE doc_id % 2 = 1),
+    hist AS (SELECT * FROM sigs_all WHERE doc_id % 2 = 0),
+    dups AS (
+      SELECT DISTINCT s.doc_id FROM batch s JOIN batch c USING (band, minhash)
+      WHERE c.c < s.c OR (c.c = s.c AND c.doc_id < s.doc_id)
+      UNION
+      SELECT DISTINCT s.doc_id FROM batch s JOIN hist h USING (band, minhash)
+      WHERE h.c < s.c OR (h.c = s.c AND h.doc_id < s.doc_id)
+    )
+    SELECT d.doc_id, d.source FROM docs d
+    WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM dups)
+    """.replace("{SHINGLES}", SHINGLES_SQL).replace("{SIGS}", _MINHASH_SIGS_SQL),
+)
+def stream_near_dup_tiebreak_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_near_dup_batch_core`` under the CONTENT-derived
+    claimant rank (round-7 ``content_tiebreak`` mode, VERDICT r6 item
+    4): the per-bucket claimant is min by (content_key, id) instead of
+    raw id, so a re-crawl that reassigns ids converges to the same
+    survivor texts. The oracle uses md5(text) as the content key —
+    any deterministic content function satisfies the rule, and md5 is
+    computable identically by both engines (the streaming loop uses
+    xxhash64, which DuckDB lacks); the id still breaks exact-content
+    ties. Exercises the same ``near_dup_batch_dups(tiebreak_col=...)``
+    struct-rank code path the foreachBatch loop runs, including the
+    lexicographic inequality semi-join against history."""
+    from .ext.dedup import minhash_signatures
+    from .incremental import near_dup_batch_dups
+
+    docs = plans.fan_out(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    hist_docs = docs.filter(F.col("doc_id") % 2 == 0)
+
+    def _sigs(d: DataFrame) -> DataFrame:
+        return minhash_signatures(d.select("doc_id", "text")).join(
+            d.select("doc_id", F.md5("text").alias("__ck")), "doc_id"
+        )
+
+    dups = near_dup_batch_dups(
+        _sigs(batch_docs), _sigs(hist_docs), "doc_id", tiebreak_col="__ck"
+    )
+    return batch_docs.join(dups, "doc_id", "left_anti").select("doc_id", "source")
+
+
+@register(
     "minhash_lsh_candidates",
     f"""
     WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),

@@ -1,0 +1,113 @@
+"""Assemble BENCH_sf1_r07.json — the organic-sf1 bench artifact
+(VERDICT r6 item 7).
+
+The Spark side ran the standard bench.py protocol (cold pass + 3
+interleaved warm passes, median per query) at SPARK_GRAFT_SF_DIR=
+testdata_sf1; its per-query stderr log is the input here (bench.py's
+own DuckDB pass was killed at sf1: the oracle's quadratic embedding
+heavies — list-fold all-pairs cosine over 20k vectors — did not finish
+inside 35 minutes, which is exactly the scaling gap the Spark
+size-gated LSH/GEMM paths exist to close; see the per-query notes).
+
+The DuckDB side therefore runs here with a per-query interrupt cap
+(DUCK_TIMEOUT_S): one timed pass per oracle-covered headline query,
+`timeout: true` recorded when interrupted. The suite ratio is computed
+over the queries DuckDB finished, and the timed-out set is listed —
+no silent truncation.
+
+Run AFTER the Spark log exists:
+  python tools/bench_sf1_assemble.py .bench_sf1_spark.log BENCH_sf1_r07.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import threading
+import time
+
+DUCK_TIMEOUT_S = 180.0
+
+
+def parse_spark_log(path: str) -> tuple[dict, dict]:
+    pat = re.compile(
+        r"^# (\w+): ([0-9.]+)s \(samples ([0-9./]+), cold ([0-9.]+)s\)"
+    )
+    warm, cold = {}, {}
+    for line in open(path):
+        m = pat.match(line.strip())
+        if m:
+            warm[m.group(1)] = float(m.group(2))
+            cold[m.group(1)] = float(m.group(4))
+    return warm, cold
+
+
+def main() -> int:
+    log = sys.argv[1] if len(sys.argv) > 1 else ".bench_sf1_spark.log"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf1_r07.json"
+    sf_dir = os.environ.get("SF1_DIR", os.path.abspath("testdata_sf1"))
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import HEADLINE
+    from frontpage_spark.queries import ORACLES
+    from frontpage_spark.schemas import TESTDATA_TABLES
+
+    warm, cold = parse_spark_log(log)
+    missing = [n for n in HEADLINE if n not in warm]
+    assert not missing, f"spark log incomplete: {missing}"
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    oracle_q: dict[str, float] = {}
+    timed_out: list[str] = []
+    for name in [n for n in HEADLINE if n in ORACLES]:
+        timer = threading.Timer(DUCK_TIMEOUT_S, con.interrupt)
+        timer.start()
+        t0 = time.time()
+        try:
+            con.execute(ORACLES[name]).fetchall()
+            oracle_q[name] = round(time.time() - t0, 3)
+        except Exception:
+            timed_out.append(name)
+            print(f"# {name}: DuckDB interrupted at {DUCK_TIMEOUT_S}s", file=sys.stderr)
+        finally:
+            timer.cancel()
+        print(f"# duck {name}: {oracle_q.get(name, 'TIMEOUT')}", file=sys.stderr)
+
+    finished = {n: v for n, v in oracle_q.items()}
+    spark_covered = sum(warm[n] for n in finished)
+    oracle_total = sum(finished.values())
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "cold_value": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "sf": sf_dir,
+        "sf_note": "organic sf1 (tools/gen_sf1.py seed 777 — fresh draws, not sf0.1 replicas)",
+        "cpus": os.cpu_count(),
+        "spark_protocol": "bench.py cold + 3 interleaved warm passes, median (stderr log)",
+        "oracle_protocol": f"one timed DuckDB pass, {DUCK_TIMEOUT_S:.0f}s interrupt cap per query",
+        "oracle_queries": finished,
+        "oracle_timeouts": timed_out,
+        "oracle_value": round(oracle_total, 3),
+        "ratio_over_finished": round(spark_covered / oracle_total, 3) if oracle_total else None,
+        "spark_total_over_finished": round(spark_covered, 3),
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps({k: out[k] for k in ("value", "oracle_value", "ratio_over_finished", "oracle_timeouts")}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
