@@ -12,15 +12,15 @@ def test_contract_shape():
     # the rows-only set is intentional and small
     # r5 graduated kcore/pq/cms to full oracles; r6 graduated the
     # approx family (approx_distinct_users, approx_percentiles_price,
-    # hll_sketch_union_users) to deterministic within-tolerance
-    # bound-check oracles — what remains is ANN recall (genuinely
-    # approximate ranking) + the HTML UDF
+    # hll_sketch_union_users) to within-tolerance bound-check oracles;
+    # r7 graduated ann_recall_eval (above_floor booleans) and gave the
+    # HTML UDF a golden-fixture hash signal (html_extraction_golden) —
+    # what remains is approximate kNN ranking + the fixture projection
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "html_clean_projection",
         "embedding_knn_lsh",
         "embedding_knn_ivf",
-        "ann_recall_eval",
     }
 
 
