@@ -48,7 +48,8 @@ _R7_SAMPLE_ROTATION = [
     "vocab_growth_by_decile", "video_scene_changes",
     # --- registered new in round 7 (oracle-bearing from birth)
     "html_extraction_golden", "ann_recall_eval",
-    "stream_near_dup_tiebreak_core",
+    "stream_near_dup_tiebreak_core", "chunking_stats",
+    "blocklist_filter_stats",
     # --- plans changed this round: global_prefix_stats consumers
     # (deterministic sampled-boundary buckets, no localCheckpoint)
     "rfm_segments", "ntile_analytics_orders", "pareto_8020_customers",
@@ -64,7 +65,6 @@ _R7_SAMPLE_ROTATION = [
     "dedup_exact", "simhash_buckets", "cdc_substring_dups",
     "benchmark_contamination", "split_leakage_audit",
     "tfidf_top_terms", "bm25_keyword_search", "quality_filter_funnel",
-    "lang_id_heuristic", "token_counts_by_source",
 ]
 
 

@@ -314,3 +314,45 @@ def bpe_train(
         )
         state = _keep(state)
     return merges, state
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size overlapping word-window chunking — the standard
+    pretraining/RAG preprocessing step (context windows with overlap
+    so no boundary-spanning span is lost). One row per chunk:
+    (id, chunk_idx, chunk_text, n_words); the final chunk is the
+    ragged tail (n_words <= size), empty docs produce one empty chunk.
+
+    Scale: pure Column expressions — sequence() builds the start
+    offsets, posexplode fans out, slice/concat_ws materialize the
+    window. Narrow per-row work (no shuffle, no Python); the fan-out
+    factor is ~len/stride, so a partition's output is proportional to
+    its input bytes and the operator composes with any downstream
+    chunk-level dedup/embedding stage without a repartition.
+    ``stride < size`` gives overlap ``size - stride``; ``stride ==
+    size`` is exact tiling. ``stride > size`` (gaps) is rejected —
+    silently dropping words between windows is never what a corpus
+    pipeline wants."""
+    if stride > size or stride <= 0:
+        raise ValueError(f"chunk_documents: need 0 < stride <= size, got {stride}/{size}")
+    w = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride)
+    )
+    out = docs.select(
+        F.col(id_col),
+        w.alias("__w"),
+        F.posexplode(starts).alias("chunk_idx", "__s"),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", F.slice("__w", F.col("__s") + 1, size)).alias("chunk_text"),
+        F.least(F.lit(size), F.size("__w") - F.col("__s")).cast("long").alias("n_words"),
+    )

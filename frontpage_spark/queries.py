@@ -4539,7 +4539,7 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id), collapse to per-session [start, end] intervals (the
     keyed agg shrinks events -> sessions), then +1/-1 boundary points
     with a running sum. The global cumsum is the two-phase prefix sum
-    (``plans.global_prefix_stats``): range exchange on the sweep
+    (``plans.global_prefix_stats``): deterministic range buckets on the sweep
     order + per-partition running sums in parallel + broadcast carried
     offsets — no single-partition WindowExec even though the sweep is
     globally ordered (VERDICT r5 item 1). Ties (+1 sorts before -1 at
@@ -6562,7 +6562,7 @@ def vocab_growth_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The global occurrence position runs over the EXPLODED token
     stream — the largest input any ranking operator here sees — via
-    ``plans.global_prefix_stats`` (range exchange on (doc_id, pos) +
+    ``plans.global_prefix_stats`` (deterministic range buckets on (doc_id, pos) +
     parallel per-partition row_number + broadcast offsets; the naive
     row_number() OVER (ORDER BY ...) would drag every token of a
     100 TB corpus through ONE partition). First-occurrence is a keyed
@@ -6595,6 +6595,125 @@ def vocab_growth_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decile")
     ).agg(F.count(F.lit(1)).alias("new_types"))
+
+
+# ---- fixed-size overlapping chunking (pretraining/RAG windows) -------------
+@register(
+    "chunking_stats",
+    """
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    st AS (
+      SELECT doc_id, source, w,
+             unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s
+      FROM d
+    ),
+    ch AS (
+      SELECT doc_id, source, s // 48 AS chunk_idx,
+             array_to_string(w[s + 1 : s + 64], ' ') AS chunk_text,
+             least(64, len(w) - s) AS n_words
+      FROM st
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_words) AS BIGINT) AS total_chunk_words,
+           CAST(COUNT(DISTINCT chunk_text) AS BIGINT) AS distinct_chunks,
+           CAST(SUM(CASE WHEN n_words < 64 THEN 1 ELSE 0 END) AS BIGINT) AS ragged_tails
+    FROM ch GROUP BY source
+    """,
+)
+def chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking audit over the corpus — the
+    context-window preprocessing step (size 64, stride 48 => 16-word
+    overlap so no boundary-spanning span is lost). Per source: chunk
+    count, total chunk words (measures the overlap-induced token
+    amplification a storage planner budgets for), distinct chunk texts
+    (chunk-level dedup headroom — overlapping windows of near-dup docs
+    collide here first), ragged tails.
+
+    Scale: ``ext.prep.chunk_documents`` is narrow per-row Column work
+    (sequence + posexplode + slice, no Python, no shuffle); the only
+    exchange is the final per-source aggregation, map-side combined.
+    Output is ~len/stride rows per doc, proportional to input bytes —
+    the operator composes with downstream chunk-level dedup/embedding
+    without a repartition."""
+    from .ext.prep import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return ch.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_words").alias("total_chunk_words"),
+        F.countDistinct("chunk_text").alias("distinct_chunks"),
+        F.sum((F.col("n_words") < 64).cast("long")).alias("ragged_tails"),
+    )
+
+
+# ---- multi-phrase blocklist filter (relational, not K-regex) ----------------
+_BLOCK_PHRASES = ["slow scan", "big hash", "dup data", "fast join"]
+
+
+@register(
+    "blocklist_filter_stats",
+    f"""
+    WITH block(phrase) AS (VALUES {", ".join(f"('{p}')" for p in _BLOCK_PHRASES)}),
+    d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    ii AS (
+      SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 1)) AS i
+      FROM d WHERE len(w) >= 2
+    ),
+    bg AS (SELECT doc_id, source, w[i] || ' ' || w[i + 1] AS phrase FROM ii),
+    hits AS (SELECT bg.* FROM bg JOIN block USING (phrase)),
+    flagged AS (SELECT DISTINCT doc_id FROM hits)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(COALESCE(SUM(h.nh), 0) AS BIGINT) AS phrase_hits
+    FROM d
+    LEFT JOIN flagged f USING (doc_id)
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS nh FROM hits GROUP BY doc_id) h ON d.doc_id = h.doc_id
+    GROUP BY d.source
+    """,
+)
+def blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banned-phrase blocklist filtering — the safety/compliance gate
+    every training corpus runs before tokenization. Per source: docs
+    scanned, docs flagged (contain ANY blocklist phrase), and total
+    phrase occurrences.
+
+    Scale: RELATIONAL matching, not a K-pattern regex per row — the
+    doc side explodes to word bigrams (narrow) and semi/inner-joins a
+    BROADCAST blocklist on the exact phrase, so cost is one scan +
+    one broadcast hash join however long the blocklist grows (a
+    per-row regex alternation re-scans every doc K times and cannot
+    be pushed down; at 100 TB the join form also lets AQE skew-split a
+    phrase that half the corpus contains). Flag rollup is a distinct +
+    left join back, all map-side combinable."""
+    docs = _t(spark, sf_dir, "documents")
+    block = spark.createDataFrame([(p,) for p in _BLOCK_PHRASES], "phrase string")
+    w = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "filter(transform(split(text, ' '), (x, i) ->"
+                " IF(i < size(split(text, ' ')) - 1,"
+                " concat(x, ' ', element_at(split(text, ' '), i + 2)), NULL)),"
+                " x -> x IS NOT NULL)"
+            )
+        ).alias("__i", "phrase"),
+    )
+    hits = w.join(F.broadcast(block), "phrase").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nh")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("nh").isNotNull().cast("long")).alias("n_flagged"),
+            F.coalesce(F.sum("nh"), F.lit(0)).cast("long").alias("phrase_hits"),
+        )
+    )
 
 
 # ---- sequence packing: concatenate-and-cut training sequences --------------
@@ -6770,7 +6889,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     The greedy prefix needs a GLOBAL ordered cumulative sum over every
     candidate document — exactly the operator that is a one-partition
     WindowExec if written naively. It rides ``plans.global_prefix_stats``
-    (range exchange + per-partition running sums + broadcast offsets),
+    (deterministic range buckets + per-partition running sums + inlined offsets),
     with the corpus token total falling out of the same offsets pass,
     so selection stays fully parallel at any corpus size."""
     docs = _t(spark, sf_dir, "documents")
@@ -9004,7 +9123,7 @@ def exp_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous surrogate ids in (source, doc_id) order via
-    ``plans.assign_dense_ids`` — range exchange + per-partition
+    ``plans.assign_dense_ids`` — deterministic range buckets + per-partition
     row_number + offset cumsum, never a one-partition global sort (the
     oracle's literal ``row_number() OVER (ORDER BY ...)`` IS that
     anti-pattern, which is the point of the comparison). The per-source
@@ -11696,7 +11815,7 @@ def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry 80% of tokens has a diversity problem; same query, swap the
     rollup). The crossing point is found with an integer cross-
     multiplication (cum·5 ≥ tot·4 — no float threshold), prefix sums
-    come from ``plans.global_prefix_stats`` — range exchange + parallel
+    come from ``plans.global_prefix_stats`` — deterministic range buckets + parallel
     per-partition running sums + broadcast offsets, NO single-partition
     WindowExec (VERDICT r5 item 1) — and the grand totals fall out of
     its offsets pass for free. Scale: keyed rollup shuffle + one range

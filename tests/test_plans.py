@@ -356,8 +356,8 @@ def test_no_unpartitioned_window_over_unbounded_rows(spark):
     input grows with the data. The four offenders (rfm_segments,
     ntile_analytics_orders, pareto_8020_customers,
     peak_concurrent_sessions) now route through
-    plans.global_prefix_stats (range exchange + per-partition windows
-    + broadcast offsets) and must stay fixed. The remaining
+    plans.global_prefix_stats (deterministic range buckets +
+    per-partition windows + shipped offsets) and must stay fixed. The remaining
     unpartitioned windows sit over ROLLUP-BOUNDED inputs (calendar
     days/months, trained vocab, scored candidate sets) — allowlisted
     here so any NEW global window over unbounded rows fails this test

@@ -96,3 +96,34 @@ def test_bpe_encode_counts(spark):
     assert merges == [(1, "l", "o"), (2, "lo", "w")]
     assert row["word"] == "low" and row["st"] == "•low•" and row["wc"] == 3
     state.unpersist()
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """chunk_documents: stride-48/size-64 windows cover every word,
+    adjacent chunks overlap by size-stride words, the tail is ragged,
+    and gap configurations (stride > size) are rejected."""
+    import pytest
+
+    from frontpage_spark.ext.prep import chunk_documents
+
+    words = [f"w{i}" for i in range(130)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_words"])
+        for r in chunk_documents(docs).collect()
+    }
+    # doc 1: starts 0,48,96 -> 3 chunks; full coverage with 16-word overlap
+    assert [k[1] for k in sorted(rows) if k[0] == 1] == [0, 1, 2]
+    assert rows[(1, 0)][0].split() == words[0:64]
+    assert rows[(1, 1)][0].split() == words[48:112]
+    assert rows[(1, 2)] == (" ".join(words[96:130]), 34)  # ragged tail
+    assert rows[(1, 0)][0].split()[48:] == rows[(1, 1)][0].split()[:16]
+    # short doc: one chunk, n_words = all of them
+    assert rows[(2, 0)] == ("a b c", 3)
+    # empty text: split('') is [''] — one empty chunk, consistent with
+    # the DuckDB oracle's string_split semantics
+    assert rows[(3, 0)][1] == 1
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, size=8, stride=9)
