@@ -680,16 +680,37 @@ def global_prefix_stats_multi(
         )
     K = len(parsed)
 
-    # --- job 1: ONE boundary sample serving every spec
+    all_srcs: list[str] = []
+    for p in parsed:
+        for src in p["sums"]:
+            if src not in all_srcs:
+                all_srcs.append(src)
+
+    # --- job 1: ONE boundary sample serving every spec. The sample
+    # also carries the sum source columns: when it EXHAUSTS the input
+    # (n <= cap — the size-gate pattern), the driver already holds
+    # every key, so the per-bucket counts/sums fall out here and the
+    # offsets job is skipped entirely (3 jobs -> 2 for bounded
+    # rollups like rfm_segments; unbounded inputs take the normal
+    # aggregation path).
     flat = [
         (k, i, c)
         for k, p in enumerate(parsed)
         for i, c in enumerate(p["keys"])
     ]
-    proj = df.select(*[c.alias(f"__b{k}_{i}") for k, i, c in flat])
+    proj = df.select(
+        *[c.alias(f"__b{k}_{i}") for k, i, c in flat],
+        *[F.col(src).alias(f"__sum_{j}") for j, src in enumerate(all_srcs)],
+    )
+    # cap sizing: TakeOrdered keeps `cap` rows PER PARTITION before the
+    # driver merge, so a large cap inflates the sample job even when
+    # the input is small (measured: cap 32k turned a 0.1s sample into
+    # 0.6s+ on a 15k-row rollup) — keep it at boundary-sample size and
+    # let the exhausted fast path engage only for genuinely tiny inputs
     cap = min(max(nb * 60, 200), 200_000)
     hash_cols = [F.col(f"__b{k}_{i}") for k, i, _ in flat]
     samp_rows = proj.orderBy(F.xxhash64(*hash_cols).asc()).limit(cap).collect()
+    exhausted = len(samp_rows) < cap
     key_types = {
         (k, i): proj.schema[f"__b{k}_{i}"].dataType.simpleString() for k, i, _ in flat
     }
@@ -729,38 +750,73 @@ def global_prefix_stats_multi(
     )
 
     # --- job 2: ONE offsets aggregation (plain groupBy for K=1,
-    # GROUPING SETS above). Bucket ids are never NULL, so a result row
+    # GROUPING SETS above; SKIPPED when the sample exhausted the
+    # input — the driver computes the identical per-bucket rollup from
+    # the collected rows). Bucket ids are never NULL, so a result row
     # belongs to spec k iff its __part{k} is non-NULL.
-    all_srcs: list[str] = []
-    for p in parsed:
-        for src in p["sums"]:
-            if src not in all_srcs:
-                all_srcs.append(src)
-    aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum(src).alias(f"__s_{i}") for i, src in enumerate(all_srcs)
-    ]
-    part_cols = [F.col(f"__part{k}") for k in range(K)]
-    if K == 1:
-        grouped = wp.groupBy(part_cols[0]).agg(*aggs)
-    else:
-        grouped = wp.groupingSets([[pc] for pc in part_cols], *part_cols).agg(*aggs)
-    collected = grouped.collect()
+    collected = None
+    if not exhausted:
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(src).alias(f"__s_{i}") for i, src in enumerate(all_srcs)
+        ]
+        part_cols = [F.col(f"__part{k}") for k in range(K)]
+        if K == 1:
+            grouped = wp.groupBy(part_cols[0]).agg(*aggs)
+        else:
+            grouped = wp.groupingSets([[pc] for pc in part_cols], *part_cols).agg(*aggs)
+        collected = grouped.collect()
 
     out = wp
     drop_cols: list[str] = []
     for k, p in enumerate(parsed):
-        rows = sorted(
-            (r[f"__part{k}"], r) for r in collected if r[f"__part{k}"] is not None
-        )
         srcs = list(p["sums"])
         src_idx = {src: all_srcs.index(src) for src in srcs}
-        off_rows, acc_n = [], 0
-        acc_s = {src: 0 for src in srcs}
-        for pid, r in rows:
-            off_rows.append((pid, acc_n, *[acc_s[src] for src in srcs]))
-            acc_n += r["__n"]
-            for src in srcs:
-                acc_s[src] += r[f"__s_{src_idx[src]}"] or 0
+        if exhausted:
+            # merge-walk the fully-collected keys in this spec's order
+            # against its sorted bounds: bucket(x) = #bounds <= x,
+            # identical to the SQL binary search by construction
+            import functools
+
+            nk = len(p["keys"])
+            rows_k = sorted(
+                (
+                    (
+                        tuple(r[f"__b{k}_{i}"] for i in range(nk)),
+                        [r[f"__sum_{src_idx[src]}"] for src in srcs],
+                    )
+                    for r in samp_rows
+                ),
+                key=functools.cmp_to_key(
+                    lambda a, b, _c=p["cmp"]: _c(a[0], b[0])
+                ),
+            )
+            cnt: dict[int, list] = {}
+            bi, bounds, cmp = 0, p["bounds"], p["cmp"]
+            for key, sums_v in rows_k:
+                while bi < len(bounds) and cmp(bounds[bi], key) <= 0:
+                    bi += 1
+                slot = cnt.setdefault(bi, [0] + [0] * len(srcs))
+                slot[0] += 1
+                for j, v in enumerate(sums_v):
+                    slot[j + 1] += v or 0
+            off_rows, acc_n = [], 0
+            acc_s = {src: 0 for src in srcs}
+            for pid in sorted(cnt):
+                off_rows.append((pid, acc_n, *[acc_s[src] for src in srcs]))
+                acc_n += cnt[pid][0]
+                for j, src in enumerate(srcs):
+                    acc_s[src] += cnt[pid][j + 1]
+        else:
+            rows = sorted(
+                (r[f"__part{k}"], r) for r in collected if r[f"__part{k}"] is not None
+            )
+            off_rows, acc_n = [], 0
+            acc_s = {src: 0 for src in srcs}
+            for pid, r in rows:
+                off_rows.append((pid, acc_n, *[acc_s[src] for src in srcs]))
+                acc_n += r["__n"]
+                for src in srcs:
+                    acc_s[src] += r[f"__s_{src_idx[src]}"] or 0
         if p["totals"] is not None:
             p["totals"][p["rn"]] = acc_n
             p["totals"].update(acc_s)

@@ -476,3 +476,32 @@ def test_global_prefix_stats_matches_window(spark):
     t3: dict = {}
     empty = global_prefix_stats(small.filter("id < 0"), [F.col("id")], totals=t3)
     assert empty.count() == 0 and t3["rn"] == 0
+
+
+def test_global_prefix_stats_exhausted_sample_driver_offsets(spark):
+    """When the boundary sample exhausts the input (n <= cap), the
+    offsets aggregation is computed DRIVER-side from the collected
+    rows (round-7 size gate) — totals, ranks, and prefix sums must be
+    identical to the window reference on that path. (The build's job
+    count is not asserted: collect() on a sorted limit uses Spark's
+    progressive take, which may probe in several jobs.)"""
+    from pyspark.sql.window import Window
+
+    from frontpage_spark.plans import global_prefix_stats
+
+    df = spark.range(0, 150).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(97)).alias("k")
+    )
+    t: dict = {}
+    got = global_prefix_stats(
+        df, [F.col("id")], sums={"k": "ck"}, rn_col="rn", n_parts=8, totals=t
+    )
+    # exhaustion precondition of this test: n < cap (cap >= 200)
+    assert t["rn"] == 150 and t["k"] == sum(
+        r["k"] for r in df.select("k").collect()
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = {r["id"]: (r["rn"], r["ck"]) for r in df.select(
+        "id", F.row_number().over(Window.orderBy("id")).cast("long").alias("rn"),
+        F.sum("k").over(w).alias("ck")).collect()}
+    assert {r["id"]: (r["rn"], r["ck"]) for r in got.collect()} == ref
