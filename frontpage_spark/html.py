@@ -24,7 +24,26 @@ import pandas as pd
 from pyspark.sql import Column, functions as F
 from pyspark.sql.functions import pandas_udf
 
-_TAG_RE = re.compile(r"<[^>]+>")
+# quote-aware tag interior: a real parser allows '>' INSIDE quoted
+# attribute values (title="a>b"); [^>]* would end the tag there and
+# corrupt both selector matches and element extents (round-7 golden
+# corpus hardening)
+_TI = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*?"
+_TAG_RE = re.compile(rf"<{_TI}>")
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+# script/style content is CDATA to a real parser — selector-shaped
+# strings inside it must never match (bs4 parity)
+_CDATA_RE = re.compile(
+    rf"<(script|style)\b{_TI}>.*?</\1\s*>", re.S | re.I
+)
+
+
+def _prepare(html: str) -> str:
+    """Selector-visibility preprocessing, once per document: drop
+    comments and script/style CDATA blocks — regions where a real HTML
+    parser (the reference's BeautifulSoup) never matches elements but a
+    raw regex scan would."""
+    return _CDATA_RE.sub(" ", _COMMENT_RE.sub(" ", html))
 
 
 def _strip_tags(html: str) -> str:
@@ -36,7 +55,7 @@ def _balanced_inner(html: str, open_end: int, tag: str) -> str:
     ``open_end``, scanning forward and counting same-tag open/close pairs
     so nested elements are included in full. Unclosed elements extend to
     end-of-document (bs4-style leniency)."""
-    pat = re.compile(rf"<{tag}\b[^>]*>|</{tag}\s*>", re.I | re.S)
+    pat = re.compile(rf"<{tag}\b{_TI}>|</{tag}\s*>", re.I | re.S)
     depth = 1
     for m in pat.finditer(html, open_end):
         if m.group(0).startswith("</"):
@@ -69,12 +88,12 @@ def _id_re(elem_id: str) -> str:
 
 
 def _div_by_class(html: str, cls: str) -> str | None:
-    m = re.search(rf"<div[^>]*{_class_re(cls)}[^>]*>", html, re.S | re.I)
+    m = re.search(rf"<div\b{_TI}{_class_re(cls)}{_TI}>", html, re.S | re.I)
     return _balanced_inner(html, m.end(), "div") if m else None
 
 
 def _elem_by_id(html: str, elem_id: str) -> str | None:
-    m = re.search(rf"<([a-z0-9]+)[^>]*{_id_re(elem_id)}[^>]*>", html, re.S | re.I)
+    m = re.search(rf"<([a-z0-9]+)\b{_TI}{_id_re(elem_id)}{_TI}>", html, re.S | re.I)
     return _balanced_inner(html, m.end(), m.group(1)) if m else None
 
 
@@ -89,9 +108,11 @@ def _clean_text(s: str | None) -> str | None:
     return txt
 
 
-def _extract(html: str | None, field: str) -> str | None:
+def _extract(html: str | None, field: str, prepared: bool = False) -> str | None:
     if html is None:
         return None
+    if not prepared:
+        html = _prepare(html)
     try:
         if field == "post_date_raw":  # F4: div.adInfo text minus 'Posted:'
             t = _clean_text(_div_by_class(html, "adInfo"))
@@ -103,27 +124,27 @@ def _extract(html: str | None, field: str) -> str | None:
             return _clean_text(_div_by_class(html, "postingBody"))
         if field == "poster_age":  # F10: p.metaInfoDisplay minus label
             m = re.search(
-                rf"<p[^>]*{_class_re('metaInfoDisplay')}[^>]*>", html, re.S | re.I
+                rf"<p\b{_TI}{_class_re('metaInfoDisplay')}{_TI}>", html, re.S | re.I
             )
             t = _clean_text(_balanced_inner(html, m.end(), "p") if m else None)
             return t.replace("Poster's age:", "").strip() if t is not None else None
         if field == "locations":  # F8: div whose direct text starts 'Location:'
             t = None
-            for m in re.finditer(r"<div[^>]*>(?=[^<]*Location:)", html, re.S | re.I):
+            for m in re.finditer(rf"<div\b{_TI}>(?=[^<]*Location:)", html, re.S | re.I):
                 t = _clean_text(_balanced_inner(html, m.end(), "div"))
                 break
             return t.replace("Location:", "").strip() if t is not None else None
         if field == "other_ads":  # F5: hrefs of div.cat under #OtherAdsByThisUser
             m = re.search(
-                rf"{_id_re('OtherAdsByThisUser')}[^>]*>(.*)", html, re.S | re.I
+                rf"{_id_re('OtherAdsByThisUser')}{_TI}>(.*)", html, re.S | re.I
             )
             if not m:
                 return None
             hrefs = [
                 next(g for g in hm.groups() if g is not None)
                 for hm in re.finditer(
-                    rf"<div[^>]*{_class_re('cat')}[^>]*>.*?"
-                    r"<a[^>]+href\s*=\s*(?:\"([^\"]+)\"|'([^']+)'|([^\s>'\"][^\s>]*))",
+                    rf"<div\b{_TI}{_class_re('cat')}{_TI}>.*?"
+                    rf"<a\b{_TI}href\s*=\s*(?:\"([^\"]+)\"|'([^']+)'|([^\s>'\"][^\s>]*))",
                     m.group(1),
                     re.S | re.I,
                 )
@@ -152,8 +173,17 @@ def _get_extract_all():
         def _extract_all(html: pd.Series) -> pd.DataFrame:
             # all six HTML fields in ONE Arrow round trip — the HTML
             # column (by far the widest) crosses to Python once per
-            # batch, not once per field
-            return pd.DataFrame({f: html.map(lambda h: _extract(h, f)) for f in FIELDS})
+            # batch, not once per field; comment/CDATA preprocessing
+            # runs once per DOCUMENT, shared by the six extracts
+            def row(h):
+                if h is None:
+                    return (None,) * len(FIELDS)
+                p = _prepare(h)
+                return tuple(_extract(p, f, prepared=True) for f in FIELDS)
+
+            return pd.DataFrame(
+                html.map(row).tolist(), columns=list(FIELDS), index=html.index
+            )
 
         _extract_all_udf = _extract_all
     return _extract_all_udf

@@ -208,12 +208,28 @@ def gen_doc(rng: random.Random, i: int) -> str:
         parts.append('<div class="adInfoBox">decoy not a date</div>')
     if rng.random() < 0.4:
         parts.append("<div>advert header</div>")
+    # a real HTML parser must not match selectors inside COMMENTS or
+    # SCRIPT/STYLE CDATA (the reference's BeautifulSoup does not; a
+    # naive regex extractor would) — round-7 hardening cases
+    if rng.random() < 0.25:
+        parts.append('<!-- <div class="adInfo"> Posted: Friday, May 5, 2017 1:11 AM </div> -->')
+    if rng.random() < 0.25:
+        parts.append(
+            '<script>var tpl = "<div class=\\"postingBody\\">decoy body</div>";</script>'
+        )
+    if rng.random() < 0.15:
+        parts.append('<style>.postingBody { color: red } /* <p class="metaInfoDisplay"> */</style>')
+    # attribute values containing '>' — legal HTML that breaks
+    # [^>]*-style tag matching
+    if rng.random() < 0.2:
+        parts.append(f'<div class="note" title="a>b {i}">angle attr decoy</div>')
     # post date (5% missing)
     if rng.random() >= 0.05:
         wd = rng.choice(["Monday", "Tuesday", "Friday", "Sunday"])
         mo = rng.choice(["January", "May", "July", "October"])
         date_txt = f"Posted: {wd}, {mo} {1 + i % 28}, 201{4 + i % 4} {1 + i % 12}:{i % 60:02d} {'AM' if i % 2 else 'PM'}"
-        parts.append(f"<div {_cls(rng, 'adInfo')}>{nl} {date_txt} {nl}</div>")
+        angle = f' title="v>{i}"' if rng.random() < 0.15 else ""
+        parts.append(f"<div {_cls(rng, 'adInfo')}{angle}>{nl} {date_txt} {nl}</div>")
     # title (3% missing), sometimes on a span, sometimes nested markup
     if rng.random() >= 0.03:
         ttag = rng.choice(["div", "div", "span"])
