@@ -35,6 +35,7 @@ SEQUENCE = [
     "char_entropy_by_source",
     "lang_id_heuristic",
     "split_leakage_audit",
+    "rfm_segments",
 ]
 
 
@@ -133,3 +134,72 @@ def test_release_kept_idempotent(spark):
 
     plans.release_kept()
     assert plans.release_kept() == 0
+
+
+def test_no_unmatched_bare_persist_static_sweep():
+    """Static sweep (VERDICT r7 item 2): every ``.persist()`` call in the
+    engine source must be either (a) inside ``plans.py`` (keep() itself),
+    or (b) inside a function that ALSO calls ``.unpersist()`` — i.e. a
+    scoped persist/unpersist pair, never a fire-and-forget cache that
+    parks blocks in the CacheManager for the life of the session.
+    Builders that want a persist without a paired release must route it
+    through ``plans.keep()`` (bounded FIFO)."""
+    import ast
+    from pathlib import Path
+
+    src_root = Path(__file__).resolve().parent.parent / "frontpage_spark"
+
+    def calls_in(fn_node, attr):
+        return [
+            n
+            for n in ast.walk(fn_node)
+            if isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr == attr
+        ]
+
+    offenders = []
+    for py in sorted(src_root.rglob("*.py")):
+        if py.name == "plans.py":
+            continue  # keep()/release_kept() own the persist lifecycle
+        tree = ast.parse(py.read_text(), filename=str(py))
+        # innermost enclosing function wins: collect (func, persists)
+        funcs = [
+            n
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        seen_ids = set()
+        for fn in funcs:
+            persists = [
+                p for p in calls_in(fn, "persist") if id(p) not in seen_ids
+            ]
+            # nested defs appear in both the outer and inner walk; credit
+            # an unpersist anywhere in the same (outer) function scope
+            if persists and not calls_in(fn, "unpersist"):
+                # a persist() whose RESULT is passed to plans.keep() is
+                # fine; detect the keep(...) wrapper form
+                kept = {
+                    id(arg)
+                    for n in ast.walk(fn)
+                    if isinstance(n, ast.Call)
+                    and (
+                        (isinstance(n.func, ast.Name) and n.func.id == "keep")
+                        or (
+                            isinstance(n.func, ast.Attribute)
+                            and n.func.attr == "keep"
+                        )
+                    )
+                    for arg in ast.walk(n)
+                }
+                bare = [p for p in persists if id(p) not in kept]
+                if bare:
+                    offenders.append(
+                        f"{py.relative_to(src_root)}:{bare[0].lineno} in {fn.name}()"
+                    )
+            for p in persists:
+                seen_ids.add(id(p))
+    assert not offenders, (
+        "bare .persist() without a same-function .unpersist() or "
+        f"plans.keep() routing: {offenders}"
+    )
