@@ -7,13 +7,29 @@ parsing is the single part of the scalar library not expressible as
 native column expressions, so it rides in Arrow-batched pandas UDFs —
 one vectorized regex pass per batch, never a per-row Python round trip.
 
-The extraction targets the same selector semantics on the fixture
-corpus (FIXTURES.md §A1): class/id-anchored elements with text
-payloads. Selector matching is regex-anchored, but the *extent* of a
-matched element is found with a depth-counting balanced scan — nested
-same-tag markup inside ``postingBody``/``locations`` is included in
-full, matching BeautifulSoup's ``getText()`` semantics on real-world
-(non-fixture) HTML instead of truncating at the first close tag.
+Parity contract (matches bs4 ``getText()`` + the reference's cleanup,
+etl_process.py:31-33, pinned by the independent-parser golden fixture,
+tools/html_golden_gen.py):
+
+- **Structure vs text are two layers.** Selector matching and element
+  extent (depth-counted balanced scan) run against a *matching copy*
+  of the document in which comments and script/style CDATA content are
+  blanked to same-length spaces — a real HTML parser never matches
+  elements there. Text extraction then slices the ORIGINAL document by
+  position, dropping only comment spans and real-tag spans. So script/
+  style text INSIDE a selected element is INCLUDED in its text (bs4's
+  ``getText()`` includes script/style strings; so does the stdlib
+  ``html.parser`` walker the golden fixture uses), while selector-shaped
+  strings inside script/style never match and markup inside CDATA never
+  perturbs depth counting.
+- **Text nodes concatenate with NO separator** (``getText()`` default),
+  then the reference's exact cleanup: drop ``\\r``/``\\n``, ascii-ignore,
+  strip. No whitespace collapsing, no tags-as-spaces — ``abc<b>def``
+  is ``abcdef``, and interior space runs survive verbatim.
+- Matched-element extents include nested same-tag markup in full;
+  unclosed elements extend to end-of-document (bs4-style leniency).
+- Entity decoding is out of contract (the reference corpus is
+  entity-free ad markup; a raw-text extractor must not decode).
 """
 
 from __future__ import annotations
@@ -24,47 +40,94 @@ import pandas as pd
 from pyspark.sql import Column, functions as F
 from pyspark.sql.functions import pandas_udf
 
-# quote-aware tag interior: a real parser allows '>' INSIDE quoted
-# attribute values (title="a>b"); [^>]* would end the tag there and
-# corrupt both selector matches and element extents (round-7 golden
-# corpus hardening)
-_TI = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*?"
-_TAG_RE = re.compile(rf"<{_TI}>")
+# Tag interior. A quote opens a quoted ATTRIBUTE VALUE only directly
+# after '=' (plus optional whitespace) — that is where a real parser
+# (html.parser's attrfind, bs4) allows '>' inside the value. A quote
+# anywhere else (inside an UNQUOTED value: <div title=don't>,
+# onclick=f("x")) is an ordinary character and must NOT start a scan to
+# the next quote, which could overshoot the real '>' and mis-extend the
+# tag (round-8 hardening; previously any quote opened a quoted section).
+_TI = "(?:=\\s*\"[^\"]*\"|=\\s*'[^']*'|[^>])*?"
+# Real tags only (start/end tags, markup declarations, processing
+# instructions). A '<' not opening one of these is literal text to
+# html.parser/bs4 ("a < b > c" stays text) and must survive extraction.
+_TAG_RE = re.compile(rf"</?[a-zA-Z]{_TI}>|<![^>]*>|<\?[^>]*>")
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 # script/style content is CDATA to a real parser — selector-shaped
-# strings inside it must never match (bs4 parity)
-_CDATA_RE = re.compile(
-    rf"<(script|style)\b{_TI}>.*?</\1\s*>", re.S | re.I
-)
+# strings inside it must never MATCH (but its text is still part of
+# getText(), see _Doc)
+_CDATA_RE = re.compile(rf"<(script|style)\b{_TI}>(.*?)</\1\s*>", re.S | re.I)
 
 
-def _prepare(html: str) -> str:
-    """Selector-visibility preprocessing, once per document: drop
-    comments and script/style CDATA blocks — regions where a real HTML
-    parser (the reference's BeautifulSoup) never matches elements but a
-    raw regex scan would."""
-    return _CDATA_RE.sub(" ", _COMMENT_RE.sub(" ", html))
+class _Doc:
+    """One parsed-enough document: ``orig`` (raw bytes of truth for
+    text), ``mc`` (same-length matching copy: comments blanked, script/
+    style CONTENT blanked, their tags kept), and the sorted spans to
+    drop from any extracted text slice (comments + real tags)."""
+
+    __slots__ = ("orig", "mc", "_skips")
+
+    def __init__(self, html: str):
+        self.orig = html
+        skips: list[tuple[int, int]] = []
+        if "<!--" in html:
+            buf = list(html)
+            for m in _COMMENT_RE.finditer(html):
+                s, e = m.span()
+                buf[s:e] = " " * (e - s)
+                skips.append((s, e))
+            c1 = "".join(buf)
+        else:
+            c1 = html
+        low = c1 if c1.islower() else c1.lower()
+        if "<script" in low or "<style" in low:
+            buf = list(c1)
+            for m in _CDATA_RE.finditer(c1):
+                s, e = m.span(2)  # content only; the tags stay visible
+                buf[s:e] = " " * (e - s)
+            self.mc = "".join(buf)
+        else:
+            self.mc = c1
+        for m in _TAG_RE.finditer(self.mc):
+            skips.append(m.span())
+        skips.sort()
+        self._skips = skips
+
+    def text(self, a: int, b: int) -> str:
+        """Concatenated text nodes of orig[a:b] — skip spans removed
+        with NO separator (bs4 getText() default)."""
+        out: list[str] = []
+        pos = a
+        for s, e in self._skips:
+            if e <= pos:
+                continue
+            if s >= b:
+                break
+            if s > pos:
+                out.append(self.orig[pos:s])
+            pos = e
+            if pos >= b:
+                break
+        if pos < b:
+            out.append(self.orig[pos:b])
+        return "".join(out)
 
 
-def _strip_tags(html: str) -> str:
-    return _TAG_RE.sub(" ", html)
-
-
-def _balanced_inner(html: str, open_end: int, tag: str) -> str:
-    """Inner content of the element whose opening ``<tag ...>`` ends at
-    ``open_end``, scanning forward and counting same-tag open/close pairs
-    so nested elements are included in full. Unclosed elements extend to
-    end-of-document (bs4-style leniency)."""
+def _balanced_end(mc: str, open_end: int, tag: str) -> int:
+    """End position (start of the matching close tag) of the element
+    whose opening ``<tag ...>`` ends at ``open_end``, counting same-tag
+    open/close pairs so nested elements are included in full. Unclosed
+    elements extend to end-of-document (bs4-style leniency)."""
     pat = re.compile(rf"<{tag}\b{_TI}>|</{tag}\s*>", re.I | re.S)
     depth = 1
-    for m in pat.finditer(html, open_end):
+    for m in pat.finditer(mc, open_end):
         if m.group(0).startswith("</"):
             depth -= 1
             if depth == 0:
-                return html[open_end : m.start()]
+                return m.start()
         else:
             depth += 1
-    return html[open_end:]
+    return len(mc)
 
 
 def _class_re(cls: str) -> str:
@@ -87,65 +150,72 @@ def _id_re(elem_id: str) -> str:
     return rf"id\s*=\s*(?:\"{i}\"|'{i}'|{i}(?=[\s/>]))"
 
 
-def _div_by_class(html: str, cls: str) -> str | None:
-    m = re.search(rf"<div\b{_TI}{_class_re(cls)}{_TI}>", html, re.S | re.I)
-    return _balanced_inner(html, m.end(), "div") if m else None
+def _div_by_class(d: _Doc, cls: str) -> str | None:
+    m = re.search(rf"<div\b{_TI}{_class_re(cls)}{_TI}>", d.mc, re.S | re.I)
+    return d.text(m.end(), _balanced_end(d.mc, m.end(), "div")) if m else None
 
 
-def _elem_by_id(html: str, elem_id: str) -> str | None:
-    m = re.search(rf"<([a-z0-9]+)\b{_TI}{_id_re(elem_id)}{_TI}>", html, re.S | re.I)
-    return _balanced_inner(html, m.end(), m.group(1)) if m else None
+def _elem_by_id(d: _Doc, elem_id: str) -> str | None:
+    m = re.search(rf"<([a-z0-9]+)\b{_TI}{_id_re(elem_id)}{_TI}>", d.mc, re.S | re.I)
+    return d.text(m.end(), _balanced_end(d.mc, m.end(), m.group(1))) if m else None
 
 
 def _clean_text(s: str | None) -> str | None:
+    """The reference's exact post-getText cleanup (etl_process.py:31-33):
+    ascii-ignore, drop \\r and \\n, trim. Interior whitespace survives
+    verbatim — no collapsing."""
     if s is None:
         return None
-    # match reference: strip tags, \r\n removal, ascii-ignore, trim
-    txt = _strip_tags(s)
-    txt = txt.replace("\r", "").replace("\n", "")
+    txt = s.replace("\r", "").replace("\n", "")
     txt = txt.encode("ascii", "ignore").decode()
-    txt = re.sub(r"\s+", " ", txt).strip()
-    return txt
+    return txt.strip()
 
 
-def _extract(html: str | None, field: str, prepared: bool = False) -> str | None:
+def _extract(html: str | _Doc | None, field: str) -> str | None:
     if html is None:
         return None
-    if not prepared:
-        html = _prepare(html)
+    d = html if isinstance(html, _Doc) else _Doc(html)
     try:
         if field == "post_date_raw":  # F4: div.adInfo text minus 'Posted:'
-            t = _clean_text(_div_by_class(html, "adInfo"))
+            t = _clean_text(_div_by_class(d, "adInfo"))
             return t.replace("Posted:", "").strip() if t is not None else None
         if field == "post_title":  # F11: #postingTitle minus 'Report Ad'
-            t = _clean_text(_elem_by_id(html, "postingTitle"))
+            t = _clean_text(_elem_by_id(d, "postingTitle"))
             return t.replace("Report Ad", "").strip() if t is not None else None
         if field == "post_body":  # F9: div.postingBody text
-            return _clean_text(_div_by_class(html, "postingBody"))
+            return _clean_text(_div_by_class(d, "postingBody"))
         if field == "poster_age":  # F10: p.metaInfoDisplay minus label
             m = re.search(
-                rf"<p\b{_TI}{_class_re('metaInfoDisplay')}{_TI}>", html, re.S | re.I
+                rf"<p\b{_TI}{_class_re('metaInfoDisplay')}{_TI}>", d.mc, re.S | re.I
             )
-            t = _clean_text(_balanced_inner(html, m.end(), "p") if m else None)
+            t = _clean_text(
+                d.text(m.end(), _balanced_end(d.mc, m.end(), "p")) if m else None
+            )
             return t.replace("Poster's age:", "").strip() if t is not None else None
         if field == "locations":  # F8: div whose direct text starts 'Location:'
             t = None
-            for m in re.finditer(rf"<div\b{_TI}>(?=[^<]*Location:)", html, re.S | re.I):
-                t = _clean_text(_balanced_inner(html, m.end(), "div"))
+            for m in re.finditer(rf"<div\b{_TI}>(?=[^<]*Location:)", d.mc, re.S | re.I):
+                t = _clean_text(d.text(m.end(), _balanced_end(d.mc, m.end(), "div")))
                 break
             return t.replace("Location:", "").strip() if t is not None else None
         if field == "other_ads":  # F5: hrefs of div.cat under #OtherAdsByThisUser
             m = re.search(
-                rf"{_id_re('OtherAdsByThisUser')}{_TI}>(.*)", html, re.S | re.I
+                rf"<([a-z0-9]+)\b{_TI}{_id_re('OtherAdsByThisUser')}{_TI}>",
+                d.mc,
+                re.S | re.I,
             )
             if not m:
                 return None
+            # bound the anchor scan to the element's extent — bs4's
+            # findAll walks DESCENDANTS only, so a div.cat after the
+            # section closes must not contribute (round-8 hardening)
+            seg = d.mc[m.end() : _balanced_end(d.mc, m.end(), m.group(1))]
             hrefs = [
                 next(g for g in hm.groups() if g is not None)
                 for hm in re.finditer(
                     rf"<div\b{_TI}{_class_re('cat')}{_TI}>.*?"
                     rf"<a\b{_TI}href\s*=\s*(?:\"([^\"]+)\"|'([^']+)'|([^\s>'\"][^\s>]*))",
-                    m.group(1),
+                    seg,
                     re.S | re.I,
                 )
             ]
@@ -173,13 +243,13 @@ def _get_extract_all():
         def _extract_all(html: pd.Series) -> pd.DataFrame:
             # all six HTML fields in ONE Arrow round trip — the HTML
             # column (by far the widest) crosses to Python once per
-            # batch, not once per field; comment/CDATA preprocessing
-            # runs once per DOCUMENT, shared by the six extracts
+            # batch, not once per field; the matching copy + skip spans
+            # are built once per DOCUMENT, shared by the six extracts
             def row(h):
                 if h is None:
                     return (None,) * len(FIELDS)
-                p = _prepare(h)
-                return tuple(_extract(p, f, prepared=True) for f in FIELDS)
+                d = _Doc(h)
+                return tuple(_extract(d, f) for f in FIELDS)
 
             return pd.DataFrame(
                 html.map(row).tolist(), columns=list(FIELDS), index=html.index

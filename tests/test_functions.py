@@ -95,8 +95,78 @@ def test_html_nested_div_extraction():
         '<div id="postingTitle"><h1>Deal <span>hot</span> Report Ad</h1></div></html>'
     )
     assert _extract(html, "post_body") == "intro nested deep outro"
-    assert _extract(html, "locations") == "midtown , uptown"
+    # getText() concatenates text nodes with NO separator (bs4 parity,
+    # round 8): the tag between 'midtown' and ',' contributes nothing
+    assert _extract(html, "locations") == "midtown, uptown"
     assert _extract(html, "post_title") == "Deal hot"
+
+
+def test_html_gettext_contract():
+    """Round-8 parity contract (ADVICE r7): exact bs4 getText()
+    semantics — no-separator concat, no whitespace collapsing, script/
+    style TEXT inside a selected element included while markup inside
+    CDATA neither matches selectors nor perturbs depth counting."""
+    from frontpage_spark.html import _extract
+
+    # no separator between adjacent text nodes
+    assert _extract('<div class="postingBody">abc<b>def</b>ghi</div>', "post_body") == "abcdefghi"
+    # interior whitespace runs survive verbatim
+    assert (
+        _extract('<div class="postingBody">a  b   c</div>', "post_body") == "a  b   c"
+    )
+    # script text inside the element is part of its text; the <div>
+    # inside the JS string must not close/open anything
+    body = '<div class="postingBody">pre <script>f("<div>x</div>");</script> post</div>'
+    assert _extract(body, "post_body") == 'pre f("<div>x</div>"); post'
+    # selector-shaped strings inside script/style never match
+    decoy = '<script>var t = "<div class=\\"postingBody\\">no</div>";</script>'
+    assert _extract(f"<html>{decoy}</html>", "post_body") is None
+    # comments contribute no text and no structure
+    assert (
+        _extract('<div class="postingBody">a<!-- <div> hidden -->b</div>', "post_body")
+        == "ab"
+    )
+    # a '<' that opens no tag is literal text (html.parser parity)
+    assert (
+        _extract('<div class="postingBody">5 < 6 > 3 i<3 u</div>', "post_body")
+        == "5 < 6 > 3 i<3 u"
+    )
+
+
+def test_html_unquoted_attr_quote_no_overscan():
+    """ADVICE r7: a quote INSIDE an unquoted attribute value must not
+    open a quoted section that scans past the real '>' — html.parser
+    ends the value at whitespace/'>'."""
+    from frontpage_spark.html import _extract
+
+    h = (
+        "<div title=don't class=q1>decoy</div>"
+        '<span onclick=go("x")>js</span>'
+        '<div class="postingBody">kept body</div>'
+    )
+    assert _extract(h, "post_body") == "kept body"
+    # quote-in-unquoted-value ON the selector element itself
+    assert (
+        _extract("<div data-x=don't class=postingBody>own attr</div>", "post_body")
+        == "own attr"
+    )
+    # quoted value containing '>' still protected
+    assert (
+        _extract('<div title="a>b" class="postingBody">angle</div>', "post_body")
+        == "angle"
+    )
+
+
+def test_html_other_ads_bounded_to_section():
+    """bs4 findAll walks DESCENDANTS of the section only — a div.cat
+    after #OtherAdsByThisUser closes must not contribute (round 8)."""
+    from frontpage_spark.html import _extract
+
+    h = (
+        '<div id="OtherAdsByThisUser"><div class="cat"><a href="/in/1">a</a></div></div>'
+        '<div class="cat"><a href="/leak/2">b</a></div>'
+    )
+    assert _extract(h, "other_ads") == "/in/1"
 
 
 def test_html_unclosed_div_lenient():

@@ -19,6 +19,16 @@ Produces two committed parquet files under fixtures/:
   that agreement into per-field match counts + an order-stable md5
   that DuckDB recomputes from the same fixture.
 
+Parity contract (round 8 — exact ``getText()`` semantics): text nodes
+concatenate with NO separator, then the reference's exact cleanup
+(etl_process.py:31-33): drop ``\r``/``\n``, ascii-ignore, strip — no
+whitespace collapsing, no tags-as-spaces. Script/style text INSIDE a
+selected element is INCLUDED (bs4's getText() and html.parser's
+handle_data both deliver CDATA content), while selectors never MATCH
+inside script/style/comments and markup inside CDATA never perturbs
+depth counting. Comments contribute no text (html.parser routes them
+to handle_comment, and the engine drops comment spans).
+
 Intentional common ground (documented, not load-bearing): the corpus
 contains no HTML entities (&amp;) — the reference's bs4 decodes them
 while a raw-text extractor must not, so entity handling is out of the
@@ -37,17 +47,16 @@ from html.parser import HTMLParser
 
 FIELDS = ("post_date_raw", "post_title", "post_body", "poster_age", "locations", "other_ads")
 
-_WS = re.compile(r"\s+")
-
 
 def _clean(chunks: list[str]) -> str | None:
-    """The reference's text cleaning over collected text nodes: tags
-    are separators (the engine substitutes each tag with a space),
-    \r\n dropped, non-ascii dropped, whitespace collapsed, trimmed."""
-    txt = " ".join(chunks)
+    """The reference's exact text cleaning over collected text nodes
+    (etl_process.py:31-33): getText() concatenates with no separator,
+    then \r\n dropped, non-ascii dropped, trimmed. No whitespace
+    collapsing — interior space runs survive verbatim."""
+    txt = "".join(chunks)
     txt = txt.replace("\r", "").replace("\n", "")
     txt = txt.encode("ascii", "ignore").decode()
-    return _WS.sub(" ", txt).strip()
+    return txt.strip()
 
 
 class _Walker(HTMLParser):
@@ -63,6 +72,8 @@ class _Walker(HTMLParser):
         self.done: dict[str, list[str]] = {}
         self.hrefs: list[str] = []
         self.in_other: bool = False
+        self.other_seen: bool = False
+        self.other_elem: list | None = None  # [tag, depth] of the section
         self.other_div_depth = 0
         self.pending_loc_div: int | None = None  # depth marker
         self.last_was_div_open = False
@@ -91,6 +102,8 @@ class _Walker(HTMLParser):
         for key, state in list(self.cap.items()):
             if tag == state[0]:
                 state[1] += 1
+        if self.in_other and self.other_elem is not None and tag == self.other_elem[0]:
+            self.other_elem[1] += 1
         classes = self._classes(attrs)
         eid = self._id(attrs)
         if tag == "div" and "adInfo" in classes:
@@ -101,8 +114,12 @@ class _Walker(HTMLParser):
             self._start_capture("post_body", "div")
         if tag == "p" and "metaInfoDisplay" in classes:
             self._start_capture("poster_age", "p")
-        if eid == "OtherAdsByThisUser":
+        if eid == "OtherAdsByThisUser" and not self.other_seen:
+            # bs4 findAll walks DESCENDANTS of the (first) section only —
+            # close the capture when the section element closes
             self.in_other = True
+            self.other_seen = True
+            self.other_elem = [tag, 1]
         if self.in_other and tag == "div" and "cat" in classes:
             self.other_div_depth += 1
         if self.in_other and tag == "a" and self.other_div_depth > 0:
@@ -135,6 +152,11 @@ class _Walker(HTMLParser):
         self.last_was_div_open = False
         if self.in_other and tag == "div" and self.other_div_depth > 0:
             self.other_div_depth -= 1
+        if self.in_other and self.other_elem is not None and tag == self.other_elem[0]:
+            self.other_elem[1] -= 1
+            if self.other_elem[1] == 0:
+                self.in_other = False
+                self.other_elem = None
         for key, state in list(self.cap.items()):
             if tag == state[0]:
                 state[1] -= 1
@@ -223,12 +245,21 @@ def gen_doc(rng: random.Random, i: int) -> str:
     # [^>]*-style tag matching
     if rng.random() < 0.2:
         parts.append(f'<div class="note" title="a>b {i}">angle attr decoy</div>')
+    # quotes inside UNQUOTED attribute values — html.parser ends the
+    # value at whitespace/'>'; a quote here must not open a quoted
+    # section that scans past the real '>' (round-8 hardening)
+    if rng.random() < 0.2:
+        parts.append(f"<div title=don't class=q{i % 9}>unquoted quote decoy</div>")
+    if rng.random() < 0.15:
+        parts.append(f'<span onclick=go("x{i % 4}")>js-attr decoy</span>')
     # post date (5% missing)
     if rng.random() >= 0.05:
         wd = rng.choice(["Monday", "Tuesday", "Friday", "Sunday"])
         mo = rng.choice(["January", "May", "July", "October"])
         date_txt = f"Posted: {wd}, {mo} {1 + i % 28}, 201{4 + i % 4} {1 + i % 12}:{i % 60:02d} {'AM' if i % 2 else 'PM'}"
         angle = f' title="v>{i}"' if rng.random() < 0.15 else ""
+        if rng.random() < 0.1:
+            angle += " data-x=don't"  # quote in unquoted value ON a selector tag
         parts.append(f"<div {_cls(rng, 'adInfo')}{angle}>{nl} {date_txt} {nl}</div>")
     # title (3% missing), sometimes on a span, sometimes nested markup
     if rng.random() >= 0.03:
@@ -244,6 +275,22 @@ def gen_doc(rng: random.Random, i: int) -> str:
         )
         if rng.random() < 0.3:
             body += f'<div class="inner">extra {rng.choice(["line", "deal", "info"])}</div> tail {i}'
+        # script INSIDE a captured element: its TEXT is part of
+        # getText() (bs4 + html.parser deliver CDATA via data events)
+        # while markup inside the string must not match selectors or
+        # perturb depth counting (ADVICE r7 medium — contract pinned)
+        if rng.random() < 0.25:
+            body += f'<script>track({i}, "x{i % 7}", "<div>no</div>");</script>'
+        # no-separator concatenation: getText() joins text nodes with
+        # nothing — abc<b>def is abcdef
+        if rng.random() < 0.2:
+            body += f" deal{i}<b>now</b>call"
+        # interior whitespace runs survive (no collapsing)
+        if rng.random() < 0.15:
+            body += f"  double  spaced   {i}"
+        # a '<' that opens no tag is literal text to a real parser
+        if rng.random() < 0.15:
+            body += " sizes 5 < 6 > 3 and i<3 u"
         parts.append(f"<div {_cls(rng, 'postingBody')}>{body}</div>")
     # age (10% missing)
     if rng.random() >= 0.10:
@@ -265,6 +312,10 @@ def gen_doc(rng: random.Random, i: int) -> str:
         parts.append(
             f"<div {_attr(rng, 'id', 'OtherAdsByThisUser')}>{nl}{''.join(cats)}</div>"
         )
+        # a div.cat AFTER the section closes is NOT a descendant —
+        # bs4's findAll must not pick it up (round-8 hardening)
+        if rng.random() < 0.2:
+            parts.append(f'<div class="cat"><a href="/leak/{i}">not ours</a></div>')
     parts.append(rng.choice(["</body></html>", "</body></html>", "<div>footer"]))
     return "".join(parts)
 
