@@ -341,7 +341,11 @@ def chunk_documents(
     pipeline wants."""
     if stride > size or stride <= 0:
         raise ValueError(f"chunk_documents: need 0 < stride <= size, got {stride}/{size}")
-    w = F.split(F.col(text_col), " ")
+    # NULL text folds into the documented empty-doc behavior (one empty
+    # chunk) — otherwise size(NULL) is NULL/-1 depending on ANSI mode
+    # and the row degenerates into a garbage chunk the SQL oracle
+    # doesn't produce (ADVICE r7)
+    w = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride)
     )

@@ -405,7 +405,10 @@ def _sort_pairs(order_cols):
 def _cmp_factory(ascs):
     """Driver-side comparator for sampled key tuples under the total
     order: per-column asc/desc with Spark's default null placement
-    (ASC NULLS FIRST / DESC NULLS LAST)."""
+    (ASC NULLS FIRST / DESC NULLS LAST) and Spark's float total order
+    (NaN equals NaN and ranks greater than every other double — Python's
+    NaN compares false both ways, which would break totality and let the
+    boundary sort disagree with the SQL binary search, ADVICE r7)."""
 
     def _cmp(a, b):
         for i, asc in enumerate(ascs):
@@ -416,6 +419,13 @@ def _cmp_factory(ascs):
                 return -1 if asc else 1
             if y is None:
                 return 1 if asc else -1
+            x_nan = isinstance(x, float) and x != x
+            y_nan = isinstance(y, float) and y != y
+            if x_nan or y_nan:
+                if x_nan and y_nan:
+                    continue
+                lt = y_nan  # the non-NaN side is the smaller one
+                return (-1 if lt else 1) if asc else (1 if lt else -1)
             if x == y:
                 continue
             lt = x < y

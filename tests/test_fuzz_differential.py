@@ -628,14 +628,34 @@ def prefix_ast(draw):
     )
     nt = draw(st.sampled_from([None, 2, 5, 7]))
     n_parts = draw(st.sampled_from([None, 3, 13]))
-    return table, key, order, dirs, sum_col, sum_kind, nt, n_parts
+    # optionally lead the order with a synthetic double key mixing NaN,
+    # NULL, and heavy duplicates — pins the driver comparator's Spark
+    # float total order (NaN == NaN, NaN above all doubles; ADVICE r7)
+    nan_dir = draw(st.sampled_from([None, "asc", "desc"]))
+    return table, key, order, dirs, sum_col, sum_kind, nt, n_parts, nan_dir
+
+
+def _nan_case_sql(key: str) -> str:
+    return (
+        f"CASE WHEN {key} % 11 = 0 THEN CAST('NaN' AS DOUBLE) "
+        f"WHEN {key} % 7 = 0 THEN NULL "
+        f"ELSE CAST({key} % 5 AS DOUBLE) END"
+    )
 
 
 def render_prefix_sql(ast) -> str:
-    table, key, order, dirs, sum_col, sum_kind, nt, _ = ast
+    table, key, order, dirs, sum_col, sum_kind, nt, _, nan_dir = ast
     order_sql = ", ".join(
         f"{c} {'DESC' if d else 'ASC'}" for c, d in zip(order, dirs)
     ) + f", {key} ASC"
+    src = table
+    if nan_dir is not None:
+        # DuckDB defaults to NULLS LAST on ASC; Spark to NULLS FIRST —
+        # spell Spark's placement explicitly (DuckDB agrees on NaN:
+        # greater than every other double, equal to itself)
+        lead = "__nk DESC NULLS LAST" if nan_dir == "desc" else "__nk ASC NULLS FIRST"
+        order_sql = f"{lead}, {order_sql}"
+        src = f"(SELECT *, {_nan_case_sql(key)} AS __nk FROM {table})"
     sval = cents_sql(sum_col) if sum_kind == "cents" else sum_col
     sel = [
         f"{key} AS k",
@@ -645,13 +665,13 @@ def render_prefix_sql(ast) -> str:
     ]
     if nt is not None:
         sel.append(f"CAST(ntile({nt}) OVER (ORDER BY {order_sql}) AS BIGINT) AS t")
-    return f"SELECT {', '.join(sel)} FROM {table}"
+    return f"SELECT {', '.join(sel)} FROM {src}"
 
 
 def render_prefix_spark(spark, ast):
     from frontpage_spark.plans import global_prefix_stats, ntile_from_rn
 
-    table, key, order, dirs, sum_col, sum_kind, nt, n_parts = ast
+    table, key, order, dirs, sum_col, sum_kind, nt, n_parts, nan_dir = ast
     df = spark.read.parquet(os.path.join(SF_DIR, table + ".parquet"))
     sval = (
         F.round(F.col(sum_col) * 100).cast("long")
@@ -662,6 +682,10 @@ def render_prefix_spark(spark, ast):
     order_exprs = [
         (F.col(c), "desc") if d else F.col(c) for c, d in zip(order, dirs)
     ] + [F.col(key)]
+    if nan_dir is not None:
+        base = base.withColumn("__nk", F.expr(_nan_case_sql(key)))
+        lead = (F.col("__nk"), "desc") if nan_dir == "desc" else F.col("__nk")
+        order_exprs = [lead] + order_exprs
     t: dict = {}
     out = global_prefix_stats(
         base, order_exprs, sums={"__s": "cum"}, rn_col="rn", n_parts=n_parts, totals=t

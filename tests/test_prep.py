@@ -108,7 +108,8 @@ def test_chunk_documents_overlap_and_tail(spark):
 
     words = [f"w{i}" for i in range(130)]
     docs = spark.createDataFrame(
-        [(1, " ".join(words)), (2, "a b c"), (3, "")], "doc_id long, text string"
+        [(1, " ".join(words)), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id long, text string",
     )
     rows = {
         (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_words"])
@@ -125,5 +126,8 @@ def test_chunk_documents_overlap_and_tail(spark):
     # empty text: split('') is [''] — one empty chunk, consistent with
     # the DuckDB oracle's string_split semantics
     assert rows[(3, 0)][1] == 1
+    # NULL text folds into the empty-doc contract (ADVICE r7): one empty
+    # chunk, never a garbage (n_words=64/-1) row
+    assert rows[(4, 0)] == ("", 1)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(docs, size=8, stride=9)
