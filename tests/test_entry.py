@@ -14,11 +14,12 @@ def test_contract_shape():
     # approx family (approx_distinct_users, approx_percentiles_price,
     # hll_sketch_union_users) to within-tolerance bound-check oracles;
     # r7 graduated ann_recall_eval (above_floor booleans) and gave the
-    # HTML UDF a golden-fixture hash signal (html_extraction_golden) —
-    # what remains is approximate kNN ranking + the fixture projection
+    # HTML UDF a golden-fixture hash signal (html_extraction_golden);
+    # r8 graduated html_clean_projection itself (golden-corpus 17-col
+    # composed oracle) — what remains is exactly the genuinely
+    # approximate kNN ranking
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "html_clean_projection",
         "embedding_knn_lsh",
         "embedding_knn_ivf",
     }

@@ -71,6 +71,11 @@ PROBE_QUERIES = [
     "shingle_novelty_by_source",
     "sequence_packing_stats",
     "vocab_growth_by_decile",
+    # r8 additions (VERDICT r7 item 5): the round-7 curation operators
+    # and the de-checkpointed stateless kcenter rewrite
+    "chunking_stats",
+    "blocklist_filter_stats",
+    "kcenter_diverse_seeds",
 ]
 
 
@@ -187,6 +192,13 @@ NOTES = {
     "shingle_novelty_by_source": "min-claimant attribution, cost |shingles|, no pairs",
     "sequence_packing_stats": "global_prefix_stats over documents; integer span arithmetic",
     "vocab_growth_by_decile": "global_prefix_stats over the EXPLODED bigram stream + keyed first-occurrence min",
+    "chunking_stats": "sequence+posexplode+slice windows, no shuffle; output ~ len/stride x input",
+    "blocklist_filter_stats": "bigram explode + ONE broadcast hash join; cost ~ input words",
+    "kcenter_diverse_seeds": (
+        "K=8 stateless rounds: each recomputes min-dist to <=K broadcast "
+        "center literals in one narrow pass + TakeOrdered(1) — no iterated "
+        "state, no checkpoint; cost ~ K^2 x n arithmetic"
+    ),
 }
 
 
