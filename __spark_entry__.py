@@ -26,34 +26,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["phone_mine_segments"](spark, "/root/testdata/sf0.001")
 
 
-# Round-7 sample rotation (VERDICT r6 item 2 — retire the ledger): the
-# driver's CORRECTNESS file samples the first 50 registry entries.
-# Rounds 1-6 sampled 200 distinct queries; exactly 13 oracle-checked
-# entries have never had a driver-side hard signal — the 5 spilled from
-# the r6 rotation plus the 8 queries registered new in round 6
-# (CORRECTNESS_SAMPLE_r06.md). They lead this head, so after this round
-# EVERY registry entry has been driver-sampled at least once. The rest
-# of the head re-verifies the queries whose PLANS changed this round
-# (the global_prefix_stats family re-engineered off the eager
-# localCheckpoint — VERDICT r6 item 1) plus a cross-section of heavies.
+# Round-8 sample rotation: the driver's CORRECTNESS file samples the
+# first 50 registry entries. The ledger closed in round 7 (every
+# registry entry has carried a driver-side hard signal at least once),
+# so the head now simply leads with every query whose PLAN or
+# SEMANTICS changed this round, then a cross-section of heavies.
 # Pure reordering — same keys, same callables, full matrix still in
 # CORRECTNESS_full_r{N}.json via tools/check.py.
-_R7_SAMPLE_ROTATION = [
-    # --- the 13 never-sampled (5 spilled from r6 + 8 new in r6)
-    "ship_delay_priority_q12ish", "supplier_variety_q16ish",
-    "top_supplier_q15ish", "weekday_seasonality", "winsorize_prices",
-    "stream_near_dup_batch_core", "stateful_type_counts_batch",
-    "gopher_quality_flags", "token_budget_selection",
-    "shingle_novelty_by_source", "sequence_packing_stats",
-    "vocab_growth_by_decile", "video_scene_changes",
-    # --- registered new in round 7 (oracle-bearing from birth)
-    "html_extraction_golden", "ann_recall_eval",
-    "stream_near_dup_tiebreak_core", "chunking_stats",
-    "blocklist_filter_stats",
-    # --- plans changed this round: global_prefix_stats consumers
-    # (deterministic sampled-boundary buckets, no localCheckpoint)
-    "rfm_segments", "ntile_analytics_orders", "pareto_8020_customers",
-    "peak_concurrent_sessions", "dense_ids_documents",
+_R8_SAMPLE_ROTATION = [
+    # --- semantics changed r8: exact-getText HTML extraction contract
+    # (positional two-layer extractor, regenerated golden corpus) and
+    # the newly-graduated composed projection oracle
+    "html_extraction_golden", "html_clean_projection",
+    "clean_derivation_layer", "clean_projection_urls",
+    # --- plans changed r8: fixed-cost cuts + stateless kcenter +
+    # NULL-text chunking + single-split blocklist bigrams
+    "rfm_segments", "peak_concurrent_sessions", "kcenter_diverse_seeds",
+    "chunking_stats", "blocklist_filter_stats",
+    # --- the NaN-total-order comparator change touches every
+    # global_prefix_stats consumer: re-verify the family
+    "token_budget_selection", "ntile_analytics_orders",
+    "pareto_8020_customers", "sequence_packing_stats",
+    "vocab_growth_by_decile", "dense_ids_documents",
+    "gopher_quality_flags", "shingle_novelty_by_source",
     # --- re-verification cross-section: heavies + core paths
     "minhash_lsh_candidates", "near_dup_verified", "dup_clusters",
     "embedding_near_dup", "embedding_near_dup_lsh",
@@ -65,11 +60,15 @@ _R7_SAMPLE_ROTATION = [
     "dedup_exact", "simhash_buckets", "cdc_substring_dups",
     "benchmark_contamination", "split_leakage_audit",
     "tfidf_top_terms", "bm25_keyword_search", "quality_filter_funnel",
+    "stream_near_dup_batch_core", "stream_near_dup_tiebreak_core",
+    "stateful_type_counts_batch", "ann_recall_eval",
+    "semantic_decontamination", "image_dhash_near_dup",
+    "video_scene_changes", "multimodal_decode",
 ]
 
 
 def _rotated(mapping: dict) -> dict:
-    head = {n: mapping[n] for n in _R7_SAMPLE_ROTATION if n in mapping}
+    head = {n: mapping[n] for n in _R8_SAMPLE_ROTATION if n in mapping}
     return head | {n: v for n, v in mapping.items() if n not in head}
 
 
