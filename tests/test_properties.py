@@ -137,11 +137,11 @@ def _reference_div_text(html_src, cls):
     p.feed(html_src)
     if not p.buf and not p.done and p.depth == 0:
         return None
-    import re as _re
-
-    txt = " ".join(p.buf).replace("\r", "").replace("\n", "")
+    # round-8 contract: exact getText() — text nodes concatenate with
+    # NO separator, \r\n dropped, ascii-ignore, trim; no ws collapsing
+    txt = "".join(p.buf).replace("\r", "").replace("\n", "")
     txt = txt.encode("ascii", "ignore").decode()
-    return _re.sub(r"\s+", " ", txt).strip()
+    return txt.strip()
 
 
 WORDS = st.lists(
