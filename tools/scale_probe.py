@@ -185,7 +185,12 @@ NOTES = {
     "rfm_segments": "3x global_prefix_stats over the customer rollup (no single-partition window)",
     "ntile_analytics_orders": "global_prefix_stats over orders; rank family is arithmetic over (rn, N)",
     "pareto_8020_customers": "global_prefix_stats prefix sum over the customer rollup",
-    "peak_concurrent_sessions": "global_prefix_stats sweep over session boundary points",
+    "peak_concurrent_sessions": (
+        "gps sweep over the kept boundary relation (~2 rows/SESSION, so ~2x "
+        "events here — sessions are short); 3 linear passes (sample, offsets, "
+        "one exchange+sort) over Nx points; the 1x run is job-latency-bound, "
+        "so the ratio is the honest linear-work slope, not a blow-up"
+    ),
     "pagerank_part_supplier": "over the 4M-edge size gate at this factor: distributed fixpoint, one shuffle/round",
     "gopher_quality_flags": "narrow array exprs + relational bigram repetition (near-unique keys, map-side combine)",
     "token_budget_selection": "global_prefix_stats cumsum over doc scores; budget from the offsets pass",
