@@ -34,8 +34,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # Pure reordering — same keys, same callables, full matrix still in
 # CORRECTNESS_full_r{N}.json via tools/check.py.
 _R8_SAMPLE_ROTATION = [
-    # --- registered new in round 8 (oracle-bearing from birth)
-    "source_mixture_weights",
     # --- semantics changed r8: exact-getText HTML extraction contract
     # (positional two-layer extractor, regenerated golden corpus) and
     # the newly-graduated composed projection oracle

@@ -1672,63 +1672,6 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- temperature-sampled data-mixing weights --------------------------------
-@register(
-    "source_mixture_weights",
-    """
-    WITH s AS (
-      SELECT source,
-             CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      FROM documents GROUP BY source
-    ),
-    w AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS wr FROM s)
-    SELECT source, n_docs, n_tokens,
-           round(wr / SUM(wr) OVER (), 9) AS weight,
-           round((wr / SUM(wr) OVER ())
-                 / (CAST(n_tokens AS DOUBLE)
-                    / CAST(SUM(n_tokens) OVER () AS DOUBLE)), 9) AS oversample
-    FROM w
-    """,
-)
-def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-based data-mixing weights — the multilingual/
-    multi-source sampling step every LLM pretraining mix runs (sample
-    source i with probability proportional to n_i^alpha, alpha=0.5, so
-    small sources are upsampled relative to their natural share):
-    per source, token mass, normalized mixture weight, and the
-    oversampling factor vs proportional sampling.
-
-    Scale: ONE keyed aggregation (map-side combined) shrinks the corpus
-    to |sources| rows; the normalizing totals ride a broadcast of the
-    single-row grand aggregate — no window over the corpus, no second
-    scan (the source rollup is reused through the broadcast's lineage,
-    |sources| rows). Floats: n_tokens accumulates as BIGINT (exact);
-    sqrt is IEEE correctly-rounded on both engines; the two sums cross
-    engines only through round(_, 9), absorbing summation-order ULP on
-    a <=hundreds-of-sources vector."""
-    docs = _t(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(textstats.ws_token_count("text")).alias("n_tokens"),
-    )
-    wr = F.sqrt(F.col("n_tokens").cast("double"))
-    tot = s.agg(
-        F.sum(wr).alias("__tw"), F.sum("n_tokens").alias("__tt")
-    )
-    return s.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(wr / F.col("__tw"), 9).alias("weight"),
-        F.round(
-            (wr / F.col("__tw"))
-            / (F.col("n_tokens").cast("double") / F.col("__tt").cast("double")),
-            9,
-        ).alias("oversample"),
-    )
-
-
 # ---- sentiment lexicon join -----------------------------------------------
 _LEX_VALUES_SQL = ", ".join(
     f"('{w}', {v})" for w, v in sorted(textstats.SENTIMENT_LEXICON.items())
