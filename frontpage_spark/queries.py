@@ -111,6 +111,11 @@ def register(name: str, oracle: str | None = None):
             return fn(spark, sf_dir)
 
         wrapped.__wrapped__ = fn
+        if name in QUERIES:
+            # silent last-writer-wins shadowing let a duplicate
+            # registration masquerade as a new operator (round 8) —
+            # fail at import instead
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
