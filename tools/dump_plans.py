@@ -307,6 +307,22 @@ SELECTED = {
         "greedy corpus-mixing prefix computed without a one-partition "
         "sort; budget is a driver literal from the offsets pass."
     ),
+    "rfm_segments": (
+        "Round-8 shape: ONE plain keyed rollup (the horizon global-max "
+        "job and its broadcast cross join are gone -- ordering by "
+        "last_o ASC is identical to recency DESC), persisted once, "
+        "then three chained per-__part window exchanges from one "
+        "global_prefix_stats_multi call with literal-map offsets; "
+        "quintiles are arithmetic over (rn, N). 3 actions total."
+    ),
+    "peak_concurrent_sessions": (
+        "Round-8 shape: sessionize shuffle + keyed agg collapse to the "
+        "kept boundary-point relation (2 rows/session, pinned so the "
+        "sample/offsets/final consumers stop re-running the sessionize "
+        "window), one prefix-sum sweep, then a single deterministic "
+        "struct-max (conc, earliest ts) -- no second pass over the "
+        "sweep, no max-broadcast cross join."
+    ),
     "shingle_novelty_by_source": (
         "Min-claimant novelty attribution: distinct (doc, shingle) -> "
         "groupBy(shingle) min -> re-join on shingle (exchange reused; "
