@@ -57,6 +57,7 @@ _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 # strings inside it must never MATCH (but its text is still part of
 # getText(), see _Doc)
 _CDATA_RE = re.compile(rf"<(script|style)\b{_TI}>(.*?)</\1\s*>", re.S | re.I)
+_CDATA_OPEN_RE = re.compile(rf"<(?:script|style)\b{_TI}>", re.S | re.I)
 
 
 class _Doc:
@@ -82,9 +83,18 @@ class _Doc:
         low = c1 if c1.islower() else c1.lower()
         if "<script" in low or "<style" in low:
             buf = list(c1)
+            last_end = 0
             for m in _CDATA_RE.finditer(c1):
                 s, e = m.span(2)  # content only; the tags stay visible
                 buf[s:e] = " " * (e - s)
+                last_end = m.end()
+            # an UNTERMINATED script/style is CDATA to end-of-document
+            # (html.parser emits the tail as data at close()): blank its
+            # content in the matching copy too, so selector-shaped
+            # strings inside it can never match
+            m = _CDATA_OPEN_RE.search(c1, last_end)
+            if m:
+                buf[m.end():] = " " * (len(c1) - m.end())
             self.mc = "".join(buf)
         else:
             self.mc = c1

@@ -121,6 +121,15 @@ def test_html_gettext_contract():
     # selector-shaped strings inside script/style never match
     decoy = '<script>var t = "<div class=\\"postingBody\\">no</div>";</script>'
     assert _extract(f"<html>{decoy}</html>", "post_body") is None
+    # an UNTERMINATED script is CDATA to end-of-document (html.parser
+    # emits the tail as data at close) — selectors must not match in it
+    open_decoy = '<script>var t = "<div class=\\"postingBody\\">no</div>";'
+    assert _extract(f"<html>{open_decoy}", "post_body") is None
+    # ...but its TEXT still belongs to an enclosing captured element
+    assert (
+        _extract('<div class="postingBody">pre <script>tail text', "post_body")
+        == "pre tail text"
+    )
     # comments contribute no text and no structure
     assert (
         _extract('<div class="postingBody">a<!-- <div> hidden -->b</div>', "post_body")

@@ -316,7 +316,17 @@ def gen_doc(rng: random.Random, i: int) -> str:
         # bs4's findAll must not pick it up (round-8 hardening)
         if rng.random() < 0.2:
             parts.append(f'<div class="cat"><a href="/leak/{i}">not ours</a></div>')
-    parts.append(rng.choice(["</body></html>", "</body></html>", "<div>footer"]))
+    # UNTERMINATED script tail: CDATA to end-of-document for a real
+    # parser — selector-shaped strings inside must never match
+    tail = rng.choice(
+        [
+            "</body></html>",
+            "</body></html>",
+            "<div>footer",
+            '</body><script>var t = "<div class=\\"postingBody\\">eof decoy</div>";',
+        ]
+    )
+    parts.append(tail)
     return "".join(parts)
 
 
