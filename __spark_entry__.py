@@ -43,6 +43,7 @@ _R8_SAMPLE_ROTATION = [
     # NULL-text chunking + single-split blocklist bigrams
     "rfm_segments", "peak_concurrent_sessions", "kcenter_diverse_seeds",
     "chunking_stats", "blocklist_filter_stats",
+    "part_value_fraction_q11ish", "top_supplier_q15ish",
     # --- the NaN-total-order comparator change touches every
     # global_prefix_stats consumer: re-verify the family
     "token_budget_selection", "ntile_analytics_orders",

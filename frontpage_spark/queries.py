@@ -10053,22 +10053,22 @@ def part_value_fraction_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long")
         * F.round(F.col("l_quantity")).cast("long")
     )
-    pv = (
+    # the per-part rollup is keep()-pinned (bounded FIFO) so the scalar
+    # total and the threshold filter share ONE computation — no eager
+    # output checkpoint, lineage intact (the round-8 sweep replaced the
+    # persist/localCheckpoint/unpersist dance engine-wide)
+    pv = plans.keep(
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
         .groupBy("l_partkey")
         .agg(value_c.alias("value_c"))
-        .persist()
     )
     total = pv.agg(F.sum("value_c").alias("total_c"))
-    out = (
+    return (
         pv.crossJoin(F.broadcast(total))
         .filter(F.col("value_c") * 1000 > F.col("total_c"))
         .select("l_partkey", (F.col("value_c").cast("double") / 100.0).alias("part_value"))
     )
-    rows = out.localCheckpoint(eager=True)
-    pv.unpersist()
-    return rows
 
 
 # ---- TPC-H Q12 shape: CASE-sum priority split by ship-delay class ----------
@@ -10202,9 +10202,9 @@ def top_supplier_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long")
         * (100 - F.round(F.col("l_discount") * 100).cast("long"))
     )
-    rev = li.groupBy("l_suppkey").agg(total_c.alias("total_c")).persist()
+    rev = plans.keep(li.groupBy("l_suppkey").agg(total_c.alias("total_c")))
     mx = rev.agg(F.max("total_c").alias("mx"))
-    out = (
+    return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_c") == F.col("mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
@@ -10214,9 +10214,6 @@ def top_supplier_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_c").cast("double") / 10000.0).alias("total_revenue"),
         )
     )
-    rows = out.localCheckpoint(eager=True)
-    rev.unpersist()
-    return rows
 
 
 # ---- TPC-H Q16 shape: supplier variety with a NOT-IN exclusion -------------
