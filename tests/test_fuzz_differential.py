@@ -73,9 +73,8 @@ INT_BOUNDS = {
 
 CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
 
-# FUZZ_EXAMPLES_MULT=k multiplies every generator's case count (the
-# default totals 250 cases across the six generators; the periodic
-# deep sweep runs k=3 for 750)
+# FUZZ_EXAMPLES_MULT=k multiplies every generator's case count
+# (eight generators; the periodic deep sweep runs k=3)
 _MULT = max(1, int(os.environ.get("FUZZ_EXAMPLES_MULT", "1")))
 
 
@@ -711,3 +710,79 @@ def test_random_prefix_stats_matches_duckdb(spark, duck, ast):
     s = norm_rows(render_prefix_spark(spark, ast).toPandas())
     o = norm_rows(duck.execute(render_prefix_sql(ast)).df())
     assert s == o, f"AST {ast}\nSQL {render_prefix_sql(ast)}\nspark={s[:3]} oracle={o[:3]}"
+
+
+# --------------------------------------------------------------------------
+# generator 8: chunk_documents vs DuckDB list_slice windows
+# --------------------------------------------------------------------------
+# Overlapping word-window chunking across RANDOM (size, stride) configs,
+# with NULL and empty text injected — pins the start-offset arithmetic,
+# the ragged tail, and the NULL→empty-doc contract (ADVICE r7) far
+# beyond the single default-config oracle.
+
+_DOCS_PARQUET = os.path.join(SF_DIR, "documents.parquet")
+
+
+@st.composite
+def chunk_ast(draw):
+    size = draw(st.integers(1, 80))
+    stride = draw(st.integers(1, size))
+    return size, stride
+
+
+def render_chunk_sql(ast) -> str:
+    size, stride = ast
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text
+      FROM '{_DOCS_PARQUET}' WHERE doc_id % 7 = 0
+    ),
+    w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM d),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 1, 0) + 1, {stride})) AS s
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {stride} AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(t, s, s + {size} - 1), ' ') AS chunk_text,
+           CAST(least({size}, len(t) - s + 1) AS BIGINT) AS n_words
+    FROM idx
+    """
+
+
+def render_chunk_spark(spark, ast):
+    from frontpage_spark.ext.prep import chunk_documents
+
+    size, stride = ast
+    docs = (
+        spark.read.parquet(_DOCS_PARQUET)
+        .filter(F.col("doc_id") % 7 == 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    out = chunk_documents(docs, size=size, stride=stride)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_words").cast("long").alias("n_words"),
+    )
+
+
+@settings(
+    max_examples=15 * _MULT,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ast=chunk_ast())
+def test_random_chunking_matches_duckdb(spark, duck, ast):
+    s = norm_rows(render_chunk_spark(spark, ast).toPandas())
+    o = norm_rows(duck.execute(render_chunk_sql(ast)).df())
+    assert s == o, f"AST {ast}\nspark={s[:2]} oracle={o[:2]}"
