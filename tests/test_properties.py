@@ -300,3 +300,28 @@ def test_cusum_reflection_identity(spark):
         .collect()
     )
     assert [r["s"] for r in out] == truth
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_random_ad_doc_engine_matches_independent_walker(seed, i):
+    """Differential fuzz of the two independent HTML parsers: the
+    engine's positional regex extractor vs the stdlib html.parser
+    event walker, over the corpus GENERATOR's whole randomness space
+    (the committed golden fixture pins one seed; this explores
+    arbitrary seeds x doc indices — quoting styles, comment/CDATA
+    decoys, unterminated tails, no-separator joins, whitespace runs,
+    literal '<', post-section leaks)."""
+    import random
+
+    import tools.html_golden_gen as gen
+    from frontpage_spark.html import _Doc, _extract
+
+    h = gen.gen_doc(random.Random(seed), i)
+    g = gen.golden_extract(h)
+    d = _Doc(h)
+    for f in gen.FIELDS:
+        assert _extract(d, f) == g[f], (f, h)
