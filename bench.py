@@ -102,6 +102,11 @@ HEADLINE = [
     "forecast_revenue_q6ish",
     # round-4: the oracle-checked embedding-dedup scale path
     "embedding_near_dup_lsh",
+    # NOTE: the headline set is intentionally FROZEN at these 77 so the
+    # suite ratio stays comparable round over round (BASELINE.md's bar
+    # is defined on it). Newer operators get their timing evidence from
+    # tools/profile_queries.py, SCALE_PROBE*.md, and BENCH_sf1 instead
+    # of growing this list.
 ]
 
 
