@@ -230,3 +230,68 @@ def text_params(spark: SparkSession, path: str) -> DataFrame:
         .filter(F.col("value") != "")
         .distinct()
     )
+
+
+def jsonl_source(
+    spark: SparkSession,
+    path: str,
+    schema,
+    quarantine_path: str | None = None,
+) -> DataFrame:
+    """JSON-lines ingestion with a DURABLE corrupt-record channel — the
+    third-party-feed flavor of the pipeline's dead-letter design (ST4):
+    rows that fail to parse against the declared schema are never
+    silently nulled OR silently dropped; they are either written to a
+    quarantine sink (raw line + ingest timestamp) or surfaced to the
+    caller under ``_corrupt_record``.
+
+    Shape: a line-splittable TEXT scan + ``from_json`` in PERMISSIVE
+    mode with a ``_corrupt_record`` column (NOT the json reader — Spark
+    forbids projecting only the corrupt column from a raw JSON scan,
+    and the text form keeps the byte-exact raw line for the quarantine
+    sink for free). One record per line is also the layout that stays
+    splittable at 100 TB; multiLine JSON parses one task per FILE. The
+    declared schema is mandatory, so Spark never runs its sampling
+    inference pass (a whole extra scan) over the input.
+
+    With ``quarantine_path`` set, bad raws are appended there as
+    (raw, quarantined_at) parquet — the same replayable channel shape
+    as ``pipeline.quarantine_append`` — and the clean rows come back
+    with exactly the caller's columns. Without it, the parsed frame is
+    returned with ``_corrupt_record`` retained so the caller does its
+    own split (``_corrupt_record IS NULL`` = clean).
+
+    Scale: the parse is JVM-side Jackson (no Python), the clean/bad
+    split is one narrow filter each, and the quarantine write only
+    materializes the (typically tiny) bad fraction. Filters on parsed
+    columns push into the scan as row-group skipping once the clean
+    frame lands in parquet.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if not isinstance(schema, StructType):
+        raise TypeError("jsonl_source: schema must be a StructType")
+    if "_corrupt_record" in schema.fieldNames():
+        raise ValueError("jsonl_source: schema must not declare _corrupt_record")
+    parse_schema = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("__raw"),
+        F.from_json(
+            "value",
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("__p"),
+    )
+    cols = [F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields]
+    if quarantine_path is None:
+        return parsed.select(*cols, F.col("__p._corrupt_record").alias("_corrupt_record"))
+    bad = parsed.filter(F.col("__p._corrupt_record").isNotNull()).select(
+        F.col("__raw").alias("raw")
+    )
+    clean = parsed.filter(F.col("__p._corrupt_record").isNull()).select(*cols)
+    bad.select(
+        "raw", F.current_timestamp().alias("quarantined_at")
+    ).write.mode("append").parquet(quarantine_path)
+    return clean

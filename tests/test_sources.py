@@ -347,3 +347,48 @@ def test_get_spark_exports_repo_on_pythonpath(monkeypatch):
     S.get_spark("pp-probe")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(S.__file__)))
     assert repo in os.environ["PYTHONPATH"].split(os.pathsep)
+
+
+def test_jsonl_source_quarantine(spark, tmp_path):
+    """S-series extension: JSON-lines feed with a durable corrupt-record
+    channel — bad lines land in the quarantine parquet (raw preserved
+    byte-for-byte for replay), clean rows come back typed with exactly
+    the declared columns, and nothing is silently nulled or dropped."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from frontpage_spark.sources import jsonl_source
+
+    src = tmp_path / "feed.jsonl"
+    src.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "NaNope", "name": 3}\n'  # type mismatch -> corrupt
+        '{"id": 4}\n'  # missing field -> clean with NULL name
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    qdir = str(tmp_path / "quarantine")
+    clean = jsonl_source(spark, str(src), schema, quarantine_path=qdir)
+    rows = {r["id"]: r["name"] for r in clean.collect()}
+    assert rows == {1: "ok", 2: "also ok", 4: None}
+    assert clean.columns == ["id", "name"]
+    bad = spark.read.parquet(qdir)
+    raws = sorted(r["raw"] for r in bad.collect())
+    assert raws == ["this is not json", '{"id": "NaNope", "name": 3}']
+    assert set(bad.columns) == {"raw", "quarantined_at"}
+    # split mode: caller keeps _corrupt_record when no quarantine sink
+    df = jsonl_source(spark, str(src), schema)
+    assert df.filter(df["_corrupt_record"].isNotNull()).count() == 2
+    # schema misuse fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        jsonl_source(
+            spark,
+            str(src),
+            StructType([StructField("_corrupt_record", StringType())]),
+        )
+    with pytest.raises(TypeError, match="StructType"):
+        jsonl_source(spark, str(src), "id long")
