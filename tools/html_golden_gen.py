@@ -291,6 +291,10 @@ def gen_doc(rng: random.Random, i: int) -> str:
         # a '<' that opens no tag is literal text to a real parser
         if rng.random() < 0.15:
             body += " sizes 5 < 6 > 3 and i<3 u"
+        # a comment INSIDE the captured element: no text, no structure,
+        # and selector decoys inside it never match
+        if rng.random() < 0.15:
+            body += f"<!-- hidden {i} <div class='postingBody'>x</div> -->visible{i}"
         parts.append(f"<div {_cls(rng, 'postingBody')}>{body}</div>")
     # age (10% missing)
     if rng.random() >= 0.10:
