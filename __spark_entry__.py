@@ -3,9 +3,10 @@
 entry(spark)  — flagship query (F6 phone-mining pipeline) on sf0.001.
 queries()     — one callable per implemented operator (SURVEY.md §2 +
                 training-data extensions), from frontpage_spark.queries.
-oracle_sql()  — matching DuckDB SQL for every SQL-expressible query;
-                rows-only operators (HTML UDFs, approximate ANN/sketch
-                estimates) intentionally have no oracle entry.
+oracle_sql()  — matching DuckDB SQL for EVERY query (since round 8 the
+                registry has zero rows-only entries: the approximate
+                retrievals are deterministic given their seeded
+                planes/codebooks, so the oracle replays them exactly).
 """
 
 from __future__ import annotations
@@ -44,6 +45,8 @@ _R8_SAMPLE_ROTATION = [
     "rfm_segments", "peak_concurrent_sessions", "kcenter_diverse_seeds",
     "chunking_stats", "blocklist_filter_stats",
     "part_value_fraction_q11ish", "top_supplier_q15ish",
+    # --- graduated from rows-only r8: deterministic ANN retrievals
+    "embedding_knn_lsh", "embedding_knn_ivf",
     # --- the NaN-total-order comparator change touches every
     # global_prefix_stats consumer: re-verify the family
     "token_budget_selection", "ntile_analytics_orders",

@@ -2312,20 +2312,162 @@ def html_clean_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_compat(enrich(clean_projection(raw), site_map, strict=True))
 
 
-@register("embedding_knn_lsh")  # rows-only: approximate operator
+def _lsh_planes_duck(planes: int, dim: int = 64) -> str:
+    """The md5-parity ±1 hyperplanes (ext/similarity._plane_literals) as
+    a DuckDB nested-list literal — same values, so the oracle replays
+    the exact signature function."""
+    import hashlib
+
+    rows = []
+    for p in range(planes):
+        vals = [
+            "1.0" if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) % 2 else "-1.0"
+            for i in range(dim)
+        ]
+        rows.append("[" + ", ".join(vals) + "]")
+    return "[" + ", ".join(rows) + "]"
+
+
+def _lsh_sig_duck(e: str, planes: int) -> str:
+    """bit p = '1' iff (e · h_p) > 0, concatenated — the exact
+    ext/similarity.lsh_signature fold, plane dots accumulated as DOUBLE
+    in index order on both engines."""
+    bits = []
+    for p in range(1, planes + 1):
+        d = (
+            f"list_sum([CAST({e}[i] AS DOUBLE) * hs[{p}][i] "
+            f"for i in generate_series(1, len({e}))])"
+        )
+        bits.append(f"(CASE WHEN {d} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+@register(
+    "embedding_knn_lsh",
+    f"""
+    WITH pl AS (SELECT {_lsh_planes_duck(4)} AS hs),
+    c AS (
+      SELECT vec_id AS cid, embedding AS ce,
+             {_lsh_sig_duck('embedding', 4)} AS sig,
+             {_CNORM_SQL.replace('ce[', 'embedding[').replace('len(ce)', 'len(embedding)')} AS cn
+      FROM embeddings, pl
+    ),
+    q0 AS (
+      SELECT vec_id AS qid, embedding AS qe,
+             {_lsh_sig_duck('embedding', 4)} AS sig,
+             {_QNORM_SQL.replace('qe[', 'embedding[').replace('len(qe)', 'len(embedding)')} AS qn
+      FROM embeddings, pl WHERE vec_id < 3
+    ),
+    probes AS (
+      SELECT qid, qe, qn, sig FROM q0
+      UNION ALL
+      SELECT qid, qe, qn,
+             substring(sig, 1, i - 1)
+               || (CASE WHEN substring(sig, i, 1) = '1' THEN '0' ELSE '1' END)
+               || substring(sig, i + 1) AS sig
+      FROM (SELECT *, unnest(generate_series(1, 4)) AS i FROM q0)
+    ),
+    scored AS (
+      SELECT qid, cid, {_DOT_SQL} / (sqrt(qn) * sqrt(cn)) AS cosine
+      FROM c JOIN probes USING (sig) WHERE cid <> qid
+    ),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, round(cosine, 12) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
 def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: random-hyperplane LSH bucketing + in-bucket exact
-    scoring. Approximate by construction → rows-only check."""
+    """Scale-path ANN: random-hyperplane LSH bucketing (4 deterministic
+    md5-parity planes), standard Hamming-1 multiprobe, in-bucket exact
+    cosine. "Approximate" describes RECALL vs brute force, not
+    nondeterminism — the planes are a pure function of (p, i), the
+    signature fold and probe fan-out are fixed, so DuckDB replays the
+    whole retrieval exactly (graduated from rows-only in round 8; the
+    recall bound itself is checked by `ann_recall_eval`). Output cosine
+    rounded to 12 decimals (sqrt/divide last-ULP), rank on the
+    unrounded value, exactly the `embedding_topk_cosine` convention."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=10, planes=4)
+    out = similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=10, planes=4)
+    return out.select(
+        "qid",
+        "cid",
+        F.round("cosine", 12).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
-@register("embedding_knn_ivf")  # rows-only: approximate operator
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in generate_series(1, len({a}))])"
+    )
+
+
+def _ivf_assign_duck(filter_sql: str, idn: str, vn: str, nn: str, probes: int) -> str:
+    """One side's Voronoi-cell assignment: cosine to each of the 16
+    sampled centroids, keep the ``probes`` nearest (ties by cent_id) —
+    the exact ext/similarity.ivf_topk assign() shape."""
+    return f"""(
+      SELECT {idn}, {vn}, {nn}, cent_id AS cell FROM (
+        SELECT {idn}, {vn}, {nn}, cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY {idn}
+                 ORDER BY {_duck_dot(vn, 'cent')} / (sqrt({nn}) * sqrt(cent_n)) DESC,
+                          cent_id
+               ) AS r
+        FROM (
+          SELECT vec_id AS {idn}, embedding AS {vn},
+                 {_duck_dot('embedding', 'embedding')} AS {nn}
+          FROM embeddings {filter_sql}
+        ) CROSS JOIN cents
+      ) WHERE r <= {probes}
+    )"""
+
+
+@register(
+    "embedding_knn_ivf",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent,
+             {_duck_dot('embedding', 'embedding')} AS cent_n
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    cassign AS {_ivf_assign_duck('', 'cid', 'ce', 'cn', 1)},
+    qassign AS {_ivf_assign_duck('WHERE vec_id < 3', 'qid', 'qe', 'qn', 2)},
+    scored AS (
+      SELECT qid, cid, {_DOT_SQL} / (sqrt(qn) * sqrt(cn)) AS cosine
+      FROM cassign JOIN qassign USING (cell) WHERE cid <> qid
+    ),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, round(cosine, 12) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
 def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: Voronoi-cell partitioning around sampled centroids,
-    nprobe-cell probing, in-cell exact scoring. Approximate → rows-only."""
+    """IVF-style ANN: Voronoi cells around the 16 DETERMINISTICALLY
+    sampled centroids (first vec_ids — train_passes=0), nprobe=2 cell
+    probing, in-cell exact cosine. Like `embedding_knn_lsh`,
+    "approximate" means recall vs brute force, not nondeterminism — the
+    codebook sample, both argmin assignments (ties by cent_id), and the
+    cell join are fixed functions of the data, so DuckDB replays the
+    retrieval exactly (graduated from rows-only in round 8). Output
+    cosine rounded to 12 decimals, rank on the unrounded value."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+    return out.select(
+        "qid",
+        "cid",
+        F.round("cosine", 12).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 # The oracle predicts decoded metadata arithmetically from the synth spec

@@ -15,14 +15,13 @@ def test_contract_shape():
     # hll_sketch_union_users) to within-tolerance bound-check oracles;
     # r7 graduated ann_recall_eval (above_floor booleans) and gave the
     # HTML UDF a golden-fixture hash signal (html_extraction_golden);
-    # r8 graduated html_clean_projection itself (golden-corpus 17-col
-    # composed oracle) — what remains is exactly the genuinely
-    # approximate kNN ranking
+    # r8 graduated html_clean_projection (golden-corpus 17-col composed
+    # oracle) and finally both approximate kNN rankings — their
+    # "approximation" is recall vs brute force, not nondeterminism, so
+    # DuckDB replays the md5-parity LSH planes / sampled-centroid IVF
+    # retrieval exactly. EVERY registry entry now has a full oracle.
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "embedding_knn_lsh",
-        "embedding_knn_ivf",
-    }
+    assert rows_only == set()
 
 
 def test_entry_smoke(spark):
