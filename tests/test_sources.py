@@ -381,6 +381,14 @@ def test_jsonl_source_quarantine(spark, tmp_path):
     # split mode: caller keeps _corrupt_record when no quarantine sink
     df = jsonl_source(spark, str(src), schema)
     assert df.filter(df["_corrupt_record"].isNotNull()).count() == 2
+    # non-OBJECT json lines (array, scalar, string, null) are corrupt;
+    # an empty object is a clean all-null row (missing-field semantics)
+    src2 = tmp_path / "shapes.jsonl"
+    src2.write_text('[1, 2]\n42\n"str"\nnull\n{}\n')
+    df2 = jsonl_source(spark, str(src2), schema)
+    assert df2.filter(df2["_corrupt_record"].isNotNull()).count() == 4
+    ok = df2.filter(df2["_corrupt_record"].isNull()).collect()
+    assert len(ok) == 1 and ok[0]["id"] is None and ok[0]["name"] is None
     # schema misuse fails loudly
     import pytest
 
