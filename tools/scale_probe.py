@@ -76,6 +76,10 @@ PROBE_QUERIES = [
     "chunking_stats",
     "blocklist_filter_stats",
     "kcenter_diverse_seeds",
+    # r8: the ANN retrievals graduated to full oracles — probe their
+    # corpus-side scaling (query side is fixed at 3 vectors)
+    "embedding_knn_lsh",
+    "embedding_knn_ivf",
 ]
 
 
@@ -203,6 +207,16 @@ NOTES = {
         "K=8 stateless rounds: each recomputes min-dist to <=K broadcast "
         "center literals in one narrow pass + TakeOrdered(1) — no iterated "
         "state, no checkpoint; cost ~ K^2 x n arithmetic"
+    ),
+    "embedding_knn_lsh": (
+        "corpus hashed once (4-plane signature fold); 3 queries x "
+        "(planes+1) multiprobe buckets -> in-bucket exact cosine; cost ~ "
+        "corpus scan + matched-bucket candidates"
+    ),
+    "embedding_knn_ivf": (
+        "corpus assigned to its nearest of 16 broadcast centroids (one "
+        "narrow argmin pass); 3 queries probe 2 cells; cost ~ corpus scan "
+        "+ probed-cell candidates"
     ),
 }
 
