@@ -400,3 +400,45 @@ def test_jsonl_source_quarantine(spark, tmp_path):
         )
     with pytest.raises(TypeError, match="StructType"):
         jsonl_source(spark, str(src), "id long")
+
+
+def test_jsonl_source_model_property(spark, tmp_path):
+    """Model-based check: for a generated mixed feed, clean rows must
+    equal what Python's json.loads accepts (objects only, with the
+    declared fields type-coerced), and every other line must land in
+    quarantine byte-for-byte — no row lost, no row invented."""
+    import json as pyjson
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from frontpage_spark.sources import jsonl_source
+
+    lines = []
+    expected_clean = {}
+    expected_bad = []
+    for i in range(120):
+        kind = i % 6
+        if kind in (0, 1, 2):  # valid object
+            obj = {"id": i, "name": f"n{i}" if i % 5 else None}
+            lines.append(pyjson.dumps(obj))
+            expected_clean[i] = obj["name"]
+        elif kind == 3:  # broken syntax
+            lines.append(f'{{"id": {i}, "name": ')
+            expected_bad.append(lines[-1])
+        elif kind == 4:  # non-object
+            lines.append(f"[{i}]")
+            expected_bad.append(lines[-1])
+        else:  # type mismatch on a declared field
+            lines.append(f'{{"id": "x{i}", "name": "y"}}')
+            expected_bad.append(lines[-1])
+    src = tmp_path / "mixed.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    qdir = str(tmp_path / "q")
+    clean = jsonl_source(spark, str(src), schema, quarantine_path=qdir)
+    got = {r["id"]: r["name"] for r in clean.collect()}
+    assert got == expected_clean
+    raws = sorted(r["raw"] for r in spark.read.parquet(qdir).collect())
+    assert raws == sorted(expected_bad)
