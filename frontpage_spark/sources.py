@@ -267,6 +267,26 @@ def jsonl_source(
     columns push into the scan as row-group skipping once the clean
     frame lands in parquet.
     """
+    parsed = _jsonl_parse(spark.read.text(path), schema)
+    cols = [F.col(f.name) for f in schema.fields]
+    if quarantine_path is None:
+        return parsed
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    clean = parsed.filter(F.col("_corrupt_record").isNull()).select(*cols)
+    bad.select(
+        "raw", F.current_timestamp().alias("quarantined_at")
+    ).write.mode("append").parquet(quarantine_path)
+    return clean
+
+
+def _jsonl_parse(text_df: DataFrame, schema) -> DataFrame:
+    """Shared batch/streaming parse: text lines -> declared columns +
+    ``_corrupt_record`` (the byte-exact raw line on failure, NULL when
+    clean). Works identically on ``spark.read.text`` and
+    ``spark.readStream.text`` inputs — the from_json projection is
+    stateless, so the streaming planner accepts it unchanged."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     if not isinstance(schema, StructType):
@@ -276,22 +296,25 @@ def jsonl_source(
     parse_schema = StructType(
         list(schema.fields) + [StructField("_corrupt_record", StringType())]
     )
-    parsed = spark.read.text(path).select(
-        F.col("value").alias("__raw"),
+    p = text_df.select(
         F.from_json(
             "value",
             parse_schema,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
         ).alias("__p"),
     )
-    cols = [F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields]
-    if quarantine_path is None:
-        return parsed.select(*cols, F.col("__p._corrupt_record").alias("_corrupt_record"))
-    bad = parsed.filter(F.col("__p._corrupt_record").isNotNull()).select(
-        F.col("__raw").alias("raw")
+    return p.select(
+        *[F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields],
+        F.col("__p._corrupt_record").alias("_corrupt_record"),
     )
-    clean = parsed.filter(F.col("__p._corrupt_record").isNull()).select(*cols)
-    bad.select(
-        "raw", F.current_timestamp().alias("quarantined_at")
-    ).write.mode("append").parquet(quarantine_path)
-    return clean
+
+
+def jsonl_stream(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Streaming flavor of ``jsonl_source``: a file-discovery text
+    stream over a feed DIRECTORY, parsed with the same shared
+    projection. Returns the streaming frame with ``_corrupt_record``
+    retained; a ``foreachBatch`` body splits it and appends the bad
+    raws to a durable quarantine (see ``pipeline.quarantine_append``'s
+    channel shape) — exactly the micro-batch form the polled reference
+    loop uses (ST1/ST4)."""
+    return _jsonl_parse(spark.readStream.text(path), schema)

@@ -442,3 +442,54 @@ def test_jsonl_source_model_property(spark, tmp_path):
     assert got == expected_clean
     raws = sorted(r["raw"] for r in spark.read.parquet(qdir).collect())
     assert raws == sorted(expected_bad)
+
+
+def test_jsonl_stream_foreachbatch_quarantine(spark, tmp_path):
+    """ST1/ST4 composition with the jsonl feed: a file-discovery text
+    stream parsed by the shared projection; each micro-batch splits
+    clean rows into the warehouse sink and bad raws into the durable
+    quarantine. Two files discovered across two micro-batches — every
+    line accounted for on one side or the other."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from frontpage_spark.sources import jsonl_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "a.jsonl").write_text('{"id": 1, "name": "x"}\nbroken {\n{"id": 2, "name": "y"}\n')
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    clean_dir = str(tmp_path / "clean")
+    qdir = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = jsonl_stream(spark, str(feed), schema)
+    assert stream.isStreaming
+
+    def body(batch, epoch_id):
+        batch.filter(F.col("_corrupt_record").isNull()).select("id", "name").write.mode(
+            "append"
+        ).parquet(clean_dir)
+        bad = batch.filter(F.col("_corrupt_record").isNotNull()).select(
+            F.col("_corrupt_record").alias("raw"),
+            F.current_timestamp().alias("quarantined_at"),
+        )
+        bad.write.mode("append").parquet(qdir)
+
+    q = stream.writeStream.foreachBatch(body).option("checkpointLocation", ckpt).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    # second file lands; a fresh availableNow run picks up ONLY it
+    (feed / "b.jsonl").write_text('{"id": 3, "name": "z"}\n[7]\n')
+    q2 = stream.writeStream.foreachBatch(body).option("checkpointLocation", ckpt).trigger(
+        availableNow=True
+    ).start()
+    q2.awaitTermination(120)
+
+    clean = {r["id"]: r["name"] for r in spark.read.parquet(clean_dir).collect()}
+    assert clean == {1: "x", 2: "y", 3: "z"}
+    raws = sorted(r["raw"] for r in spark.read.parquet(qdir).collect())
+    assert raws == ["[7]", "broken {"]
