@@ -22,19 +22,42 @@ tools/html_golden_gen.py):
   ``html.parser`` walker the golden fixture uses), while selector-shaped
   strings inside script/style never match and markup inside CDATA never
   perturbs depth counting.
+- **Constructs are consumed LEFT-TO-RIGHT, like a real parser** (round
+  9, closing the r8 ADVICE comment/CDATA-ordering finding): at each
+  position the earliest of a comment open (``<!--``) or a script/style
+  open wins and consumes its whole span before scanning resumes. So a
+  ``<script>`` inside a comment never opens CDATA, a comment inside
+  script/style content is plain CDATA text (the classic
+  ``<script><!-- ... //--></script>`` hiding idiom — html.parser
+  delivers it as data), CDATA content ends at the FIRST literal
+  close tag even if that close tag sits inside such a comment, and an
+  UNTERMINATED ``<!--`` is not a comment at all: html.parser's EOF
+  flush emits it as data through the first ``>`` (or to
+  end-of-document when no ``>`` remains), and the engine mirrors that
+  exactly — the span is text, and nothing inside it matches.
 - **Text nodes concatenate with NO separator** (``getText()`` default),
   then the reference's exact cleanup: drop ``\\r``/``\\n``, ascii-ignore,
   strip. No whitespace collapsing, no tags-as-spaces — ``abc<b>def``
   is ``abcdef``, and interior space runs survive verbatim.
 - Matched-element extents include nested same-tag markup in full;
   unclosed elements extend to end-of-document (bs4-style leniency).
-- Entity decoding is out of contract (the reference corpus is
-  entity-free ad markup; a raw-text extractor must not decode).
+- **Entity decoding is IN contract (round 9 — full bs4 parity,
+  closing the r8 carve-out)**: character/entity references in text
+  nodes decode with ``html.unescape`` per text run exactly as
+  html.parser's ``convert_charrefs`` does (HTML5 rules, so
+  semicolon-less named refs like ``&amp`` decode too), EXCEPT inside
+  script/style CDATA content, which a real parser delivers raw.
+  Attribute values (the ``other_ads`` hrefs) also decode, matching
+  ``parse_starttag``'s unconditional attribute unescape. Decoding runs
+  per SLICE between dropped spans, so a reference interrupted by a tag
+  (``&am<b>p;``) never falsely reassembles — the same boundaries at
+  which html.parser chunks its data events.
 """
 
 from __future__ import annotations
 
 import re
+from html import unescape as _unescape  # stdlib html, not this module
 
 import pandas as pd
 from pyspark.sql import Column, functions as F
@@ -52,60 +75,114 @@ _TI = "(?:=\\s*\"[^\"]*\"|=\\s*'[^']*'|[^>])*?"
 # instructions). A '<' not opening one of these is literal text to
 # html.parser/bs4 ("a < b > c" stays text) and must survive extraction.
 _TAG_RE = re.compile(rf"</?[a-zA-Z]{_TI}>|<![^>]*>|<\?[^>]*>")
-_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+# html.parser's _commentclose: a comment ends at '--' + optional
+# whitespace + '>'
+_COMMENT_CLOSE_RE = re.compile(r"--\s*>")
 # script/style content is CDATA to a real parser — selector-shaped
 # strings inside it must never MATCH (but its text is still part of
 # getText(), see _Doc)
-_CDATA_RE = re.compile(rf"<(script|style)\b{_TI}>(.*?)</\1\s*>", re.S | re.I)
-_CDATA_OPEN_RE = re.compile(rf"<(?:script|style)\b{_TI}>", re.S | re.I)
+_CDATA_OPEN_RE = re.compile(rf"<(script|style)\b{_TI}>", re.S | re.I)
+# html.parser's set_cdata_mode 'interesting': CDATA content ends at
+# the first '</' + optional ws + name + optional ws + '>'
+_CDATA_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.I) for t in ("script", "style")
+}
 
 
 class _Doc:
     """One parsed-enough document: ``orig`` (raw bytes of truth for
     text), ``mc`` (same-length matching copy: comments blanked, script/
-    style CONTENT blanked, their tags kept), and the sorted spans to
-    drop from any extracted text slice (comments + real tags)."""
+    style CONTENT blanked, their tags kept), the sorted spans to drop
+    from any extracted text slice (comments + real tags), and the
+    CDATA content spans (text kept RAW — no entity decode there).
 
-    __slots__ = ("orig", "mc", "_skips")
+    Comments and script/style openers are consumed in one left-to-
+    right scan, earliest-construct-wins — the order html.parser
+    consumes them — so each is inert inside the other (module
+    docstring, bullet 2)."""
+
+    __slots__ = ("orig", "mc", "_skips", "_cdata")
 
     def __init__(self, html: str):
         self.orig = html
+        n = len(html)
         skips: list[tuple[int, int]] = []
-        if "<!--" in html:
-            buf = list(html)
-            for m in _COMMENT_RE.finditer(html):
-                s, e = m.span()
-                buf[s:e] = " " * (e - s)
-                skips.append((s, e))
-            c1 = "".join(buf)
-        else:
-            c1 = html
-        low = c1 if c1.islower() else c1.lower()
-        if "<script" in low or "<style" in low:
-            buf = list(c1)
-            last_end = 0
-            for m in _CDATA_RE.finditer(c1):
-                s, e = m.span(2)  # content only; the tags stay visible
-                buf[s:e] = " " * (e - s)
-                last_end = m.end()
-            # an UNTERMINATED script/style is CDATA to end-of-document
-            # (html.parser emits the tail as data at close()): blank its
-            # content in the matching copy too, so selector-shaped
-            # strings inside it can never match
-            m = _CDATA_OPEN_RE.search(c1, last_end)
-            if m:
-                buf[m.end():] = " " * (len(c1) - m.end())
-            self.mc = "".join(buf)
-        else:
-            self.mc = c1
+        cdata: list[tuple[int, int]] = []
+        buf: list[str] | None = None
+        pos = 0
+        while pos < n:
+            ci = html.find("<!--", pos)
+            sm = _CDATA_OPEN_RE.search(html, pos)
+            if ci < 0 and sm is None:
+                break
+            if sm is None or (0 <= ci < sm.start()):
+                cm = _COMMENT_CLOSE_RE.search(html, ci + 4)
+                if buf is None:
+                    buf = list(html)
+                if cm:
+                    e = cm.end()
+                    buf[ci:e] = " " * (e - ci)
+                    skips.append((ci, e))  # comments contribute no text
+                    pos = e
+                else:
+                    # UNTERMINATED comment: html.parser's EOF flush
+                    # emits '<!--' through the first '>' as DATA (to
+                    # end-of-document if no '>' remains) and resumes
+                    # after it — so the span is TEXT, blanked only in
+                    # the matching copy (nothing inside may match).
+                    # One '<' sentinel survives the blank: the span is
+                    # its own data event, so a direct-text scan
+                    # ([^<]* in the locations selector) must not read
+                    # across it into the following data run.
+                    gt = html.find(">", ci + 1)
+                    e = gt + 1 if gt >= 0 else n
+                    buf[ci:e] = " " * (e - ci)
+                    buf[ci] = "<"
+                    pos = e
+            else:
+                tag = sm.group(1).lower()
+                cs = sm.end()
+                cm = _CDATA_CLOSE[tag].search(html, cs)
+                # content runs to the FIRST literal close tag —
+                # comments inside are plain CDATA text, and a close
+                # tag inside such a comment still ends the content.
+                # UNTERMINATED script/style content is NOT text at
+                # all: html.parser's EOF flush explicitly skips it
+                # (`if end and i < n and not self.cdata_elem`), so the
+                # span goes to the DROP list, not the cdata-text list.
+                ce = cm.start() if cm else n
+                if ce > cs:
+                    if buf is None:
+                        buf = list(html)
+                    buf[cs:ce] = " " * (ce - cs)
+                    if cm:
+                        cdata.append((cs, ce))
+                    else:
+                        skips.append((cs, ce))
+                pos = cm.end() if cm else n
+        self.mc = "".join(buf) if buf is not None else html
+        self._cdata = cdata
         for m in _TAG_RE.finditer(self.mc):
             skips.append(m.span())
         skips.sort()
         self._skips = skips
 
+    def _piece(self, a: int, b: int) -> str:
+        """One text node orig[a:b]: entity-decoded per run exactly as
+        html.parser's convert_charrefs does — except CDATA content,
+        which a real parser delivers raw."""
+        t = self.orig[a:b]
+        if "&" not in t:
+            return t
+        for s, e in self._cdata:
+            if s <= a and b <= e:
+                return t
+        return _unescape(t)
+
     def text(self, a: int, b: int) -> str:
         """Concatenated text nodes of orig[a:b] — skip spans removed
-        with NO separator (bs4 getText() default)."""
+        with NO separator (bs4 getText() default), each run entity-
+        decoded per the module contract."""
         out: list[str] = []
         pos = a
         for s, e in self._skips:
@@ -114,12 +191,12 @@ class _Doc:
             if s >= b:
                 break
             if s > pos:
-                out.append(self.orig[pos:s])
+                out.append(self._piece(pos, s))
             pos = e
             if pos >= b:
                 break
         if pos < b:
-            out.append(self.orig[pos:b])
+            out.append(self._piece(pos, b))
         return "".join(out)
 
 
@@ -220,8 +297,10 @@ def _extract(html: str | _Doc | None, field: str) -> str | None:
             # findAll walks DESCENDANTS only, so a div.cat after the
             # section closes must not contribute (round-8 hardening)
             seg = d.mc[m.end() : _balanced_end(d.mc, m.end(), m.group(1))]
+            # attribute values entity-decode unconditionally in a real
+            # parser (html.parser parse_starttag unescapes every value)
             hrefs = [
-                next(g for g in hm.groups() if g is not None)
+                _unescape(next(g for g in hm.groups() if g is not None))
                 for hm in re.finditer(
                     rf"<div\b{_TI}{_class_re('cat')}{_TI}>.*?"
                     rf"<a\b{_TI}href\s*=\s*(?:\"([^\"]+)\"|'([^']+)'|([^\s>'\"][^\s>]*))",

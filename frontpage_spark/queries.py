@@ -12092,3 +12092,79 @@ def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---- ST4/S-series: the jsonl ingestion surface's oracle row ---------------
+_FEED_JSONL = os.path.join(_REPO_ROOT, "fixtures", "feed.jsonl")
+
+
+@register(
+    "jsonl_feed_channels",
+    r"""
+    WITH lines AS (
+      SELECT raw FROM read_csv('{FEED}',
+          columns={'raw': 'VARCHAR'}, header=false, delim='|',
+          quote='', escape='')
+      WHERE length(trim(raw, ' ' || chr(9) || chr(13) || chr(11) || chr(12))) > 0
+    ),
+    judged AS (
+      SELECT raw,
+        CASE WHEN NOT json_valid(raw) THEN false
+             WHEN json_type(json(raw)) IS DISTINCT FROM 'OBJECT' THEN false
+             WHEN NOT coalesce(
+                 json_type(json(raw), '$.id') IN ('BIGINT', 'UBIGINT', 'NULL'),
+                 true) THEN false
+             WHEN NOT coalesce(
+                 json_type(json(raw), '$.name') IN ('VARCHAR', 'NULL'),
+                 true) THEN false
+             ELSE true END AS ok
+      FROM lines
+    )
+    SELECT CAST(json_extract(raw, '$.id') AS VARCHAR) AS id,
+           json_extract_string(raw, '$.name') AS name,
+           'clean' AS channel, CAST(NULL AS VARCHAR) AS raw
+    FROM judged WHERE ok
+    UNION ALL
+    SELECT NULL, NULL, 'corrupt', raw FROM judged WHERE NOT ok
+    """.replace("{FEED}", _FEED_JSONL.replace("'", "''")),
+)
+def jsonl_feed_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 extension's oracle row (VERDICT r8 item 5 — the last
+    test-only ingestion surface): the jsonl dead-letter split over a
+    committed mixed fixture (fixtures/feed.jsonl: valid objects,
+    broken syntax, type mismatches, non-objects, a bare JSON null,
+    an empty object, blank/whitespace-only separator lines), every
+    line accounted for on exactly one channel. Spark runs the
+    production ``sources.jsonl_source`` parse (text scan + PERMISSIVE
+    from_json, blank lines dropped as separators, null-struct rows
+    corrupt); DuckDB independently re-judges each raw line with its
+    OWN JSON parser (json_type against the declared field types —
+    mirroring from_json's STRICT per-field typing, which never
+    string-coerces) and re-extracts the clean values. All columns
+    VARCHAR so the differential hash is dtype-stable.
+
+    Scale: the fixture is bounded by design (a differential gate);
+    the operator under test is the same line-splittable JVM-side
+    parse `jsonl_ingest` commits at any scale."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .sources import jsonl_source
+
+    tune(spark)
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    parsed = jsonl_source(spark, _FEED_JSONL, schema)
+    clean = parsed.filter(F.col("_corrupt_record").isNull()).select(
+        F.col("id").cast("string").alias("id"),
+        F.col("name"),
+        F.lit("clean").alias("channel"),
+        F.lit(None).cast("string").alias("raw"),
+    )
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.lit(None).cast("string").alias("id"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit("corrupt").alias("channel"),
+        F.col("_corrupt_record").alias("raw"),
+    )
+    return clean.unionByName(bad)

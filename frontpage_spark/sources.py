@@ -243,7 +243,10 @@ def jsonl_source(
     rows that fail to parse against the declared schema are never
     silently nulled OR silently dropped; they are either written to a
     quarantine sink (raw line + ingest timestamp) or surfaced to the
-    caller under ``_corrupt_record``.
+    caller under ``_corrupt_record``. The one deliberate exception:
+    blank / whitespace-only lines are treated as line separators and
+    dropped before the parse (see ``_jsonl_parse``) — they are not
+    records, so they belong to neither channel.
 
     Shape: a line-splittable TEXT scan + ``from_json`` in PERMISSIVE
     mode with a ``_corrupt_record`` column (NOT the json reader — Spark
@@ -254,31 +257,64 @@ def jsonl_source(
     declared schema is mandatory, so Spark never runs its sampling
     inference pass (a whole extra scan) over the input.
 
-    With ``quarantine_path`` set, bad raws are appended there as
-    (raw, quarantined_at) parquet — the same replayable channel shape
-    as ``pipeline.quarantine_append`` — and the clean rows come back
-    with exactly the caller's columns. Without it, the parsed frame is
-    returned with ``_corrupt_record`` retained so the caller does its
-    own split (``_corrupt_record IS NULL`` = clean).
+    Without ``quarantine_path`` this is a pure LAZY source: the parsed
+    frame comes back with ``_corrupt_record`` retained so the caller
+    does its own split (``_corrupt_record IS NULL`` = clean) and
+    commits both channels however it likes (``jsonl_stream`` +
+    ``foreachBatch`` is the streaming shape of exactly that contract).
+
+    With ``quarantine_path`` set, the call is an INGEST COMMIT — it
+    delegates to :func:`jsonl_ingest`, which runs ONE job now (see
+    there for the single-scan contract). Callers that want no action
+    at call time must pass no quarantine_path.
 
     Scale: the parse is JVM-side Jackson (no Python), the clean/bad
-    split is one narrow filter each, and the quarantine write only
-    materializes the (typically tiny) bad fraction. Filters on parsed
-    columns push into the scan as row-group skipping once the clean
-    frame lands in parquet.
+    split is one narrow filter each. Filters on parsed columns push
+    into the scan as row-group skipping once the clean frame lands in
+    parquet.
     """
-    parsed = _jsonl_parse(spark.read.text(path), schema)
+    if quarantine_path is not None:
+        return jsonl_ingest(spark, path, schema, quarantine_path)
+    return _jsonl_parse(spark.read.text(path), schema)
+
+
+def jsonl_ingest(
+    spark: SparkSession,
+    path: str,
+    schema,
+    quarantine_path: str,
+) -> DataFrame:
+    """One-pass ingest COMMIT for a JSON-lines feed: scans the feed
+    ONCE, appends the bad raws to ``quarantine_path`` as
+    (raw, quarantined_at) parquet — the same replayable channel shape
+    as ``pipeline.quarantine_append`` — and returns the clean rows
+    with exactly the caller's columns, served from the SAME
+    materialization.
+
+    Single-scan contract (closes the r8 two-scan/eager-surprise
+    finding): the parsed frame is pinned with ``plans.keep()`` before
+    the quarantine write, so the write job populates the cache and the
+    returned clean frame reads ``InMemoryTableScan``, not the text
+    files — one text-scan job per ingest, and both channels see the
+    IDENTICAL snapshot of the path glob (files landing after the call
+    are invisible to both, not split between them). The function name
+    says what happens at call time: this is an action, not a lazy
+    source — ``jsonl_source`` (no quarantine) is the lazy form.
+
+    Scale: the cached parse holds only the declared columns +
+    ``_corrupt_record`` (NULL for the clean majority), MEMORY_AND_DISK
+    by keep()'s policy, and the quarantine write ships the (typically
+    tiny) bad fraction.
+    """
+    from . import plans
+
+    parsed = plans.keep(_jsonl_parse(spark.read.text(path), schema))
     cols = [F.col(f.name) for f in schema.fields]
-    if quarantine_path is None:
-        return parsed
-    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw")
-    )
-    clean = parsed.filter(F.col("_corrupt_record").isNull()).select(*cols)
-    bad.select(
-        "raw", F.current_timestamp().alias("quarantined_at")
+    parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw"),
+        F.current_timestamp().alias("quarantined_at"),
     ).write.mode("append").parquet(quarantine_path)
-    return clean
+    return parsed.filter(F.col("_corrupt_record").isNull()).select(*cols)
 
 
 def _jsonl_parse(text_df: DataFrame, schema) -> DataFrame:
@@ -296,7 +332,18 @@ def _jsonl_parse(text_df: DataFrame, schema) -> DataFrame:
     parse_schema = StructType(
         list(schema.fields) + [StructField("_corrupt_record", StringType())]
     )
-    p = text_df.select(
+    # Blank / whitespace-only lines are LINE SEPARATORS, not records
+    # (the JSON-lines convention allows them): dropped before the
+    # parse, so they reach neither channel. Everything else that
+    # from_json cannot produce a struct for — including inputs where
+    # PERMISSIVE mode returns a NULL struct with no _corrupt_record
+    # (e.g. a bare JSON `null` on some Spark versions) — is CORRUPT
+    # with the byte-exact raw line, never a silently-invented all-NULL
+    # clean row (ADVICE r8 medium).
+    # btrim with an explicit set: trim() strips only ' ', and a
+    # tab-only line is just as blank
+    p = text_df.filter(F.btrim(F.col("value"), F.lit(" \t\r\x0b\x0c")) != "").select(
+        F.col("value"),
         F.from_json(
             "value",
             parse_schema,
@@ -305,7 +352,9 @@ def _jsonl_parse(text_df: DataFrame, schema) -> DataFrame:
     )
     return p.select(
         *[F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields],
-        F.col("__p._corrupt_record").alias("_corrupt_record"),
+        F.when(F.col("__p").isNull(), F.col("value"))
+        .otherwise(F.col("__p._corrupt_record"))
+        .alias("_corrupt_record"),
     )
 
 

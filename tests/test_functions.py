@@ -121,14 +121,15 @@ def test_html_gettext_contract():
     # selector-shaped strings inside script/style never match
     decoy = '<script>var t = "<div class=\\"postingBody\\">no</div>";</script>'
     assert _extract(f"<html>{decoy}</html>", "post_body") is None
-    # an UNTERMINATED script is CDATA to end-of-document (html.parser
-    # emits the tail as data at close) — selectors must not match in it
+    # an UNTERMINATED script is CDATA to end-of-document — selectors
+    # must not match in it, and (round 9, html.parser parity) its text
+    # is NOT delivered at all: the EOF flush skips cdata content
+    # (`if end and i < n and not self.cdata_elem` in goahead)
     open_decoy = '<script>var t = "<div class=\\"postingBody\\">no</div>";'
     assert _extract(f"<html>{open_decoy}", "post_body") is None
-    # ...but its TEXT still belongs to an enclosing captured element
     assert (
         _extract('<div class="postingBody">pre <script>tail text', "post_body")
-        == "pre tail text"
+        == "pre"
     )
     # comments contribute no text and no structure
     assert (
@@ -139,6 +140,83 @@ def test_html_gettext_contract():
     assert (
         _extract('<div class="postingBody">5 < 6 > 3 i<3 u</div>', "post_body")
         == "5 < 6 > 3 i<3 u"
+    )
+
+
+def test_html_round9_contract():
+    """Round-9 parity contract (ADVICE r8 + VERDICT item 4): entity
+    decoding is IN contract (html.parser convert_charrefs semantics,
+    CDATA raw, attributes always decoded), constructs consume
+    left-to-right (comment inside script is data; a close tag inside
+    such a comment still ends the content), and an unterminated
+    '<!--' is data-through-first-'>' — all pinned against stdlib
+    html.parser behavior, verified by the golden walker."""
+    from frontpage_spark.html import _extract
+
+    # entities decode in text: named, numeric, hex, semicolon-less
+    assert (
+        _extract('<div class="postingBody">a &amp; b &#36;5 &#x21; &amp c</div>', "post_body")
+        == "a & b $5 ! & c"
+    )
+    # decoded chars then flow through the reference cleanup: &nbsp; ->
+    # \xa0 -> ascii-ignore; &#13; -> \r -> dropped
+    assert (
+        _extract('<div class="postingBody">x&nbsp;y&#13;z</div>', "post_body") == "xyz"
+    )
+    # a reference interrupted by a tag never reassembles (&am<b>p; is
+    # two runs, neither an entity)
+    assert (
+        _extract('<div class="postingBody">&am<b>p;</b></div>', "post_body") == "&amp;"
+    )
+    # entities inside script CDATA stay RAW
+    assert (
+        _extract('<div class="postingBody">q <script>a &amp;&amp; b</script></div>', "post_body")
+        == "q a &amp;&amp; b"
+    )
+    # hrefs entity-decode (parse_starttag unescapes every attr value)
+    h = (
+        '<div id="OtherAdsByThisUser"><div class="cat">'
+        '<a href="/o/1?a=1&amp;b=2">x</a></div></div>'
+    )
+    assert _extract(h, "other_ads") == "/o/1?a=1&b=2"
+    # comment inside script content is plain CDATA data (the classic
+    # <!-- //--> hiding idiom) — its text survives, selectors inside
+    # never match
+    assert (
+        _extract(
+            '<div class="postingBody">p <script><!-- f(); //--></script> q</div>',
+            "post_body",
+        )
+        == "p <!-- f(); //--> q"
+    )
+    decoy = '<script><!-- var t = "<div class=\'postingBody\'>no</div>"; //--></script>'
+    assert _extract(f"<html>{decoy}</html>", "post_body") is None
+    # a close tag inside a comment-in-script still ends the content at
+    # its FIRST literal occurrence (html.parser cdata 'interesting')
+    assert (
+        _extract(
+            '<div class="postingBody">a<script>s(); <!-- </script> -->b</div>',
+            "post_body",
+        )
+        == "as(); <!--  -->b"
+    )
+    # a <script> inside a COMMENT never opens CDATA (comment wins —
+    # it starts first)
+    assert (
+        _extract('<div class="postingBody">a<!-- <script> -->b</div>', "post_body")
+        == "ab"
+    )
+    # unterminated '<!--' with no later '-->': data through the first
+    # '>' — here that '>' belongs to the inner <i> tag, which is
+    # therefore swallowed (never a tag), then parsing resumes
+    assert (
+        _extract('<div class="postingBody">a <!-- oops <i>b</i></div>', "post_body")
+        == "a <!-- oops <i>b"
+    )
+    # ...and with no '>' at all: everything to EOF is data
+    assert (
+        _extract('<div class="postingBody">a <!-- tail no close', "post_body")
+        == "a <!-- tail no close"
     )
 
 

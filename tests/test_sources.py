@@ -444,6 +444,76 @@ def test_jsonl_source_model_property(spark, tmp_path):
     assert raws == sorted(expected_bad)
 
 
+def test_jsonl_blank_lines_are_separators(spark, tmp_path):
+    """ADVICE r8 (medium): blank / whitespace-only feed lines must not
+    surface as invented all-NULL 'clean' rows (PERMISSIVE from_json
+    returns a NULL struct with NULL _corrupt_record for them). The
+    pinned contract: true blanks are line separators — dropped before
+    the parse, reaching NEITHER channel — while every non-blank
+    unparseable line still lands in quarantine byte-for-byte."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from frontpage_spark.sources import jsonl_source
+
+    src = tmp_path / "feed.jsonl"
+    src.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "\n"  # blank separator line
+        "   \n"  # whitespace-only line
+        '{"id": 2, "name": "ok2"}\n'
+        "\t\n"  # tab-only line
+        "nope\n"
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    # split mode: no all-NULL clean rows, no blank 'corrupt' rows
+    df = jsonl_source(spark, str(src), schema)
+    assert df.count() == 3  # 2 clean + 1 corrupt; blanks gone
+    assert df.filter(df["_corrupt_record"].isNotNull()).count() == 1
+    clean = df.filter(df["_corrupt_record"].isNull()).collect()
+    assert {r["id"] for r in clean} == {1, 2}
+    assert all(r["id"] is not None for r in clean)
+    # ingest mode: quarantine holds exactly the one real bad line
+    qdir = str(tmp_path / "q")
+    got = jsonl_source(spark, str(src), schema, quarantine_path=qdir)
+    assert {r["id"] for r in got.collect()} == {1, 2}
+    raws = [r["raw"] for r in spark.read.parquet(qdir).collect()]
+    assert raws == ["nope"]
+
+
+def test_jsonl_ingest_single_scan(spark, tmp_path):
+    """VERDICT r8 item 3: the quarantine ingest is ONE-PASS — the
+    parse is pinned before the quarantine write, so the returned clean
+    frame is served from the cached materialization, not a second text
+    scan. Proof is behavioral AND plan-level: (a) the source file is
+    DELETED after the ingest call and the clean frame still collects
+    the right rows (a re-scan would throw or return nothing); (b) the
+    clean frame's physical plan reads InMemoryTableScan."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from frontpage_spark import plans
+    from frontpage_spark.sources import jsonl_ingest
+
+    src = tmp_path / "feed.jsonl"
+    src.write_text('{"id": 1, "name": "a"}\nbad {\n{"id": 2, "name": "b"}\n')
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    qdir = str(tmp_path / "q")
+    clean = jsonl_ingest(spark, str(src), schema, quarantine_path=qdir)
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    os.remove(src)
+    try:
+        assert {r["id"]: r["name"] for r in clean.collect()} == {1: "a", 2: "b"}
+        assert [r["raw"] for r in spark.read.parquet(qdir).collect()] == ["bad {"]
+    finally:
+        plans.release_kept()
+
+
 def test_jsonl_stream_foreachbatch_quarantine(spark, tmp_path):
     """ST1/ST4 composition with the jsonl feed: a file-discovery text
     stream parsed by the shared projection; each micro-batch splits

@@ -123,7 +123,10 @@ def main() -> int:
     from frontpage_spark.queries import ORACLES, QUERIES
     from frontpage_spark.session import get_spark
 
-    spark = get_spark("check")
+    # SPARK_GRAFT_MASTER=local-cluster[2,2,2048] runs the same matrix
+    # under real executor JVMs (real serialization / shuffle fetch /
+    # broadcast transport) — the r9 multi-process evidence gate
+    spark = get_spark("check", master=os.environ.get("SPARK_GRAFT_MASTER"))
     con = duckdb_con(sf_dir)
 
     n_pass = n_fail = 0

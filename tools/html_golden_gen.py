@@ -29,10 +29,15 @@ inside script/style/comments and markup inside CDATA never perturbs
 depth counting. Comments contribute no text (html.parser routes them
 to handle_comment, and the engine drops comment spans).
 
-Intentional common ground (documented, not load-bearing): the corpus
-contains no HTML entities (&amp;) — the reference's bs4 decodes them
-while a raw-text extractor must not, so entity handling is out of the
-parity contract (the reference corpus is entity-free ad markup).
+Round 9 (closing the r8 entity carve-out + ADVICE comment/CDATA
+findings): entity handling is now IN the parity contract — text runs
+and attribute values decode per HTML5 rules exactly as html.parser's
+``convert_charrefs`` / ``parse_starttag`` do, CDATA content stays raw
+— and the corpus exercises it (named/numeric/hex/semicolon-less refs,
+refs the cleanup then strips, entities in hrefs, entities in script).
+The corpus also covers comment-inside-CDATA (the ``<!-- //-->`` hiding
+idiom), a close tag inside such a comment, and unterminated comments
+(html.parser's flush-as-data-through-first-'>' semantics).
 
 Run: ``python tools/html_golden_gen.py`` (idempotent — rewrites both
 files; byte-stable given the seed).
@@ -66,7 +71,12 @@ class _Walker(HTMLParser):
     full (unclosed elements extend to end-of-document)."""
 
     def __init__(self):
-        super().__init__(convert_charrefs=False)
+        # convert_charrefs=True: text runs arrive entity-DECODED (the
+        # bs4 default treebuilder setting), CDATA content arrives raw,
+        # attribute values unescape in parse_starttag — the round-9
+        # parity contract the engine mirrors (frontpage_spark/html.py
+        # module docstring, last bullet)
+        super().__init__(convert_charrefs=True)
         # capture state per target: None = not seen, (tag, depth, chunks)
         self.cap: dict[str, list] = {}
         self.done: dict[str, list[str]] = {}
@@ -241,6 +251,16 @@ def gen_doc(rng: random.Random, i: int) -> str:
         )
     if rng.random() < 0.15:
         parts.append('<style>.postingBody { color: red } /* <p class="metaInfoDisplay"> */</style>')
+    # round-9 classes (ADVICE r8): a comment inside script/style CDATA
+    # is plain data to html.parser (the classic <!-- //--> hiding
+    # idiom), and a close tag inside such a comment still ends the
+    # content at its FIRST literal occurrence
+    if rng.random() < 0.2:
+        parts.append(
+            f'<script><!-- var h{i} = "<div class=\\"adInfo\\">no</div>"; //--></script>'
+        )
+    if rng.random() < 0.12:
+        parts.append(f"<script>var a{i}=1; <!-- </script> -->stray tail {i}</div>")
     # attribute values containing '>' — legal HTML that breaks
     # [^>]*-style tag matching
     if rng.random() < 0.2:
@@ -265,7 +285,14 @@ def gen_doc(rng: random.Random, i: int) -> str:
     if rng.random() >= 0.03:
         ttag = rng.choice(["div", "div", "span"])
         inner = rng.choice(
-            ["{t} Report Ad", "<h1>{t} Report Ad</h1>", "<h1><b>{t}</b> Report Ad</h1>"]
+            [
+                "{t} Report Ad",
+                "<h1>{t} Report Ad</h1>",
+                "<h1><b>{t}</b> Report Ad</h1>",
+                # round-9: entities decode in title text too
+                "{t} &amp; co Report Ad",
+                "<h1>{t} 4&#x55; Report Ad</h1>",
+            ]
         ).format(t=f"title {i} {rng.choice(['hot', 'new', 'best'])}")
         parts.append(f"<{ttag} {_attr(rng, 'id', 'postingTitle')}>{inner}</{ttag}>")
     # body (4% missing), nested same-tag divs included in full
@@ -295,7 +322,45 @@ def gen_doc(rng: random.Random, i: int) -> str:
         # and selector decoys inside it never match
         if rng.random() < 0.15:
             body += f"<!-- hidden {i} <div class='postingBody'>x</div> -->visible{i}"
-        parts.append(f"<div {_cls(rng, 'postingBody')}>{body}</div>")
+        # round-9: entity references in text DECODE per HTML5 rules
+        # (html.parser convert_charrefs / bs4 default) — named, numeric,
+        # hex, semicolon-less, and refs whose decoded char the reference
+        # cleanup then strips (&nbsp; -> \xa0 -> ascii-ignore; &#13; ->
+        # \r -> dropped)
+        if rng.random() < 0.3:
+            body += rng.choice(
+                [
+                    f" rates &amp; fees {i}",
+                    f" cost &#36;{100 + i % 900} tonight",
+                    f" call now&#x21; {i}",
+                    f" you &amp me {i}",
+                    f" wide&nbsp;gap {i}",
+                    f" line one&#13;line two {i}",
+                    f" sizes 5 &lt; 6 &gt; 3 {i}",
+                ]
+            )
+        # round-9: entities inside script CDATA stay RAW (a real parser
+        # never unescapes CDATA content), and a comment inside the
+        # script is part of that raw text
+        if rng.random() < 0.15:
+            body += f"<script>if (a{i} &amp;&amp; b) go();</script>"
+        if rng.random() < 0.12:
+            body += f'<script><!-- hide{i}("<div class=\\"postingBody\\">x</div>"); //--></script>'
+        if rng.random() < 0.1:
+            body += f"<script>s{i}(); <!-- </script> -->after{i}"
+        # round-9: an UNTERMINATED '<!--' is NOT a comment — when no
+        # '-->' follows anywhere, html.parser's EOF flush emits it as
+        # DATA through the first '>' (or to end-of-document); when a
+        # later '-->' does exist the comment legitimately swallows
+        # everything between (both parsers agree either way)
+        if rng.random() < 0.1:
+            body += f"<!-- not closed {i} > seen{i}"
+        if rng.random() < 0.06:
+            # unclosed body div ending in an unterminated comment —
+            # bs4-leniency extent to EOF meets the flush-as-data path
+            parts.append(f"<div {_cls(rng, 'postingBody')}>{body} <!-- eof {i}")
+        else:
+            parts.append(f"<div {_cls(rng, 'postingBody')}>{body}</div>")
     # age (10% missing)
     if rng.random() >= 0.10:
         parts.append(
@@ -310,6 +375,10 @@ def gen_doc(rng: random.Random, i: int) -> str:
         cats = []
         for j in range(rng.randint(1, 4)):
             href = f"/o/{i}/{j}"
+            # round-9: attribute values entity-decode unconditionally
+            # (html.parser parse_starttag unescapes every attr value)
+            if rng.random() < 0.25:
+                href += f"?a={j}&amp;b={i % 7}"
             h = rng.choice([f'href="{href}"', f"href='{href}'", f"href={href}"])
             extra = rng.choice(["", " rel=nofollow", ' target="_blank"'])
             cats.append(f"<div {_cls(rng, 'cat')}><a {h}{extra}>ad {j}</a></div>")
