@@ -20,13 +20,19 @@ src (join ranks in) + one keyed aggregation on dst — the same two
 exchanges GraphX/Pregel pays. Ranks and degrees are node-sized
 (small side) and broadcast when they fit; the edge list, the 100 TB
 side, is never re-partitioned between iterations when it is already
-bucketed by src. ``localCheckpoint`` every few rounds truncates the
-growing lineage (same pattern as the component fixpoint).
+bucketed by src. ``plans.pin`` (reliable checkpoint) every few rounds
+truncates the growing lineage (same pattern as the component
+fixpoint) WITHOUT making the cut state executor-local: a lost
+executor re-reads the checkpoint files instead of failing the job
+(GraphX's periodic-checkpoint contract; tools/fault_probe.py kills an
+executor mid-fixpoint to prove it).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..plans import pin
 
 PR_SCALE = 10**12
 
@@ -148,9 +154,9 @@ def pagerank_fixedpoint(
     if edge_rows_hint is not None:
         gated_small = edge_rows_hint * mult <= small_edges
         if not gated_small:
-            edges = edges.localCheckpoint()
+            edges = pin(edges)
     else:
-        edges = edges.localCheckpoint()
+        edges = pin(edges)
         gated_small = edges.limit(small_edges + 1).count() * mult <= small_edges
     if gated_small:
         return _pagerank_local(edges, iterations, damping_num, damping_den, bidirected)
@@ -204,11 +210,11 @@ def pagerank_fixedpoint(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            r = r.localCheckpoint()
+            r = pin(r)
     # eager checkpoint materializes the final ranks so the loop
     # invariants can be RELEASED here instead of leaking cached blocks
     # into long multi-query sessions (ADVICE r2)
-    out = r.localCheckpoint()
+    out = pin(r)
     for inv in (nodes, outdeg):  # edges is checkpointed (GC-reclaimed), not persisted
         inv.unpersist()
     return out
@@ -233,7 +239,7 @@ def kcore(
     node sets; the only driver scalar is the convergence count. The
     edge list SHRINKS monotonically, so round cost decays; peeling
     converges in ≤ diameter-ish rounds on real graphs (bounded here by
-    ``max_rounds``, asserted converged). ``localCheckpoint`` every few
+    ``max_rounds``, asserted converged). ``plans.pin`` every few
     rounds truncates lineage exactly like the component fixpoint.
 
     Edges are treated as undirected; pass a symmetrized list or rely
@@ -246,7 +252,7 @@ def kcore(
     cur = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    cur = cur.localCheckpoint(eager=True)
+    cur = pin(cur)
     # one count() per round: the previous round's surviving-edge count
     # is this round's n_cur (recounting cur re-ran the whole
     # uncheckpointed lineage a second time per round — ADVICE r3)
@@ -259,7 +265,7 @@ def kcore(
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
         )
         if rnd % checkpoint_every == checkpoint_every - 1:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = pin(nxt)
         # converged when no node fell below k this round
         n_nxt = nxt.count()
         cur = nxt

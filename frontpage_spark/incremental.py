@@ -458,8 +458,13 @@ def compact_signature_store(
     )
     # materialize BEFORE writing: the fold reads the same directory the
     # write overwrites, and Spark (correctly) refuses a plan that reads
-    # from its own overwrite target — the checkpoint cuts that lineage
-    folded = folded.localCheckpoint(eager=True)
+    # from its own overwrite target — the checkpoint cuts that lineage.
+    # plans.pin (reliable checkpoint, r9): the cut fold survives an
+    # executor loss between here and the write, instead of failing the
+    # batch and leaning on the replay contract
+    from .plans import pin
+
+    folded = pin(folded)
     # write the fold FIRST (dynamic overwrite of epoch=-1 only), then
     # drop the folded epoch dirs — a crash in between leaves duplicate
     # claimant rows, which min() makes harmless

@@ -87,6 +87,57 @@ def release_kept() -> int:
     return n
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """Eager lineage cut that SURVIVES executor loss — the fixpoint-
+    state counterpart to :func:`keep`.
+
+    ``localCheckpoint`` stores its blocks only on the executors that
+    computed them AND truncates lineage, so losing one executor
+    mid-fixpoint is fatal to every consumer: the block is gone and the
+    truncated lineage cannot recompute it (observed under
+    local-cluster: ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND``;
+    tools/fault_probe.py demonstrates it, and Spark's own error text
+    recommends reliable checkpointing). ``pin`` is a RELIABLE
+    checkpoint: the cut state lands as files under the session
+    checkpoint dir, re-readable by ANY executor — on a real cluster
+    point ``$SPARK_GRAFT_CKPT_DIR`` at DFS (HDFS/S3) and a lost
+    executor costs a re-read, not the job. Iterative operators cut
+    per-round state with this (pair lists, rank tables, contracted
+    edge sets — all SMALL by design, so the file write is a constant,
+    not a data-sized cost); plain shared intermediates that can keep
+    their lineage should use ``keep`` instead.
+
+    The input is persisted around the cut so the relation computes
+    ONCE (RDD reliable checkpointing otherwise recomputes the lineage
+    a second time for the write job), then released — the returned
+    frame reads the checkpoint files, not the cache. The checkpoint
+    dir is established lazily per application ($SPARK_GRAFT_CKPT_DIR,
+    else a per-app tmpdir); files are GC-reclaimed when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on
+    (session.get_spark sets it), otherwise they live until the app's
+    tmpdir is removed."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if not has_dir:
+        import tempfile
+
+        sc.setCheckpointDir(
+            os.environ.get("SPARK_GRAFT_CKPT_DIR")
+            or os.path.join(
+                tempfile.gettempdir(), f"fps-ckpt-{sc.applicationId}"
+            )
+        )
+    df = df.persist()
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        df.unpersist()
+
+
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Input-split compensation for CPU-bound narrow stages.
 

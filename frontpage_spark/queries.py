@@ -3715,26 +3715,29 @@ def _component_fixpoint(pairs: DataFrame, small_rows: int = _SMALL_PAIR_GRAPH_RO
     is thousands of rows — takes ``_components_local`` (one
     single-partition union-find job, identical labels); a huge pair
     graph runs this loop on its natural partitioning end to end."""
-    # Eager localCheckpoint, not persist: every round's result is
-    # MATERIALIZED and its lineage cut, so round N can never replay
-    # rounds 1..N-1 — with persist, a cached-plan match miss (AQE
-    # re-optimization of the InMemoryRelation) silently re-derived the
-    # whole upstream pair discovery per round (observed: 24 s rounds on
-    # a 1.7k-edge graph). Checkpoint blocks are tiny (the edge set
-    # shrinks monotonically) and GC-reclaimed.
+    # Eager plans.pin (RELIABLE checkpoint), not persist and not
+    # localCheckpoint: every round's result is MATERIALIZED and its
+    # lineage cut, so round N can never replay rounds 1..N-1 — with
+    # persist, a cached-plan match miss (AQE re-optimization of the
+    # InMemoryRelation) silently re-derived the whole upstream pair
+    # discovery per round (observed: 24 s rounds on a 1.7k-edge
+    # graph); with localCheckpoint, the cut state lived only on the
+    # computing executor, so one lost executor failed the whole
+    # fixpoint (fault_probe r9). Checkpoint files are tiny (the edge
+    # set shrinks monotonically) and GC-reclaimed.
     # Materialize the pair list ONCE before anything reads it: the
     # upstream pair discovery (LSH banding etc.) is the expensive part,
     # and both the gate probe and the component pass would otherwise
     # each execute it (the pre-fast-path code had the same double
     # execution: probe + localCheckpoint). One execution, then both
     # consumers read the checkpointed blocks.
-    pairs = pairs.localCheckpoint()
+    pairs = plans.pin(pairs)
     probe = pairs.limit(small_rows + 1).count()
     if 0 < probe <= small_rows:
         return _components_local(pairs)
     # over the gate (or empty): distributed star contraction on the
     # naturally-partitioned edge list (orientation only, no collapse)
-    edges = pairs.select(F.col("b").alias("u"), F.col("a").alias("v")).localCheckpoint()
+    edges = plans.pin(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
     empty_labels = edges.select(F.col("u").alias("id"), F.col("v").alias("comp")).limit(0)
     # Convergence probe: (edge count, order-insensitive checksum). The
     # edge set is distinct-ified every round, so equality of the
@@ -3771,8 +3774,8 @@ def _component_fixpoint(pairs: DataFrame, small_rows: int = _SMALL_PAIR_GRAPH_RO
             .union(smins.select(F.col("u"), F.col("mn").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+        nxt = plans.pin(nxt)
         cur = _probe(nxt)
         edges = nxt
         if cur == prev:

@@ -125,6 +125,11 @@ def get_spark(app_name: str = "frontpage_spark", master: str | None = None) -> S
         # recompiles its whole-stage-codegen classes (~0.1-0.5s/query).
         # Production sessions running a query mix hit the same cliff.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # plans.pin uses RELIABLE checkpoints for fixpoint lineage cuts
+        # (executor-loss-proof, unlike localCheckpoint); let the
+        # ContextCleaner delete checkpoint files once the RDD is GC'd
+        # so long sessions don't accumulate them
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # Fresh fork per Python task instead of the reused-worker pool.
         # Measured on the pandas-UDF-heavy bench sequence (bpe → audio →
         # dhash → decode → frames at sf0.1, local[32]): reused workers
