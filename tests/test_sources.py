@@ -503,7 +503,14 @@ def test_jsonl_ingest_single_scan(spark, tmp_path):
         [StructField("id", LongType()), StructField("name", StringType())]
     )
     qdir = str(tmp_path / "q")
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = set(tracker.getJobIdsForGroup(None))
     clean = jsonl_ingest(spark, str(src), schema, quarantine_path=qdir)
+    jobs_during = set(tracker.getJobIdsForGroup(None)) - jobs_before
+    # exactly ONE job at ingest time: the quarantine write, which is
+    # also the job that populates the pinned parse (keep() itself is
+    # lazy) — there is no separate probe/count/second-scan job
+    assert len(jobs_during) == 1, f"ingest ran {len(jobs_during)} jobs"
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     os.remove(src)
