@@ -808,23 +808,92 @@ def stateful_session_close(
     )
 
 
-def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize(
+    events: DataFrame, gap_seconds: int = 1800, bucket_seconds: int = 86_400
+) -> DataFrame:
     """Session assignment (batch): a new session starts when the gap to
     the previous event of the same user exceeds ``gap_seconds``.
-    Classic lag + running-sum; shuffle key = user_id.
-    Output: events + session_idx (1-based per user)."""
+    Output: events + session_idx (1-based per user).
+
+    Skew-proof two-level form (r9 — the zipf probe showed the classic
+    single ``lag + running-sum OVER (PARTITION BY user_id)`` puts a hot
+    key's ENTIRE history into one window task; a bot/crawler id owning
+    30% of a 100 TB event log is one task under that plan). Both
+    windows here run within (user_id, time bucket) — partition size is
+    bounded by per-key volume PER DAY however hot the key — and the
+    buckets stitch exactly:
+
+    - a bucket's first event compares its gap against the PREVIOUS
+      non-empty bucket's last epoch, carried by a lag over the
+      per-(user, bucket) rollup (one row per bucket, not per event);
+    - ``session_idx`` = the in-bucket running sum of new-session flags
+      plus the prefix sum of prior buckets' flag totals from the same
+      rollup (the global_prefix_stats decomposition, applied per key).
+
+    Bit-identical to the single-window form: the bucket id
+    ``floor(epoch/bucket)`` is monotone non-decreasing in the
+    (ts, event_id) order and ties share a bucket, so concatenating
+    buckets in order reproduces the exact event sequence, gaps are the
+    same epoch diffs, and the flag prefix sums telescope."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag(F.col("ts")).over(w)
-    is_new = F.when(
-        prev_ts.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_seconds),
+    ep = F.unix_timestamp("ts")
+    e = events.withColumn("__ep", ep).withColumn(
+        "__bkt", F.floor(F.col("__ep") / bucket_seconds)
+    )
+    w_in = Window.partitionBy("user_id", "__bkt").orderBy("ts", "event_id")
+    e2 = e.withColumn("__prev_in", F.lag("__ep").over(w_in))
+    inner_new = F.when(
+        F.col("__prev_in").isNotNull()
+        & ((F.col("__ep") - F.col("__prev_in")) > gap_seconds),
         1,
     ).otherwise(0)
-    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # ONE per-(user, bucket) rollup carries everything the stitch
+    # needs: last epoch (max == last; epoch is monotone in the event
+    # order), first epoch (min == first), and the count of in-bucket
+    # session starts. Bucket-level lag + prefix sum then run over one
+    # row per bucket — never per event — so the hot key costs
+    # O(buckets), and ONE join ships (__prev_last, __off) back.
+    w_b = Window.partitionBy("user_id").orderBy("__bkt")
+    first_new = F.when(
+        F.col("__prev_last").isNull()
+        | ((F.col("__first") - F.col("__prev_last")) > gap_seconds),
+        1,
+    ).otherwise(0)
+    roll = (
+        e2.groupBy("user_id", "__bkt")
+        .agg(
+            F.max("__ep").alias("__last"),
+            F.min("__ep").alias("__first"),
+            F.sum(inner_new).alias("__n_inner"),
+        )
+        .withColumn("__prev_last", F.lag("__last").over(w_b))
+        .withColumn("__nnew", F.col("__n_inner") + first_new)
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__nnew").over(
+                    w_b.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("user_id", "__bkt", "__prev_last", "__off")
     )
-    return events.withColumn("__new", is_new).withColumn(
-        "session_idx", F.sum("__new").over(running)
-    ).drop("__new")
+    is_new = F.when(
+        F.col("__prev_in").isNotNull(),
+        ((F.col("__ep") - F.col("__prev_in")) > gap_seconds).cast("int"),
+    ).otherwise(
+        F.when(
+            F.col("__prev_last").isNull()
+            | ((F.col("__ep") - F.col("__prev_last")) > gap_seconds),
+            1,
+        ).otherwise(0)
+    )
+    running = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e2.join(roll, ["user_id", "__bkt"])
+        .withColumn("__new", is_new)
+        .withColumn("session_idx", F.col("__off") + F.sum("__new").over(running))
+        .drop("__ep", "__bkt", "__prev_in", "__prev_last", "__new", "__off")
+    )

@@ -3625,16 +3625,37 @@ def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("text"), " ").getItem(0).alias("blk"),
         F.substring("text", 1, 40).alias("prefix"),
     )
-    a = d.select(F.col("doc_id").alias("a"), "blk", F.col("prefix").alias("pa"))
-    b = d.select(F.col("doc_id").alias("b"), "blk", F.col("prefix").alias("pb"))
+    # Skew collapse (r9, zipf probe finding): the pair predicate —
+    # same block, length-diff <= 12, bounded levenshtein on the
+    # 40-char prefix — is a function of (blk, prefix) ONLY. So docs
+    # sharing an exact (blk, prefix) form a CLIQUE (distance 0), and
+    # cross-group edges exist between ALL members of two groups or
+    # NONE. Connectivity is therefore exactly preserved by (a) one
+    # STAR per group (min doc_id as hub — linear edges instead of the
+    # clique's quadratic) and (b) the blocked predicate join over one
+    # REPRESENTATIVE per group. A zipf corpus where one mega-prefix
+    # holds 30% of docs produced ~|group|^2 pairs here (125 s at
+    # x10-zipf vs 17 s uniform, identical clusters); the group
+    # contraction makes pair volume follow DISTINCT prefixes, not
+    # rows, with byte-identical component labels.
+    # three consumers (star join + both rep sides) — keep() so the
+    # groupBy shuffle runs once, not three times
+    groups = plans.keep(d.groupBy("blk", "prefix").agg(F.min("doc_id").alias("rep")))
+    star = (
+        d.join(groups, ["blk", "prefix"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("doc_id").alias("b"))
+    )
+    ra = groups.select(F.col("rep").alias("a"), "blk", F.col("prefix").alias("pa"))
+    rb = groups.select(F.col("rep").alias("b"), "blk", F.col("prefix").alias("pb"))
     # The join pays a free length-difference prefilter plus the BOUNDED
     # levenshtein (early-exit banded DP, JVM codegen — measured faster
     # than an Arrow-vectorized Myers filter once the fan-out above
     # spreads the pair stream: the builtin stays inside the join stage,
     # no Python boundary). Partitioning of the resulting pair graph is
     # size-gated inside _component_fixpoint.
-    pairs = (
-        a.join(b, "blk")
+    rep_pairs = (
+        ra.join(rb, "blk")
         .filter(
             (F.col("a") < F.col("b"))
             & (F.abs(F.length("pa") - F.length("pb")) <= 12)
@@ -3642,7 +3663,7 @@ def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a", "b")
     )
-    pairs = plans.keep(pairs)
+    pairs = plans.keep(star.unionByName(rep_pairs))
     return _component_fixpoint(pairs)
 
 
@@ -3728,10 +3749,13 @@ def _component_fixpoint(pairs: DataFrame, small_rows: int = _SMALL_PAIR_GRAPH_RO
     # Materialize the pair list ONCE before anything reads it: the
     # upstream pair discovery (LSH banding etc.) is the expensive part,
     # and both the gate probe and the component pass would otherwise
-    # each execute it (the pre-fast-path code had the same double
-    # execution: probe + localCheckpoint). One execution, then both
-    # consumers read the checkpointed blocks.
-    pairs = plans.pin(pairs)
+    # each execute it. keep() (persist) is the right materialization
+    # HERE — the probe populates the cache, the consumer reads it, and
+    # an evicted/lost block safely recomputes from the intact lineage.
+    # The under-gate common case therefore pays no checkpoint write at
+    # all; only the over-gate round loop, which must CUT lineage,
+    # pin()s the oriented edge list it iterates on.
+    pairs = plans.keep(pairs)
     probe = pairs.limit(small_rows + 1).count()
     if 0 < probe <= small_rows:
         return _components_local(pairs)

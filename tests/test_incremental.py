@@ -48,6 +48,51 @@ def test_sessionize_gap(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
 
 
+def test_sessionize_stitch_equals_single_window(spark):
+    """The r9 skew-proof sessionize runs its windows within
+    (user, time bucket) and stitches bucket boundaries exactly
+    (zipf-probe fix: one hot user must not become one window task).
+    Pin bit-equality against the classic single-window lag+running-sum
+    on a generated corpus, with bucket_seconds tiny so nearly every
+    event sits at a bucket boundary — gaps straddling buckets, empty
+    buckets between events, ties, multi-session users, and a hot user
+    holding half the events all exercise the stitch."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        t = 0
+        n = 400 if u == 1 else rng.randint(3, 40)  # u=1 is the hot key
+        for _ in range(n):
+            t += rng.choice([1, 30, 59, 60, 61, 100, 500, 3000])
+            eid += 1
+            rows.append((eid, u, t))
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "secs"]).select(
+        "event_id", "user_id", F.timestamp_seconds("secs").alias("ts")
+    )
+    # reference: the classic one-window-per-user form
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    ref_new = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - prev) > 60), 1
+    ).otherwise(0)
+    ref = ev.withColumn("__n", ref_new).withColumn(
+        "session_idx",
+        F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    want = {r["event_id"]: r["session_idx"] for r in ref.collect()}
+    for bucket in (60, 61, 97, 86_400):
+        got = {
+            r["event_id"]: r["session_idx"]
+            for r in sessionize(ev, gap_seconds=60, bucket_seconds=bucket).collect()
+        }
+        assert got == want, f"bucket_seconds={bucket} diverges"
+
+
 def test_windowed_counts_batch(spark):
     rows = [(1, "a", "2024-01-01 00:01:00", 1.0), (2, "a", "2024-01-01 00:09:00", 2.0),
             (3, "a", "2024-01-01 00:11:00", 3.0)]

@@ -159,10 +159,34 @@ def main() -> int:
             .toPandas()
         )
 
+    def components_distributed():
+        # the star-contraction loop forced over its size gate: per-round
+        # pin() cuts must be re-readable by the replacement executor
+        from frontpage_spark.queries import _component_fixpoint
+
+        li = load_table(spark, sf_dir, "lineitem")
+        pairs = (
+            li.select(
+                F.least("l_partkey", "l_suppkey").alias("a"),
+                F.greatest("l_partkey", "l_suppkey").alias("b"),
+            )
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+        )
+        labels = _component_fixpoint(pairs, small_rows=1)
+        return (
+            labels.groupBy("comp")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "comp")
+            .limit(20)
+            .toPandas()
+        )
+
     targets = [
         ("kcenter_diverse_seeds [stateless K-pass]", q("kcenter_diverse_seeds")),
         ("token_budget_selection [keep()-persisted prefix stats]", q("token_budget_selection")),
         ("pagerank_part_supplier [FORCED distributed, pin()-checkpointed]", pagerank_distributed),
+        ("connected_components [FORCED star-contraction, per-round pin()]", components_distributed),
     ]
     recs = []
     for label, build in targets:

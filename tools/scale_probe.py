@@ -342,9 +342,13 @@ def zipf_probe(spark, factor: int, md_path: str) -> None:
 
 ZIPF_NOTES = {
     "dup_clusters": (
-        "one giant component: large-star/small-star contraction is "
-        "designed for exactly this (hangs high-degree stars off the min "
-        "in O(log^2 n) rounds)"
+        "pair discovery contracts exact-(blk,prefix) groups to one "
+        "representative + star edges (r9 fix: the predicate is a pure "
+        "function of the prefix, so groups are cliques and the "
+        "contraction is connectivity-exact); pair volume follows "
+        "DISTINCT prefixes, not rows, so the mega-prefix group no "
+        "longer pairs quadratically. components then contract the "
+        "giant star in O(log^2 n) rounds"
     ),
     "near_dup_verified": (
         "the mega cluster lands in ONE lsh bucket; the degenerate-bucket "
@@ -353,8 +357,11 @@ ZIPF_NOTES = {
     ),
     "minhash_lsh_candidates": "candidate generation under the same degenerate bucket",
     "sessionize_users": (
-        "one user holds ~30% of events: session windows partition by "
-        "user, so this measures the single-hot-partition path + AQE"
+        "one user holds ~30% of events: r9 two-level sessionize windows "
+        "within (user, day-bucket) and stitches boundaries via a "
+        "per-bucket rollup (lag of last-epoch + prefix sum of session "
+        "starts), so the hot key's window partitions stay bounded — "
+        "bit-equal to the single-window form (equivalence test pins it)"
     ),
     "salted_skew_join": (
         "one nation holds ~30% of customers: the 8-way salt fan-out is "
