@@ -842,18 +842,35 @@ def sessionize(
         "__bkt", F.floor(F.col("__ep") / bucket_seconds)
     )
     w_in = Window.partitionBy("user_id", "__bkt").orderBy("ts", "event_id")
-    e2 = e.withColumn("__prev_in", F.lag("__ep").over(w_in))
     inner_new = F.when(
         F.col("__prev_in").isNotNull()
         & ((F.col("__ep") - F.col("__prev_in")) > gap_seconds),
         1,
     ).otherwise(0)
+    # ONE window pass over the events: the lag AND the running count of
+    # IN-bucket session starts share the same window spec (one sort).
+    # A bucket-first event is by construction the only one whose flag
+    # the in-bucket running sum misses, and it contributes the same
+    # 0/1 to EVERY row of its bucket — so it rides the bucket-level
+    # offset instead, and no second event-sized window pass is needed.
+    e2 = (
+        e.withColumn("__prev_in", F.lag("__ep").over(w_in))
+        .withColumn("__inner_new", inner_new)
+        .withColumn(
+            "__inner_run",
+            F.sum("__inner_new").over(
+                w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
     # ONE per-(user, bucket) rollup carries everything the stitch
     # needs: last epoch (max == last; epoch is monotone in the event
     # order), first epoch (min == first), and the count of in-bucket
     # session starts. Bucket-level lag + prefix sum then run over one
     # row per bucket — never per event — so the hot key costs
-    # O(buckets), and ONE join ships (__prev_last, __off) back.
+    # O(buckets), and ONE join ships a single offset column back:
+    # __off = sessions opened in PRIOR buckets + this bucket's
+    # first-event flag.
     w_b = Window.partitionBy("user_id").orderBy("__bkt")
     first_new = F.when(
         F.col("__prev_last").isNull()
@@ -865,35 +882,24 @@ def sessionize(
         .agg(
             F.max("__ep").alias("__last"),
             F.min("__ep").alias("__first"),
-            F.sum(inner_new).alias("__n_inner"),
+            F.sum("__inner_new").alias("__n_inner"),
         )
         .withColumn("__prev_last", F.lag("__last").over(w_b))
-        .withColumn("__nnew", F.col("__n_inner") + first_new)
+        .withColumn("__first_new", first_new)
         .withColumn(
             "__off",
-            F.coalesce(
-                F.sum("__nnew").over(
+            F.col("__first_new")
+            + F.coalesce(
+                F.sum(F.col("__n_inner") + F.col("__first_new")).over(
                     w_b.rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
-        .select("user_id", "__bkt", "__prev_last", "__off")
+        .select("user_id", "__bkt", "__off")
     )
-    is_new = F.when(
-        F.col("__prev_in").isNotNull(),
-        ((F.col("__ep") - F.col("__prev_in")) > gap_seconds).cast("int"),
-    ).otherwise(
-        F.when(
-            F.col("__prev_last").isNull()
-            | ((F.col("__ep") - F.col("__prev_last")) > gap_seconds),
-            1,
-        ).otherwise(0)
-    )
-    running = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         e2.join(roll, ["user_id", "__bkt"])
-        .withColumn("__new", is_new)
-        .withColumn("session_idx", F.col("__off") + F.sum("__new").over(running))
-        .drop("__ep", "__bkt", "__prev_in", "__prev_last", "__new", "__off")
+        .withColumn("session_idx", F.col("__off") + F.col("__inner_run"))
+        .drop("__ep", "__bkt", "__prev_in", "__inner_new", "__inner_run", "__off")
     )
