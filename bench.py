@@ -110,7 +110,69 @@ HEADLINE = [
 ]
 
 
-WARM_PASSES = 3  # per-query warm time = median over this many interleaved passes
+WARM_PASSES = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
+# per-query warm time = median over this many interleaved passes; the
+# env override exists for the heavy standing flavors (sf1 / x10-zipf),
+# where one warm pass is already minutes — warm_passes lands in the
+# JSON so a reader sees which protocol produced the artifact.
+
+# ---- box-drift calibration (VERDICT r9 item 2) -----------------------------
+# Two pinned ENGINE-INDEPENDENT probes timed alongside every bench run:
+# a synthetic Spark plan written out literally here (it never changes
+# with engine code — same plan text every round) and a synthetic DuckDB
+# aggregation (no dependence on $SPARK_GRAFT_SF_DIR either, so the
+# numbers are comparable across flavors). box_drift = measured/ref per
+# probe; a ratio shift that tracks box_drift is machine weather, one
+# that doesn't is code. The refs were measured on the r10 idle box
+# (hot JVM — the bench times the probes AFTER the suite — median of 5,
+# stable across 3 repeats: spark 1.8-2.1 s, duckdb 2.2-2.7 s) — re-pin
+# ONLY if the hardware changes, never per round: the whole point is a
+# fixed denominator.
+CALIBRATION_REF = {"spark_synth": 1.95, "duckdb_synth": 2.45}
+
+
+def _calibrate(spark, passes: int = 3) -> dict:
+    """Median wall time of the two pinned probes (see CALIBRATION_REF)."""
+    from pyspark.sql import functions as F
+
+    def spark_probe() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 60_000_000, 1, 32)
+            .select(
+                (F.col("id") * 2654435761 % 1000003).alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("m"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
+    def duckdb_probe() -> float:
+        import duckdb
+
+        con = duckdb.connect()
+        t0 = time.time()
+        con.execute(
+            "SELECT (range * 2654435761) % 1000003 AS k, count(*) AS n,"
+            " sum(range % 97) AS s FROM range(20000000) GROUP BY k"
+            " ORDER BY n DESC LIMIT 5"
+        ).fetchall()
+        dt = time.time() - t0
+        con.close()
+        return dt
+
+    spark_probe()  # codegen/JIT warm-up, not timed (the bench calls
+    spark_probe()  # this AFTER the suite, so the JVM is already hot;
+    duckdb_probe()  # two warm-ups keep a standalone call comparable)
+    sp = statistics.median(spark_probe() for _ in range(passes))
+    du = statistics.median(duckdb_probe() for _ in range(passes))
+    cal = {"spark_synth": round(sp, 3), "duckdb_synth": round(du, 3)}
+    drift = {k: round(cal[k] / CALIBRATION_REF[k], 3) for k in cal}
+    return {"calibration": cal, "calibration_ref": CALIBRATION_REF, "box_drift": drift}
 
 
 def _loadavg() -> list[float]:
@@ -252,6 +314,17 @@ def main() -> None:
         # queries (BASELINE.md judges the 2x bar at suite level)
         spark_covered = sum(per_query[n] for n in oracle_q)
         out["ratio"] = round(spark_covered / oracle_total, 3) if oracle_total else None
+
+    # box-drift probes LAST so they never warm/poison the measured
+    # queries; ratio_drift_corrected divides out the asymmetric part of
+    # machine weather (a JVM-side slowdown DuckDB didn't feel inflates
+    # the raw ratio by spark_drift/duckdb_drift)
+    out.update(_calibrate(spark))
+    if out.get("ratio") is not None:
+        d = out["box_drift"]
+        out["ratio_drift_corrected"] = round(
+            out["ratio"] * d["duckdb_synth"] / d["spark_synth"], 3
+        )
 
     out["loadavg_end"] = _loadavg()
     spark.stop()

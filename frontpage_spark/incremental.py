@@ -830,6 +830,21 @@ def sessionize(
       plus the prefix sum of prior buckets' flag totals from the same
       rollup (the global_prefix_stats decomposition, applied per key).
 
+    NULL timestamps (r10, ADVICE r9): the classic single-window form
+    orders NULL ts first and flags EVERY row whose ``lag(ts)`` is NULL
+    as a session start — so consecutive null-ts events each open their
+    own session, and the first real-ts event after them opens another.
+    The two-level form reproduces that exactly: null-ts rows share a
+    per-user SENTINEL bucket (sorted first, same as the classic NULLS
+    FIRST order, and join-safe where a NULL bucket id would not be),
+    every non-first row there carries an explicit new-session flag
+    (``__prev_in`` is NULL precisely because ``__ep`` is NULL), the
+    bucket's first row rides the bucket-level offset as usual, and the
+    following bucket's ``__prev_last`` is NULL so its first event
+    starts a new session — bit-equal to the classic form for null,
+    non-null, and mixed histories (pinned in
+    ``test_sessionize_stitch_equals_single_window``).
+
     Bit-identical to the single-window form: the bucket id
     ``floor(epoch/bucket)`` is monotone non-decreasing in the
     (ts, event_id) order and ties share a bucket, so concatenating
@@ -838,15 +853,33 @@ def sessionize(
     from pyspark.sql.window import Window
 
     ep = F.unix_timestamp("ts")
+    # Null-ts rows share ONE sentinel bucket per user instead of a NULL
+    # bucket id: it sorts before every real bucket (floor(epoch/bucket)
+    # can never reach -2^62), mirroring the classic NULLS FIRST order,
+    # and keeps the offset join a plain null-safe-free equi-join (an
+    # equi-join on a NULL key would silently drop the rows).
     e = events.withColumn("__ep", ep).withColumn(
-        "__bkt", F.floor(F.col("__ep") / bucket_seconds)
+        "__bkt",
+        F.coalesce(
+            F.floor(F.col("__ep") / bucket_seconds), F.lit(-(1 << 62)).cast("long")
+        ),
     )
     w_in = Window.partitionBy("user_id", "__bkt").orderBy("ts", "event_id")
-    inner_new = F.when(
-        F.col("__prev_in").isNotNull()
-        & ((F.col("__ep") - F.col("__prev_in")) > gap_seconds),
-        1,
-    ).otherwise(0)
+    # NULL-ts branch: inside the NULL bucket __prev_in is NULL on every
+    # row, which in the classic form means "session start" — flag every
+    # NON-first row explicitly (__has_prev distinguishes the bucket's
+    # first row without a second sort: lag(lit) shares the window spec).
+    # Rows with a real __ep never take this branch (__ep.isNull() gates
+    # it), so normal bucket-first rows still ride the bucket offset.
+    inner_new = (
+        F.when(
+            F.col("__prev_in").isNotNull()
+            & ((F.col("__ep") - F.col("__prev_in")) > gap_seconds),
+            1,
+        )
+        .when(F.col("__ep").isNull() & F.col("__has_prev").isNotNull(), 1)
+        .otherwise(0)
+    )
     # ONE window pass over the events: the lag AND the running count of
     # IN-bucket session starts share the same window spec (one sort).
     # A bucket-first event is by construction the only one whose flag
@@ -855,6 +888,7 @@ def sessionize(
     # offset instead, and no second event-sized window pass is needed.
     e2 = (
         e.withColumn("__prev_in", F.lag("__ep").over(w_in))
+        .withColumn("__has_prev", F.lag(F.lit(1)).over(w_in))
         .withColumn("__inner_new", inner_new)
         .withColumn(
             "__inner_run",
@@ -901,5 +935,13 @@ def sessionize(
     return (
         e2.join(roll, ["user_id", "__bkt"])
         .withColumn("session_idx", F.col("__off") + F.col("__inner_run"))
-        .drop("__ep", "__bkt", "__prev_in", "__inner_new", "__inner_run", "__off")
+        .drop(
+            "__ep",
+            "__bkt",
+            "__prev_in",
+            "__has_prev",
+            "__inner_new",
+            "__inner_run",
+            "__off",
+        )
     )

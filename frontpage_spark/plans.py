@@ -87,6 +87,31 @@ def release_kept() -> int:
     return n
 
 
+def _resolve_ckpt_dir(master: str, app_id: str) -> str:
+    """Checkpoint-dir policy for :func:`pin` (ADVICE r9 low): a
+    node-local tempdir is only a RELIABLE checkpoint when every
+    executor shares the driver's filesystem — true for ``local[*]``
+    and ``local-cluster[...]`` (one box), false for any real cluster,
+    where the files land on whichever node wrote them and the
+    executor-loss guarantee pin is named for silently does not hold
+    (Spark merely logs a warning). Fail fast there and demand a
+    shared dir via $SPARK_GRAFT_CKPT_DIR."""
+    import tempfile
+
+    ckpt = os.environ.get("SPARK_GRAFT_CKPT_DIR")
+    if ckpt is not None:
+        return ckpt
+    if not master.startswith("local"):
+        raise RuntimeError(
+            "plans.pin: reliable checkpointing on a non-local master "
+            f"({master!r}) needs a SHARED checkpoint dir (HDFS/S3/NFS) — "
+            "set $SPARK_GRAFT_CKPT_DIR or call sc.setCheckpointDir() with "
+            "a DFS path; a node-local tempdir would not survive executor "
+            "loss."
+        )
+    return os.path.join(tempfile.gettempdir(), f"fps-ckpt-{app_id}")
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Eager lineage cut that SURVIVES executor loss — the fixpoint-
     state counterpart to :func:`keep`.
@@ -112,7 +137,9 @@ def pin(df: DataFrame) -> DataFrame:
     a second time for the write job), then released — the returned
     frame reads the checkpoint files, not the cache. The checkpoint
     dir is established lazily per application ($SPARK_GRAFT_CKPT_DIR,
-    else a per-app tmpdir); files are GC-reclaimed when
+    else a per-app tmpdir on local/local-cluster masters ONLY — any
+    other master without the env var raises, because a node-local
+    tempdir is not reliable there); files are GC-reclaimed when
     ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on
     (session.get_spark sets it), otherwise they live until the app's
     tmpdir is removed."""
@@ -123,14 +150,7 @@ def pin(df: DataFrame) -> DataFrame:
     except Exception:
         has_dir = False
     if not has_dir:
-        import tempfile
-
-        sc.setCheckpointDir(
-            os.environ.get("SPARK_GRAFT_CKPT_DIR")
-            or os.path.join(
-                tempfile.gettempdir(), f"fps-ckpt-{sc.applicationId}"
-            )
-        )
+        sc.setCheckpointDir(_resolve_ckpt_dir(sc.master or "", sc.applicationId))
     df = df.persist()
     try:
         return df.checkpoint(eager=True)

@@ -12141,6 +12141,12 @@ _FEED_JSONL = os.path.join(_REPO_ROOT, "fixtures", "feed.jsonl")
              WHEN NOT coalesce(
                  json_type(json(raw), '$.id') IN ('BIGINT', 'UBIGINT', 'NULL'),
                  true) THEN false
+             -- DuckDB types every non-negative integer UBIGINT; Spark's
+             -- LongType overflows above 2^63-1 and corrupts the row —
+             -- mirror that exactly (ADVICE r9 low)
+             WHEN json_type(json(raw), '$.id') = 'UBIGINT'
+                  AND TRY_CAST(json_extract(raw, '$.id') AS UBIGINT)
+                      > 9223372036854775807 THEN false
              WHEN NOT coalesce(
                  json_type(json(raw), '$.name') IN ('VARCHAR', 'NULL'),
                  true) THEN false

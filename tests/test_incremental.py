@@ -67,6 +67,16 @@ def test_sessionize_stitch_equals_single_window(spark):
     for u in range(1, 9):
         t = 0
         n = 400 if u == 1 else rng.randint(3, 40)  # u=1 is the hot key
+        # NULL-ts rows (ADVICE r9): classic orders them first and every
+        # lag-is-NULL row is a session start — users 2/3 get 1 and 3
+        # null-ts events, user 4 is ALL-null, so mixed, repeated-null,
+        # and null-only histories are all pinned.
+        nulls = {2: 1, 3: 3}.get(u, 0)
+        if u == 4:
+            nulls, n = 5, 0
+        for _ in range(nulls):
+            eid += 1
+            rows.append((eid, u, None))
         for _ in range(n):
             t += rng.choice([1, 30, 59, 60, 61, 100, 500, 3000])
             eid += 1

@@ -505,3 +505,22 @@ def test_global_prefix_stats_exhausted_sample_driver_offsets(spark):
         "id", F.row_number().over(Window.orderBy("id")).cast("long").alias("rn"),
         F.sum("k").over(w).alias("ck")).collect()}
     assert {r["id"]: (r["rn"], r["ck"]) for r in got.collect()} == ref
+
+
+def test_pin_ckpt_dir_policy(monkeypatch):
+    """ADVICE r9 (low): pin()'s tempdir fallback is only reliable when
+    all executors share the driver's filesystem — allowed for local /
+    local-cluster masters, a loud RuntimeError for anything else
+    unless $SPARK_GRAFT_CKPT_DIR names a shared dir."""
+    import pytest
+
+    from frontpage_spark.plans import _resolve_ckpt_dir
+
+    monkeypatch.delenv("SPARK_GRAFT_CKPT_DIR", raising=False)
+    assert "fps-ckpt-app1" in _resolve_ckpt_dir("local[32]", "app1")
+    assert "fps-ckpt-app1" in _resolve_ckpt_dir("local-cluster[2,2,2048]", "app1")
+    for master in ("spark://host:7077", "yarn", "k8s://https://host:443"):
+        with pytest.raises(RuntimeError, match="SHARED checkpoint dir"):
+            _resolve_ckpt_dir(master, "app1")
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_DIR", "hdfs:///ckpt")
+    assert _resolve_ckpt_dir("yarn", "app1") == "hdfs:///ckpt"

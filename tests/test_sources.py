@@ -521,6 +521,85 @@ def test_jsonl_ingest_single_scan(spark, tmp_path):
         plans.release_kept()
 
 
+def test_jsonl_ingest_snapshot_survives_eviction(spark, tmp_path):
+    """ADVICE r9 (medium): the identical-snapshot guarantee must not
+    rest on keep()'s 8-slot FIFO cache. The glob is resolved to a
+    concrete file list BEFORE anything runs, so even after a full
+    cache eviction the fallback re-scan reads the ORIGINAL files —
+    a feed file landing after the ingest call is invisible to the
+    returned clean frame (and its corrupt rows never skip quarantine,
+    because quarantine was already committed from the same list)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from frontpage_spark import plans
+    from frontpage_spark.sources import jsonl_ingest
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "a.jsonl").write_text('{"id": 1, "name": "a"}\nbad {\n')
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    qdir = str(tmp_path / "q")
+    clean = jsonl_ingest(spark, str(feed / "*.jsonl"), schema, quarantine_path=qdir)
+    # worst case: EVERYTHING evicted before the caller consumes clean
+    plans.release_kept()
+    # a late drop with one clean and one corrupt line
+    (feed / "b.jsonl").write_text('{"id": 9, "name": "late"}\nlate bad {\n')
+    got = {r["id"]: r["name"] for r in clean.collect()}
+    assert got == {1: "a"}, f"late file leaked into the snapshot: {got}"
+    raws = [r["raw"] for r in spark.read.parquet(qdir).collect()]
+    assert raws == ["bad {"]
+
+
+def test_jsonl_ingest_retry_idempotent_token(spark, tmp_path):
+    """VERDICT r9 item 5 (chaos): a caller that dies BETWEEN the
+    quarantine commit and consuming the clean frame retries the whole
+    ingest. Default mode is at-least-once (duplicate quarantine rows,
+    deduplicable on raw — pinned here); with ingest_token the retry
+    OVERWRITES its own token partition, so the channel is exactly-once
+    per token and other tokens' rows are untouched."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from frontpage_spark import plans
+    from frontpage_spark.sources import jsonl_ingest
+
+    src = tmp_path / "feed.jsonl"
+    src.write_text('{"id": 1, "name": "a"}\nbad one {\nbad two {\n')
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+
+    # --- at-least-once default: retry appends, dedup on raw recovers
+    q1 = str(tmp_path / "q_append")
+    jsonl_ingest(spark, str(src), schema, quarantine_path=q1)  # attempt 1 "dies" here
+    plans.release_kept()
+    clean = jsonl_ingest(spark, str(src), schema, quarantine_path=q1)  # retry
+    assert {r["id"] for r in clean.collect()} == {1}
+    raws = [r["raw"] for r in spark.read.parquet(q1).collect()]
+    assert sorted(raws) == ["bad one {", "bad one {", "bad two {", "bad two {"]
+    dedup = spark.read.parquet(q1).dropDuplicates(["raw"])
+    assert sorted(r["raw"] for r in dedup.collect()) == ["bad one {", "bad two {"]
+
+    # --- token mode: retry replaces its own partition, no duplicates
+    q2 = str(tmp_path / "q_token")
+    jsonl_ingest(spark, str(src), schema, q2, ingest_token="batch-001")
+    plans.release_kept()
+    clean = jsonl_ingest(spark, str(src), schema, q2, ingest_token="batch-001")
+    assert {r["id"] for r in clean.collect()} == {1}
+    qdf = spark.read.parquet(q2)
+    assert sorted(r["raw"] for r in qdf.collect()) == ["bad one {", "bad two {"]
+    # a different token lands beside it, untouched by future retries
+    jsonl_ingest(spark, str(src), schema, q2, ingest_token="batch-002")
+    jsonl_ingest(spark, str(src), schema, q2, ingest_token="batch-002")
+    qdf = spark.read.parquet(q2)
+    assert qdf.count() == 4
+    assert {r["ingest_token"] for r in qdf.select("ingest_token").collect()} == {
+        "batch-001",
+        "batch-002",
+    }
+
+
 def test_jsonl_stream_foreachbatch_quarantine(spark, tmp_path):
     """ST1/ST4 composition with the jsonl feed: a file-discovery text
     stream parsed by the shared projection; each micro-batch splits

@@ -92,9 +92,15 @@ def main() -> int:
         "cold_value": round(sum(cold.values()), 3),
         "cold_queries": cold,
         "sf": sf_dir,
-        "sf_note": "organic sf1 (tools/gen_sf1.py seed 777 — fresh draws, not sf0.1 replicas)",
+        "sf_note": os.environ.get(
+            "SF_NOTE",
+            "organic sf1 (tools/gen_sf1.py seed 777 — fresh draws, not sf0.1 replicas)",
+        ),
         "cpus": os.cpu_count(),
-        "spark_protocol": "bench.py cold + 3 interleaved warm passes, median (stderr log)",
+        "spark_protocol": os.environ.get(
+            "SPARK_PROTOCOL_NOTE",
+            "bench.py cold + 3 interleaved warm passes, median (stderr log)",
+        ),
         "oracle_protocol": f"one timed DuckDB pass, {DUCK_TIMEOUT_S:.0f}s interrupt cap per query",
         "oracle_queries": finished,
         "oracle_timeouts": timed_out,

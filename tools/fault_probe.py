@@ -25,6 +25,21 @@ Targets (one per recovery mechanism the engine relies on):
   branch (small_edges=1): per-round lineage cuts via ``plans.pin`` —
   reliable checkpoint, re-readable by the replacement executor.
 
+Streaming targets (VERDICT r9 item 3 — kill an executor MID-MICRO-BATCH,
+then restart the query from its checkpoint and compare the final tables
+against an undisturbed run):
+
+- ``stream_near_dup_dedup`` — foreachBatch with epoch-partitioned
+  dynamic-overwrite sinks: the killed/replayed batch must overwrite
+  exactly its own partition, so the survivor set and signature store
+  equal the undisturbed run's (the min-claimant design's
+  batching-independence claim, proven under failure).
+- ``stateful_session_close`` — transformWithStateInPandas with RocksDB
+  state + processing-time timers: per-batch state snapshots live in the
+  CHECKPOINT, so the restarted query (on whichever executor) reloads
+  state and still closes every session exactly once (the probe sink is
+  an epoch-partitioned overwrite, so a replayed emission cannot double).
+
 Method: run the target in a thread; once executor JVMs
 (CoarseGrainedExecutorBackend) are up and the query is mid-flight,
 SIGKILL one; join; compare the resulting frame against an undisturbed
@@ -121,6 +136,230 @@ def run_with_kill(build, label: str, kill_after_s: float = 2.0) -> dict:
     return rec
 
 
+def _kill_one_executor(after_s: float, done: threading.Event) -> dict:
+    """Arm a delayed SIGKILL of one executor JVM; returns the record dict
+    the killer thread fills in (killed_pid / n_executors_seen)."""
+    rec: dict = {}
+
+    def killer():
+        time.sleep(after_s)
+        if done.is_set():
+            rec["note"] = "query finished before the kill fired"
+            return
+        pids = executor_pids()
+        if not pids:
+            rec["note"] = "no executor JVMs found (not local-cluster?)"
+            return
+        pid = sorted(pids)[0]
+        os.kill(pid, signal.SIGKILL)
+        rec["killed_pid"] = pid
+        rec["n_executors_seen"] = len(pids)
+
+    threading.Thread(target=killer, daemon=True).start()
+    return rec
+
+
+def _drain_stream(start_q, timeout_s: float = 600.0) -> int:
+    """Run an availableNow/terminating streaming query to completion,
+    RESTARTING from its checkpoint when the executor kill fails it.
+    Returns the number of restarts needed (0 = task-level recovery
+    absorbed the kill without failing the query)."""
+    restarts = 0
+    deadline = time.time() + timeout_s
+    while True:
+        q = start_q()
+        try:
+            q.awaitTermination(max(5.0, deadline - time.time()))
+            return restarts
+        except Exception as e:
+            if time.time() > deadline:
+                raise
+            restarts += 1
+            print(f"#   stream attempt failed ({type(e).__name__}) — "
+                  f"restarting from checkpoint (restart {restarts})", flush=True)
+            try:
+                q.stop()
+            except Exception:
+                pass
+            time.sleep(3)  # let the worker re-register the executor
+
+
+def probe_stream_near_dup(spark, work: str) -> dict:
+    """SIGKILL an executor mid-micro-batch of stream_near_dup_dedup,
+    restart from checkpoint, compare out/sig tables to an undisturbed
+    run over the same source files."""
+    from pyspark.sql import functions as F
+
+    from frontpage_spark.incremental import stream_near_dup_dedup
+
+    rec: dict = {"target": "stream_near_dup_dedup [foreachBatch, epoch-overwrite sinks]"}
+    src = os.path.join(work, "nd_src")
+    base = "the quick brown fox jumps over the lazy dog again and again today block"
+    rows = []
+    for i in range(400):
+        if i % 5 == 0:
+            rows.append((i, f"{base} variant {i % 7}"))  # near-dup family
+        else:
+            rows.append((i, f"fresh document {i} about topic {i * 37 % 101} "
+                            f"with unique content {i * 13 % 997} parquet shuffles"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # 8 source files -> 8 micro-batches at maxFilesPerTrigger=1: enough
+    # flight time for the kill to land mid-batch
+    for f8 in range(8):
+        df.filter(F.col("doc_id") % 8 == f8).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sch = spark.read.parquet(src).schema
+
+    def run(tag: str, kill: bool) -> tuple[set, int, int]:
+        out = os.path.join(work, f"nd_out_{tag}")
+        sig = os.path.join(work, f"nd_sig_{tag}")
+        chk = os.path.join(work, f"nd_chk_{tag}")
+
+        def start():
+            return stream_near_dup_dedup(
+                spark, src, out, sig, chk, schema=sch, max_files_per_trigger=1
+            )
+
+        done = threading.Event()
+        if kill:
+            krec = _kill_one_executor(4.0, done)
+        t0 = time.time()
+        restarts = _drain_stream(start)
+        done.set()
+        dt = round(time.time() - t0, 2)
+        if kill:
+            time.sleep(1)  # killer thread writes its record
+            rec.update(krec)
+            rec["restarts"] = restarts
+            rec["killed_run_s"] = dt
+        else:
+            rec["clean_s"] = dt
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        sig_n = spark.read.parquet(sig).count()
+        return kept, sig_n, restarts
+
+    kept_clean, sig_clean, _ = run("clean", kill=False)
+    kept_kill, sig_kill, _ = run("kill", kill=True)
+    same = kept_kill == kept_clean and sig_kill == sig_clean
+    rec["status"] = "recovered_correct" if same else "recovered_WRONG"
+    rec["rows"] = len(kept_kill)
+    rec["note_detail"] = f"survivors {len(kept_clean)}/400, sig rows {sig_clean}"
+    if not same:
+        rec["diff"] = (f"survivors clean={len(kept_clean)} kill={len(kept_kill)} "
+                       f"(sym-diff {len(kept_clean ^ kept_kill)}); "
+                       f"sig clean={sig_clean} kill={sig_kill}")
+    return rec
+
+
+def probe_stateful_session_close(spark, work: str) -> dict:
+    """SIGKILL an executor while a transformWithState (RocksDB state +
+    processing-time timers) query runs; restart from the checkpoint;
+    the final closed-session table must equal an undisturbed run's."""
+    from pyspark.sql import functions as F
+
+    from frontpage_spark.incremental import stateful_session_close
+
+    rec: dict = {"target": "stateful_session_close [transformWithState, RocksDB + timers]"}
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = [(f"u{i}", 100 + 40 * i + j * 5) for i in range(40) for j in range(3)]
+        base = spark.createDataFrame(rows, ["user_id", "ts_long"])
+
+        def run(tag: str, kill: bool) -> set:
+            src = os.path.join(work, f"sc_src_{tag}")
+            chk = os.path.join(work, f"sc_chk_{tag}")
+            sink = os.path.join(work, f"sc_out_{tag}")
+            base.write.parquet(src)
+
+            def closer(df, eid):
+                # epoch-partitioned overwrite: a replayed emission
+                # rewrites its own partition, never duplicates
+                df.withColumn("epoch", F.lit(int(eid))).write.partitionBy(
+                    "epoch"
+                ).option("partitionOverwriteMode", "dynamic").mode(
+                    "overwrite"
+                ).parquet(sink)
+
+            def start():
+                stream = spark.readStream.schema(base.schema).parquet(src)
+                return (
+                    stateful_session_close(stream, gap_seconds=8)
+                    .writeStream.foreachBatch(closer)
+                    .outputMode("append")
+                    .option("checkpointLocation", chk)
+                    .trigger(processingTime="500 milliseconds")
+                    .start()
+                )
+
+            done = threading.Event()
+            if kill:
+                krec = _kill_one_executor(3.0, done)
+            # continuous trigger: run until every session closed via its
+            # timer (gap 8s), restarting on failure
+            deadline = time.time() + 240
+            t0 = time.time()
+            restarts = 0
+            q = start()
+            try:
+                while time.time() < deadline:
+                    try:
+                        if q.exception() is not None:
+                            raise q.exception()
+                        if os.path.isdir(sink):
+                            try:
+                                n = spark.read.parquet(sink).count()
+                            except Exception:
+                                n = 0
+                            if n >= 40:
+                                break
+                        time.sleep(1.0)
+                    except Exception as e:
+                        restarts += 1
+                        print(f"#   session-close attempt failed "
+                              f"({type(e).__name__}) — restart {restarts}",
+                              flush=True)
+                        try:
+                            q.stop()
+                        except Exception:
+                            pass
+                        time.sleep(3)
+                        q = start()
+            finally:
+                done.set()
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+            dt = round(time.time() - t0, 2)
+            if kill:
+                time.sleep(1)
+                rec.update(krec)
+                rec["restarts"] = restarts
+                rec["killed_run_s"] = dt
+            else:
+                rec["clean_s"] = dt
+            return {
+                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in spark.read.parquet(sink).drop("epoch").collect()
+            }
+
+        clean = run("clean", kill=False)
+        killed = run("kill", kill=True)
+        same = clean == killed and len(clean) == 40
+        rec["status"] = "recovered_correct" if same else "recovered_WRONG"
+        rec["rows"] = len(killed)
+        if not same:
+            rec["diff"] = (f"clean {len(clean)} sessions, killed {len(killed)}, "
+                           f"sym-diff {len(clean ^ killed)}")
+        return rec
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -197,6 +436,29 @@ def main() -> int:
         # let the worker re-register the replacement executor
         time.sleep(3)
 
+    # streaming targets (VERDICT r9 item 3): kill mid-micro-batch,
+    # restart from checkpoint, compare final tables
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="fps-fault-stream-")
+    try:
+        for probe in (probe_stream_near_dup, probe_stateful_session_close):
+            print(f"== {probe.__name__}", flush=True)
+            try:
+                rec = probe(spark, work)
+            except Exception as e:
+                rec = {
+                    "target": probe.__name__,
+                    "status": "probe_error",
+                    "error": f"{type(e).__name__}: {str(e)[:400]}",
+                }
+            print(json.dumps(rec), flush=True)
+            recs.append(rec)
+            time.sleep(3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     spark.stop()
     ok = all(r.get("status") == "recovered_correct" for r in recs)
     if out:
@@ -208,17 +470,21 @@ def main() -> int:
             "SIGKILLed ~2s into each run; the job must complete with output",
             "identical to an undisturbed run (tools/fault_probe.py).",
             "",
-            "| target | status | rows | clean s | killed-run s | killed pid |",
-            "|---|---|---|---|---|---|",
+            "| target | status | rows | clean s | killed-run s | killed pid | restarts |",
+            "|---|---|---|---|---|---|---|",
         ]
         for r in recs:
             lines.append(
                 f"| {r['target']} | {r.get('status')} | {r.get('rows', '-')} "
                 f"| {r.get('clean_s', '-')} | {r.get('killed_run_s', '-')} "
-                f"| {r.get('killed_pid', '-')} |"
+                f"| {r.get('killed_pid', '-')} | {r.get('restarts', '-')} |"
             )
             if r.get("error"):
-                lines.append(f"| ⮑ error | {r['error'][:160]} | | | | |")
+                lines.append(f"| ⮑ error | {r['error'][:160]} | | | | | |")
+            if r.get("diff"):
+                lines.append(f"| ⮑ diff | {r['diff'][:160]} | | | | | |")
+            if r.get("note_detail"):
+                lines.append(f"| ⮑ note | {r['note_detail'][:160]} | | | | | |")
         lines.append("")
         with open(out, "w") as f:
             f.write("\n".join(lines))
