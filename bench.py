@@ -123,12 +123,14 @@ WARM_PASSES = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
 # aggregation (no dependence on $SPARK_GRAFT_SF_DIR either, so the
 # numbers are comparable across flavors). box_drift = measured/ref per
 # probe; a ratio shift that tracks box_drift is machine weather, one
-# that doesn't is code. The refs were measured on the r10 idle box
-# (hot JVM — the bench times the probes AFTER the suite — median of 5,
-# stable across 3 repeats: spark 1.8-2.1 s, duckdb 2.2-2.7 s) — re-pin
-# ONLY if the hardware changes, never per round: the whole point is a
-# fixed denominator.
-CALIBRATION_REF = {"spark_synth": 1.95, "duckdb_synth": 2.45}
+# that doesn't is code. The refs are the calibration MEASURED BY THE
+# ANCHOR RUN — BENCH_local_r10, idle box (loadavg 0.08 at start, pass
+# totals 40.9/32.6/30.1 s), probes timed at end-of-suite exactly like
+# every future run — so r10 reads drift==1.0 by construction and later
+# rounds are measured in the identical context. Re-pin ONLY if the
+# hardware changes, never per round: the whole point is a fixed
+# denominator.
+CALIBRATION_REF = {"spark_synth": 2.639, "duckdb_synth": 2.183}
 
 
 def _calibrate(spark, passes: int = 3) -> dict:
