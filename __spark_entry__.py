@@ -27,35 +27,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["phone_mine_segments"](spark, "/root/testdata/sf0.001")
 
 
-# Round-9 sample rotation: the driver's CORRECTNESS file samples the
+# Round-10 sample rotation: the driver's CORRECTNESS file samples the
 # first 50 registry entries. The ledger closed in round 7 (every
 # registry entry has carried a driver-side hard signal at least once),
 # so the head leads with every query whose PLAN or SEMANTICS changed
 # this round, then a cross-section of heavies. Pure reordering — same
 # keys, same callables, full matrix still in CORRECTNESS_full_r{N}.json
 # via tools/check.py.
-_R9_SAMPLE_ROTATION = [
-    # --- NEW r9: the jsonl ingestion surface's oracle row (mixed-feed
-    # dead-letter split vs DuckDB's independent JSON judge)
+_R10_SAMPLE_ROTATION = [
+    # --- NEW r10: the forced over-gate branch of the size-gated
+    # sessionize (bounded-partition stitch; the default entry now takes
+    # the classic single-window path at every local SF)
+    "sessionize_users_stitch",
+    # --- plan/semantics changed r10: size-gated sessionize (classic
+    # below the gate), null-ts branch added to the stitch; dup_clusters
+    # pair discovery re-fanned after the organic-sf1 8-thread collapse;
+    # jsonl feed oracle's UBIGINT range guard + new overflow fixture line
+    "sessionize_users", "dup_clusters", "dedup_keep_best",
     "jsonl_feed_channels",
-    # --- semantics changed r9: entity decoding joined the HTML parity
-    # contract (html.parser convert_charrefs rules, CDATA raw, attrs
-    # decoded) and constructs now consume left-to-right (comment/CDATA
-    # interleave, unterminated-comment flush) — regenerated golden
+    # --- re-verification cross-section: heavies + core paths
     "html_extraction_golden", "html_clean_projection",
     "clean_derivation_layer", "clean_projection_urls",
-    # --- re-verification cross-section: heavies + core paths
-    # (includes the r8-changed set one more round: plan rework +
-    # ANN-oracle graduates)
     "rfm_segments", "peak_concurrent_sessions", "kcenter_diverse_seeds",
     "embedding_knn_lsh", "embedding_knn_ivf", "token_budget_selection",
-    "minhash_lsh_candidates", "near_dup_verified", "dup_clusters",
+    "minhash_lsh_candidates", "near_dup_verified",
     "embedding_near_dup", "embedding_near_dup_lsh",
     "semantic_dedup_report", "pagerank_part_supplier",
     "prefix_filtered_jaccard", "bpe_train_merges", "kmeans_lloyd_counts",
     "phone_mine_segments", "url_parse_tokens", "group_counts_q1",
     "incremental_delta_scan", "conform_temporal", "conform_referential",
-    "sessionize_users", "session_window_stats", "tumbling_window_counts",
+    "session_window_stats", "tumbling_window_counts",
     "dedup_exact", "simhash_buckets", "cdc_substring_dups",
     "benchmark_contamination", "split_leakage_audit",
     "tfidf_top_terms", "bm25_keyword_search", "quality_filter_funnel",
@@ -67,7 +68,7 @@ _R9_SAMPLE_ROTATION = [
 
 
 def _rotated(mapping: dict) -> dict:
-    head = {n: mapping[n] for n in _R9_SAMPLE_ROTATION if n in mapping}
+    head = {n: mapping[n] for n in _R10_SAMPLE_ROTATION if n in mapping}
     return head | {n: v for n, v in mapping.items() if n not in head}
 
 

@@ -1897,9 +1897,7 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- sessionization -------------------------------------------------------
-@register(
-    "sessionize_users",
-    """
+_SESSIONIZE_USERS_SQL = """
     WITH evts AS (
       SELECT user_id, event_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -1929,20 +1927,44 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(session_len) AS BIGINT) AS n_events
     FROM per_session
     GROUP BY user_id
-    """,
-)
-def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min) per user: lag + running sum."""
+    """
+
+
+def _sessionize_users_agg(spark: SparkSession, sf_dir: str, plan) -> DataFrame:
     from .incremental import sessionize
 
     ev = _t(spark, sf_dir, "events")
-    s = sessionize(ev, gap_seconds=1800)
-    per_session = s.groupBy("user_id", "session_idx").agg(F.count("*").alias("session_len"))
+    s = sessionize(ev, gap_seconds=1800, plan=plan)
+    per_session = s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("session_len")
+    )
     return per_session.groupBy("user_id").agg(
         F.max("session_idx").cast("long").alias("n_sessions"),
         F.max("session_len").alias("max_session_len"),
         F.sum("session_len").alias("n_events"),
     )
+
+
+@register("sessionize_users", _SESSIONIZE_USERS_SQL)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) per user. Size-gated (r10):
+    the classic lag+running-sum single-window form below
+    ``incremental._SESSIONIZE_STITCH_BYTES`` (every local SF lands
+    here — measured faster at sf0.1/sf1/x10-zipf alike), the
+    skew-proof two-level stitch above it (see ``sessionize``)."""
+    return _sessionize_users_agg(spark, sf_dir, plan=None)
+
+
+@register("sessionize_users_stitch", _SESSIONIZE_USERS_SQL)
+def sessionize_users_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The over-gate branch of ``sessionize_users``, FORCED
+    (plan='stitch') so the bounded-partition production path stays in
+    the oracle matrix / cluster / fault / zipf gates at every SF even
+    though the size gate would pick classic locally — same contract as
+    the forced-distributed pagerank and star-contraction fault
+    targets. Bit-equal to the classic form by construction (same
+    DuckDB oracle, plus the equivalence test)."""
+    return _sessionize_users_agg(spark, sf_dir, plan="stitch")
 
 
 # ---- tumbling windows -----------------------------------------------------
@@ -3646,8 +3668,20 @@ def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("a"), F.col("doc_id").alias("b"))
     )
-    ra = groups.select(F.col("rep").alias("a"), "blk", F.col("prefix").alias("pa"))
-    rb = groups.select(F.col("rep").alias("b"), "blk", F.col("prefix").alias("pb"))
+    # r10 (organic-sf1 regression, BENCH_sf1: 13.5 s -> 32.7 s): the
+    # groupBy shuffle behind keep() AQE-coalesces to a handful of
+    # byte-small partitions, and the rep-join probe side inherits them —
+    # ~78M levenshtein candidates ran on 8 threads. The probe side of a
+    # broadcast join needs no co-partitioning, so round-robin fan the
+    # CPU-bound group list back to full width on BOTH aliases (whichever
+    # side Catalyst probes is then wide; at sizes where it picks SMJ
+    # instead, the blk exchange re-shuffles anyway and the fan-out is
+    # one narrow pass of group metadata). Same single-split trap
+    # plans.fan_out documents; one 48k-row shuffle at sf1, byte-identical
+    # pairs, measured 36 s -> ~9 s.
+    wide = plans.fan_out(groups, groups.sparkSession.sparkContext.defaultParallelism)
+    ra = wide.select(F.col("rep").alias("a"), "blk", F.col("prefix").alias("pa"))
+    rb = wide.select(F.col("rep").alias("b"), "blk", F.col("prefix").alias("pb"))
     # The join pays a free length-difference prefilter plus the BOUNDED
     # levenshtein (early-exit banded DP, JVM codegen — measured faster
     # than an Arrow-vectorized Myers filter once the fan-out above

@@ -98,9 +98,51 @@ def test_sessionize_stitch_equals_single_window(spark):
     for bucket in (60, 61, 97, 86_400):
         got = {
             r["event_id"]: r["session_idx"]
-            for r in sessionize(ev, gap_seconds=60, bucket_seconds=bucket).collect()
+            for r in sessionize(
+                ev, gap_seconds=60, bucket_seconds=bucket, plan="stitch"
+            ).collect()
         }
         assert got == want, f"bucket_seconds={bucket} diverges"
+    # the gate's classic branch must be the same function as the ref
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(ev, gap_seconds=60, plan="classic").collect()
+    }
+    assert got == want
+
+
+def test_sessionize_size_gate(spark, tmp_path):
+    """r10 (VERDICT r9 item 4): plan=None picks the classic
+    single-window below _SESSIONIZE_STITCH_BYTES (every local SF) and
+    the bounded-partition stitch above — decided from Catalyst's size
+    estimate, no job. File-backed frames have real size stats (tiny ->
+    classic); a LocalRelation reports the unknown-size sentinel, which
+    must fall to the stitch (assume production scale). The stitch plan
+    is recognizable by its offset join; the classic plan has none."""
+    import frontpage_spark.incremental as inc
+
+    local = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00")], ["event_id", "user_id", "ts"]
+    ).select("event_id", "user_id", F.to_timestamp("ts").alias("ts"))
+    local.write.parquet(str(tmp_path / "ev"))
+    ev = spark.read.parquet(str(tmp_path / "ev"))
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "Join" not in plan_of(inc.sessionize(ev))  # tiny file -> classic
+    assert "Join" in plan_of(inc.sessionize(ev, plan="stitch"))
+    assert "Join" in plan_of(inc.sessionize(local))  # unknown size -> stitch
+    old = inc._SESSIONIZE_STITCH_BYTES
+    inc._SESSIONIZE_STITCH_BYTES = 0
+    try:
+        assert "Join" in plan_of(inc.sessionize(ev))  # over-gate -> stitch
+    finally:
+        inc._SESSIONIZE_STITCH_BYTES = old
+    import pytest
+
+    with pytest.raises(ValueError):
+        inc.sessionize(ev, plan="bogus")
 
 
 def test_windowed_counts_batch(spark):

@@ -4,10 +4,11 @@ single-window form, timed on the same events table (VERDICT r9 item 4).
 The r9 zipf probe showed the classic ``lag + running-sum OVER
 (PARTITION BY user_id)`` puts a hot key's entire history into ONE
 window task — the stitch bounds every task by per-(user, day) volume.
-The open question was its small-scale price: is the extra rollup +
-join worth carrying at well-distributed SFs, or does it need a
-metadata gate? This times both forms (noop sink, median of N) at any
-sf dirs given.
+Measured r10: classic wins at sf0.1 (3.0x), organic sf1 (1.7x) and
+even x10-zipf (1.6x) - hence sessionize's size gate
+(incremental._SESSIONIZE_STITCH_BYTES): classic below, stitch above.
+This times both FORCED forms (noop sink, median of N) at any sf dirs
+given, so the gate threshold stays re-checkable.
 
 Usage: python tools/sessionize_ab.py [sf_dir ...] [--passes N]
 Prints one JSON line per sf_dir.
@@ -24,21 +25,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def classic_sessionize(events, gap_seconds: int = 1800):
-    """The pre-r9 single-window form (one window task per user — the
-    zipf-collapse shape; kept here ONLY as the A/B reference)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag(F.unix_timestamp("ts")).over(w)
-    new = F.when(
-        prev.isNull() | ((F.unix_timestamp("ts") - prev) > gap_seconds), 1
-    ).otherwise(0)
-    return events.withColumn("__n", new).withColumn(
-        "session_idx",
-        F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    ).drop("__n")
 
 
 def main() -> int:
@@ -65,8 +51,8 @@ def main() -> int:
     for sf_dir in sf_dirs:
         ev = load_table(spark, sf_dir, "events")
         forms = {
-            "stitch": lambda: sessionize(ev),
-            "classic": lambda: classic_sessionize(ev),
+            "stitch": lambda: sessionize(ev, plan="stitch"),
+            "classic": lambda: sessionize(ev, plan="classic"),
         }
         rec: dict = {"sf_dir": sf_dir, "rows": ev.count(), "passes": passes}
         for name, build in forms.items():
