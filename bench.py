@@ -129,11 +129,14 @@ WARM_PASSES = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
 # every future run — so r10 reads drift==1.0 by construction and later
 # rounds are measured in the identical context. Re-pin ONLY if the
 # hardware changes, never per round: the whole point is a fixed
-# denominator.
+# denominator. (Anchor was median-of-3; the statistic moved to
+# min-of-5 the same round after a steal episode covered a whole
+# 3-sample window — min <= median biases later drift slightly LOW,
+# which only ever under-claims an improvement.)
 CALIBRATION_REF = {"spark_synth": 2.639, "duckdb_synth": 2.183}
 
 
-def _calibrate(spark, passes: int = 3) -> dict:
+def _calibrate(spark, passes: int = 5) -> dict:
     """Median wall time of the two pinned probes (see CALIBRATION_REF)."""
     from pyspark.sql import functions as F
 
@@ -170,8 +173,12 @@ def _calibrate(spark, passes: int = 3) -> dict:
     spark_probe()  # codegen/JIT warm-up, not timed (the bench calls
     spark_probe()  # this AFTER the suite, so the JVM is already hot;
     duckdb_probe()  # two warm-ups keep a standalone call comparable)
-    sp = statistics.median(spark_probe() for _ in range(passes))
-    du = statistics.median(duckdb_probe() for _ in range(passes))
+    # MIN, not median: the probes estimate the box's current CAPABILITY,
+    # and a steal episode can cover all N samples of a short probe (a
+    # 3.7x duckdb drift was observed while the suite itself ran clean) —
+    # the min is the least episode-contaminated sample
+    sp = min(spark_probe() for _ in range(passes))
+    du = min(duckdb_probe() for _ in range(passes))
     cal = {"spark_synth": round(sp, 3), "duckdb_synth": round(du, 3)}
     drift = {k: round(cal[k] / CALIBRATION_REF[k], 3) for k in cal}
     return {"calibration": cal, "calibration_ref": CALIBRATION_REF, "box_drift": drift}
@@ -324,9 +331,18 @@ def main() -> None:
     out.update(_calibrate(spark))
     if out.get("ratio") is not None:
         d = out["box_drift"]
-        out["ratio_drift_corrected"] = round(
-            out["ratio"] * d["duckdb_synth"] / d["spark_synth"], 3
-        )
+        agree = d["duckdb_synth"] / d["spark_synth"]
+        if 0.5 <= agree <= 2.0:
+            out["ratio_drift_corrected"] = round(out["ratio"] * agree, 3)
+        else:
+            # the probes disagreeing by >2x means a steal episode hit
+            # DURING calibration (not uniform box drift) — a correction
+            # computed from it would be noise, so publish none
+            out["ratio_drift_corrected"] = None
+            out["calibration_note"] = (
+                "probes disagree (duckdb/spark drift {:.2f}) — episode "
+                "during calibration, correction suppressed".format(agree)
+            )
 
     out["loadavg_end"] = _loadavg()
     spark.stop()
