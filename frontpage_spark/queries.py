@@ -5975,9 +5975,24 @@ def recursive_ancestor_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the key space), so the working set is rows × depth with NO
     frontier explosion; each recursive step is one self-join the
     engine executes iteratively. Exact integer arithmetic end to end;
-    the oracle is the identical ANSI recursion in DuckDB."""
+    the oracle is the identical ANSI recursion in DuckDB.
+
+    Spark guards runaway recursion with cteRecursionRowLimit (default
+    1M TOTAL rows across all steps) — a safety rail, not a semantic.
+    This walk is provably bounded at rows x (key digits + 1), so the
+    rail is raised to that bound when the input outgrows the default
+    (the x10-zipf corpus' 1.5M customers tripped it at factor-10 scale;
+    r10). Conservative digit bound 21 covers any int64 key. The conf
+    is session-wide and must hold at EXECUTION time (the frame is
+    lazy), so it is raised monotonically, never restored mid-session —
+    other recursions keep at least the default rail."""
     from .sql_api import register_views
 
+    n_cust = _table_rows_meta(sf_dir, "customer")
+    need = max(1_000_000, (n_cust + 1) * 22)
+    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if need > cur:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(need))
     register_views(spark, sf_dir)
     return spark.sql(
         """

@@ -62,9 +62,10 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
-        )
+        p = os.path.join(sf_dir, t + ".parquet")
+        if os.path.isdir(p):  # Spark-written table: a dir of part files
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle_q: dict[str, float] = {}
     timed_out: list[str] = []
     for name in [n for n in HEADLINE if n in ORACLES]:

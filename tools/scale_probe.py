@@ -163,6 +163,11 @@ ZIPF_QUERIES = [
     "minhash_lsh_candidates",
     "sessionize_users",
     "salted_skew_join",
+    # r10: the mega near-dup cluster makes this operator's TRUE output
+    # explode (112.8M qualifying pairs vs 2.4k organic at equal rows);
+    # probe it output-normalized so a real plan regression is separable
+    # from output growth (BENCH_zipf_r10 note)
+    "prefix_filtered_jaccard",
 ]
 
 
