@@ -61,6 +61,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# transformWithState target needs the protobuf shim on the DRIVER worker
+# path too (same activation tests/conftest.py does for pytest runs)
+_PBSHIM = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pbshim")
+import importlib.util as _ilu  # noqa: E402
+
+_spec = _ilu.spec_from_file_location(
+    "_pbshim_sitecustomize", os.path.join(_PBSHIM, "sitecustomize.py")
+)
+_pbshim_sitecustomize = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_pbshim_sitecustomize)
+if _pbshim_sitecustomize._activate():
+    os.environ["PYTHONPATH"] = (
+        _PBSHIM + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+
 import pandas as pd
 
 
@@ -322,6 +337,13 @@ def probe_stateful_session_close(spark, work: str) -> dict:
                         print(f"#   session-close attempt failed "
                               f"({type(e).__name__}) — restart {restarts}",
                               flush=True)
+                        if restarts > 8:
+                            # not crash-recovery any more: a persistent
+                            # failure (env/config) — surface it
+                            raise RuntimeError(
+                                f"session-close query failed {restarts}x; "
+                                f"last: {str(e)[:300]}"
+                            ) from e
                         try:
                             q.stop()
                         except Exception:
