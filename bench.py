@@ -110,7 +110,9 @@ HEADLINE = [
 ]
 
 
-WARM_PASSES = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
+WARM_PASSES = max(1, int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3")))
+# clamped to >= 1 (ADVICE r10): 0/negative would only blow up in
+# statistics.median AFTER the expensive cold pass already ran.
 # per-query warm time = median over this many interleaved passes; the
 # env override exists for the heavy standing flavors (sf1 / x10-zipf),
 # where one warm pass is already minutes — warm_passes lands in the
@@ -345,6 +347,19 @@ def main() -> None:
             )
 
     out["loadavg_end"] = _loadavg()
+    # tail echo (VERDICT r10 item 6): the driver retains only the LAST
+    # ~2000 chars of the line, and the big per-query maps push "value"
+    # (which leads the dict per the driver contract) off the retained
+    # window — re-emit the suite totals as the FINAL keys so the round
+    # series stays parseable from the tail alone
+    out["totals_tail"] = {
+        "value": out["value"],
+        "cold_value": out["cold_value"],
+        "oracle_value": out.get("oracle_value"),
+        "ratio": out.get("ratio"),
+        "ratio_drift_corrected": out.get("ratio_drift_corrected"),
+        "warm_passes": WARM_PASSES,
+    }
     spark.stop()
     print(json.dumps(out))
 

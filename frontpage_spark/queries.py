@@ -5984,14 +5984,18 @@ def recursive_ancestor_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the x10-zipf corpus' 1.5M customers tripped it at factor-10 scale;
     r10). Conservative digit bound 21 covers any int64 key. The conf
     is session-wide and must hold at EXECUTION time (the frame is
-    lazy), so it is raised monotonically, never restored mid-session —
-    other recursions keep at least the default rail."""
+    lazy), so when it needs raising the frame is built on a CLONED
+    session (``spark.newSession()`` — same SparkContext and cached
+    data, isolated SQL conf + temp-view catalog; ADVICE r10): only
+    this frame sees the higher limit, and every other recursive query
+    in the long-lived session keeps the default runaway rail."""
     from .sql_api import register_views
 
     n_cust = _table_rows_meta(sf_dir, "customer")
     need = max(1_000_000, (n_cust + 1) * 22)
     cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
     if need > cur:
+        spark = spark.newSession()
         spark.conf.set("spark.sql.cteRecursionRowLimit", str(need))
     register_views(spark, sf_dir)
     return spark.sql(

@@ -334,6 +334,23 @@ def jsonl_ingest(
     """
     from . import plans
 
+    # Layout guard (ADVICE r10): the two commit modes write INCOMPATIBLE
+    # layouts — flat appended part files vs ingest_token=<v> partition
+    # dirs — and mixing them on one path breaks later partition
+    # discovery (or silently drops the partition column). A quarantine
+    # path must stick to one mode for its lifetime; fail loudly here
+    # instead of corrupting the channel.
+    existing = _quarantine_layout(spark, quarantine_path)
+    if existing is not None and existing != (ingest_token is not None):
+        raise ValueError(
+            f"jsonl_ingest: quarantine_path {quarantine_path!r} already "
+            f"holds a {'partitioned (ingest_token=...)' if existing else 'flat appended'} "
+            f"layout, but this call is in "
+            f"{'token' if ingest_token is not None else 'flat append'} mode — "
+            "a quarantine dir must stick to one mode; use a fresh path or "
+            "the matching mode"
+        )
+
     text = spark.read.text(path)
     files = text.inputFiles()
     if files:
@@ -353,6 +370,30 @@ def jsonl_ingest(
             quarantine_path
         )
     return parsed.filter(F.col("_corrupt_record").isNull()).select(*cols)
+
+
+def _quarantine_layout(spark: SparkSession, path: str) -> bool | None:
+    """Existing layout of a quarantine dir: True = ``ingest_token=``
+    partition dirs, False = flat appended data files, None = absent/
+    empty/undecidable. Hadoop FileSystem API so any scheme the session
+    can write to can also be inspected; a listing failure returns None
+    (the write itself will then surface the real error)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue  # _SUCCESS / hidden commit metadata
+            if name.startswith("ingest_token="):
+                return True
+            return False
+    except Exception:
+        return None
+    return None
 
 
 def _jsonl_parse(text_df: DataFrame, schema) -> DataFrame:

@@ -649,3 +649,37 @@ def test_jsonl_stream_foreachbatch_quarantine(spark, tmp_path):
     assert clean == {1: "x", 2: "y", 3: "z"}
     raws = sorted(r["raw"] for r in spark.read.parquet(qdir).collect())
     assert raws == ["[7]", "broken {"]
+
+
+def test_jsonl_ingest_quarantine_mode_conflict_raises(spark, tmp_path):
+    """ADVICE r10: the flat-append and ingest_token layouts are
+    incompatible on one quarantine path (mixing them breaks partition
+    discovery on the dir) — the ingest detects the existing layout and
+    refuses a conflicting mode instead of corrupting the channel."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from frontpage_spark import plans
+    from frontpage_spark.sources import jsonl_ingest
+
+    src = tmp_path / "feed.jsonl"
+    src.write_text('{"id": 1, "name": "a"}\nbad {\n')
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    try:
+        # flat dir -> token mode refused
+        q1 = str(tmp_path / "q_flat")
+        jsonl_ingest(spark, str(src), schema, quarantine_path=q1)
+        with pytest.raises(ValueError, match="stick to one mode"):
+            jsonl_ingest(spark, str(src), schema, q1, ingest_token="t1")
+        # token dir -> flat mode refused
+        q2 = str(tmp_path / "q_tok")
+        jsonl_ingest(spark, str(src), schema, q2, ingest_token="t1")
+        with pytest.raises(ValueError, match="stick to one mode"):
+            jsonl_ingest(spark, str(src), schema, quarantine_path=q2)
+        # matching modes keep working (incl. on a fresh path)
+        jsonl_ingest(spark, str(src), schema, quarantine_path=q1)
+        jsonl_ingest(spark, str(src), schema, q2, ingest_token="t2")
+    finally:
+        plans.release_kept()

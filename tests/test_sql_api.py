@@ -148,3 +148,42 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert set(df.columns) == {"id", "x", "y"}
     rows = {r.id: (r.x, r.y) for r in df.collect()}
     assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+
+
+def test_recursion_rail_scoped_to_cloned_session(spark, tmp_path):
+    """ADVICE r10: when recursive_ancestor_depths must raise
+    spark.sql.cteRecursionRowLimit above the default (input outgrows
+    the 1M-row rail), the raise lands on a CLONED session — the shared
+    session's runaway-recursion safety rail stays at its prior value
+    for every other recursive query."""
+    import os
+
+    from frontpage_spark.queries import QUERIES
+
+    # a customer table big enough to need > 1M total recursion rows
+    # (need = (n+1) * 22 > 1M  ->  n > 45453); other tables come from
+    # the tiny sf0.001 fixtures via symlink (register_views loads all)
+    sf = tmp_path / "sf_big_cust"
+    sf.mkdir()
+    for t in os.listdir("/root/testdata/sf0.001"):
+        if t != "customer.parquet":
+            os.symlink(os.path.join("/root/testdata/sf0.001", t), str(sf / t))
+    base = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    import pyspark.sql.functions as F
+
+    big = (
+        spark.range(50_000)
+        .crossJoin(base.limit(1).drop("c_custkey"))
+        .withColumn("c_custkey", F.col("id"))
+        .drop("id")
+    )
+    big.select(base.columns).write.parquet(str(sf / "customer.parquet"))
+
+    before = spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
+    df = QUERIES["recursive_ancestor_depths"](spark, str(sf))
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000") == before
+    # the frame itself runs (on the cloned session's raised rail):
+    # 50k keys x up to 6 digits -> >1M total recursion rows
+    rows = {r["d"]: r["n"] for r in df.collect()}
+    assert rows[0] == 50_000
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000") == before

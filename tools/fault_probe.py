@@ -184,8 +184,7 @@ def _drain_stream(start_q, timeout_s: float = 600.0) -> int:
     while True:
         q = start_q()
         try:
-            q.awaitTermination(max(5.0, deadline - time.time()))
-            return restarts
+            finished = q.awaitTermination(max(5.0, deadline - time.time()))
         except Exception as e:
             if time.time() > deadline:
                 raise
@@ -197,6 +196,23 @@ def _drain_stream(start_q, timeout_s: float = 600.0) -> int:
             except Exception:
                 pass
             time.sleep(3)  # let the worker re-register the executor
+            continue
+        if finished:
+            return restarts
+        # awaitTermination returns False on TIMEOUT with the query still
+        # running (ADVICE r10): returning here would hand the caller an
+        # INCOMPLETE sink and a spurious recovered_WRONG — stop the
+        # query and surface the hang instead
+        try:
+            q.stop()
+        except Exception:
+            pass
+        if time.time() > deadline:
+            raise TimeoutError(
+                f"stream did not terminate within {timeout_s:.0f}s "
+                f"({restarts} restarts)"
+            )
+        time.sleep(3)  # pre-deadline timeout (clock-floor edge): retry
 
 
 def probe_stream_near_dup(spark, work: str) -> dict:
