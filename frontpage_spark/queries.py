@@ -3633,7 +3633,9 @@ _DUP_WALK_SQL = """
 """
 
 
-def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_component_labels(
+    spark: SparkSession, sf_dir: str, small_rows: int | None = None
+) -> DataFrame:
     """Shared fixpoint: (id, comp) connected-component labels over the
     blocked-Levenshtein near-dup pair graph (see ``dup_clusters`` for
     the plan commentary). ``_tw``: with a single-split local file, AQE
@@ -3698,7 +3700,10 @@ def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     pairs = plans.keep(star.unionByName(rep_pairs))
-    return _component_fixpoint(pairs)
+    if small_rows is None:
+        return _component_fixpoint(pairs)
+    # probe/fault harness hook: force one side of the components gate
+    return _component_fixpoint(pairs, small_rows=small_rows)
 
 
 # Pair graphs at or below this row count take the single-job local

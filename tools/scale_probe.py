@@ -19,13 +19,27 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# bench-style drift calibration (VERDICT r10 item 1): the same two
+# PINNED engine-independent probes bench.py times, with the same fixed
+# anchor refs — so a steal episode can never again ship as a skew
+# verdict. Probes run before AND after the timed slice; loadavg is
+# stamped per measured pass.
+from bench import CALIBRATION_REF, _calibrate, _loadavg, _wait_for_idle  # noqa: E402
+
 BASE = "/root/testdata/sf0.1"
 WORK = "/tmp/frontpage_scale_probe"
+
+# per-query timed passes (median); a single pass that already ran
+# longer than _LONG_PASS_S is accepted alone — at that length scheduler
+# noise amortizes, and tripling a 400 s output-bound query buys nothing
+PROBE_PASSES = max(1, int(os.environ.get("SPARK_GRAFT_PROBE_PASSES", "3")))
+_LONG_PASS_S = 120.0
 
 # keys that must be OFFSET per replica so the key space grows with the
 # data (duplicate keys would turn joins/dedup into artificial skew)
@@ -55,9 +69,14 @@ PROBE_QUERIES = [
     "embedding_topk_cosine",
     "embedding_centroids",
     "sessionize_users",
+    # r11 (VERDICT r10 item 3): both sides of the sessionize and
+    # components size gates — the gated entries pick one branch at
+    # probe scale, the forced entries pin the production branch
+    "sessionize_users_stitch",
     "attribution_last_touch",
     "cusum_revenue_alarms",
     "dup_clusters",
+    "dup_clusters_distributed",
     "domain_cap_sample",
     # crosses its size gate at 10x (12M bidirected edges > 4M): the 1x
     # run takes the single-job local path, the Nx run the distributed
@@ -159,9 +178,14 @@ def _zipfify(df, table: str):
 # keys inherit the zipf head directly
 ZIPF_QUERIES = [
     "dup_clusters",
+    # r11: BOTH sides of each size gate (VERDICT r10 item 3) — the
+    # gated name runs whatever the gate picks at this corpus size
+    # (recorded in gate_diag); the forced name runs the other branch
+    "dup_clusters_distributed",
     "near_dup_verified",
     "minhash_lsh_candidates",
     "sessionize_users",
+    "sessionize_users_stitch",
     "salted_skew_join",
     # r10: the mega near-dup cluster makes this operator's TRUE output
     # explode (112.8M qualifying pairs vs 2.4k organic at equal rows);
@@ -171,18 +195,56 @@ ZIPF_QUERIES = [
 ]
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+# probe-only targets that are not registry queries: the FORCED branch
+# of a size-gated operator, so the probe certifies the gate handoff
+# instead of whichever single path the gate picks at this scale
+# (VERDICT r10 item 3). sessionize's forced branch is already a
+# registry entry (sessionize_users_stitch).
+def _dup_clusters_forced_distributed(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from frontpage_spark.queries import _dup_component_labels
+
+    labels = _dup_component_labels(spark, sf_dir, small_rows=1)
+    return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count("*").alias("n_members")
+    )
+
+
+EXTRA_QUERIES = {
+    "dup_clusters_distributed": _dup_clusters_forced_distributed,
+}
+
+
+def time_queries(spark, sf_dir: str, names=None) -> dict[str, dict]:
+    """Per-operator warm timing: one untimed warm pass, then median of
+    PROBE_PASSES timed passes (single pass accepted past _LONG_PASS_S).
+    Each record carries its raw samples and the 1-min loadavg observed
+    right after each timed pass, so a contended sample is attributable
+    in-artifact instead of shipping as a plan verdict."""
     from frontpage_spark.queries import QUERIES
 
-    times: dict[str, tuple[float, int]] = {}
-    for name in PROBE_QUERIES:
+    times: dict[str, dict] = {}
+    for name in names if names is not None else PROBE_QUERIES:
+        fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         print(f"# running {name} @ {sf_dir}", file=sys.stderr, flush=True)
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
-        rows = QUERIES[name](spark, sf_dir).count()
-        times[name] = (dt, rows)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples: list[float] = []
+        loads: list[float] = []
+        for _ in range(PROBE_PASSES):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+            loads.append(_loadavg()[0])
+            if samples[-1] > _LONG_PASS_S:
+                break
+        rows = fn(spark, sf_dir).count()
+        times[name] = {
+            "t": round(statistics.median(samples), 3),
+            "samples": samples,
+            "load": loads,
+            "rows": rows,
+        }
         spark.catalog.clearCache()
     return times
 
@@ -196,6 +258,8 @@ HEAVY_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "dup_clusters",
+    "dup_clusters_distributed",
+    "sessionize_users_stitch",
     "prefix_filtered_jaccard",
     # inverted-index postings self-joins (VERDICT r3 item 7): hot-term
     # postings lists COULD explode quadratically without the doc-pair
@@ -269,6 +333,15 @@ NOTES = {
         "center literals in one narrow pass + TakeOrdered(1) — no iterated "
         "state, no checkpoint; cost ~ K^2 x n arithmetic"
     ),
+    "sessionize_users_stitch": (
+        "FORCED over-gate branch (gated pick per dir is in gate_diag): "
+        "two windows within (user, day-bucket) + per-bucket rollup "
+        "stitch — bounded partitions however hot a key"
+    ),
+    "dup_clusters_distributed": (
+        "FORCED over-gate branch: star-contraction fixpoint, per-round "
+        "pin(); the gated name takes the local union-find at this size"
+    ),
     "embedding_knn_lsh": (
         "corpus hashed once (4-plane signature fold); 3 queries x "
         "(planes+1) multiprobe buckets -> in-bucket exact cosine; cost ~ "
@@ -282,6 +355,37 @@ NOTES = {
 }
 
 
+def _gate_diag(spark, sf_dir: str) -> dict:
+    """Which side of the sessionize size gate this corpus sits on —
+    recorded per probe dir so a verdict can never again be ambiguous
+    about WHICH plan it measured (VERDICT r10: the r10 zipf artifact
+    shipped without this and its sessionize row was unadjudicable)."""
+    from frontpage_spark.incremental import (
+        _SESSIONIZE_STITCH_BYTES,
+        _plan_size_bytes,
+    )
+    from frontpage_spark.sources import load_table
+
+    size = _plan_size_bytes(load_table(spark, sf_dir, "events"))
+    return {
+        "events_plan_bytes": size,
+        "sessionize_gate_bytes": _SESSIONIZE_STITCH_BYTES,
+        "sessionize_gated_plan": (
+            "classic"
+            if size is not None and size <= _SESSIONIZE_STITCH_BYTES
+            else "stitch"
+        ),
+    }
+
+
+def _calibration_envelope(spark, when: str) -> dict:
+    cal = _calibrate(spark)
+    return {
+        f"calibration_{when}": cal["calibration"],
+        f"box_drift_{when}": cal["box_drift"],
+    }
+
+
 def zipf_probe(spark, factor: int, md_path: str) -> None:
     """x1-uniform vs xN-uniform vs xN-zipf over the skew-sensitive
     slice: the question is whether the zipf head (one mega key at ~30%
@@ -289,7 +393,12 @@ def zipf_probe(spark, factor: int, md_path: str) -> None:
     bucket gates are supposed to absorb it, so zipf time should stay
     within a small factor of uniform time at the same row count
     (after accounting for the zipf corpus's own larger TRUE output,
-    e.g. the mega near-dup cluster's pair set)."""
+    e.g. the mega near-dup cluster's pair set). Gate-forced rows run
+    BOTH branches of the size-gated operators, and the artifact
+    carries drift calibration + per-pass loadavg so machine weather is
+    separable from skew (the r10 artifact's failure mode)."""
+    load_start = _loadavg()
+    idle_wait = _wait_for_idle()
     base_dir = os.path.join(WORK, "x1")
     big_dir = os.path.join(WORK, f"x{factor}")
     zipf_dir = os.path.join(WORK, f"x{factor}zipf")
@@ -297,11 +406,26 @@ def zipf_probe(spark, factor: int, md_path: str) -> None:
     build_replica(spark, 1, base_dir)
     build_replica(spark, factor, big_dir)
     build_replica(spark, factor, zipf_dir, zipf=True)
-    global PROBE_QUERIES
-    PROBE_QUERIES = ZIPF_QUERIES
-    t1 = time_queries(spark, base_dir)
-    tu = time_queries(spark, big_dir)
-    tz = time_queries(spark, zipf_dir)
+    meta: dict = {
+        "factor": factor,
+        "mode": "zipf",
+        "passes": PROBE_PASSES,
+        "loadavg_start": load_start,
+        "idle_wait_sec": idle_wait,
+        "calibration_ref": CALIBRATION_REF,
+        "gate_diag": {
+            "x1": _gate_diag(spark, base_dir),
+            "uniform": _gate_diag(spark, big_dir),
+            "zipf": _gate_diag(spark, zipf_dir),
+        },
+    }
+    meta.update(_calibration_envelope(spark, "start"))
+    t1 = time_queries(spark, base_dir, ZIPF_QUERIES)
+    tu = time_queries(spark, big_dir, ZIPF_QUERIES)
+    tz = time_queries(spark, zipf_dir, ZIPF_QUERIES)
+    meta.update(_calibration_envelope(spark, "end"))
+    meta["loadavg_end"] = _loadavg()
+    g = meta["gate_diag"]
     lines = [
         f"# SCALE_PROBE (zipf skew) — sf0.1 x1 vs x{factor} uniform vs x{factor} zipf",
         "",
@@ -312,15 +436,33 @@ def zipf_probe(spark, factor: int, md_path: str) -> None:
         "NEAR-dup cluster — worst case for LSH banding). `zipf/uniform` is",
         "the skew penalty at equal row count; `verdict` is SKEW-FRAGILE when",
         "zipf time far exceeds uniform time after normalizing by the zipf",
-        "corpus's own larger true output.",
+        "corpus's own larger true output. Per-operator time = median of",
+        f"{PROBE_PASSES} warm passes (raw samples + per-pass 1-min loadavg",
+        "shown); the pinned bench calibration probes ran before and after",
+        "the slice, so box weather is measured, not inferred.",
         "",
-        f"| operator | 1x sec | x{factor} uniform sec | x{factor} zipf sec | zipf/uniform | out uniform | out zipf | out ratio | verdict | note |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        f"- loadavg start/end: {load_start} / {meta['loadavg_end']}"
+        + (f" (waited {idle_wait:.0f}s for idle)" if idle_wait else ""),
+        f"- box drift start: {meta['box_drift_start']}, end: {meta['box_drift_end']}"
+        " (1.0 = the idle anchor box; >1 = this run's box was slower)",
+        f"- sessionize gate: corpus estimate x1/uniform/zipf = "
+        f"{g['x1']['events_plan_bytes']}/{g['uniform']['events_plan_bytes']}/"
+        f"{g['zipf']['events_plan_bytes']} bytes vs gate "
+        f"{g['x1']['sessionize_gate_bytes']} — gated `sessionize_users` runs "
+        f"`{g['zipf']['sessionize_gated_plan']}` on every dir here; "
+        "`sessionize_users_stitch` is the forced over-gate branch",
+        "- `dup_clusters` runs the gate's pick (local union-find at this "
+        "pair-graph size); `dup_clusters_distributed` forces the "
+        "star-contraction branch (small_rows=1)",
+        "",
+        f"| operator | 1x sec | x{factor} uniform sec | x{factor} zipf sec | zipf/uniform | out uniform | out zipf | out ratio | verdict | zipf samples | zipf loadavg |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     results = {}
     for name in ZIPF_QUERIES:
-        (a, _), (bu, ou), (bz, oz) = t1[name], tu[name], tz[name]
-        pen = bz / bu if bu > 0 else float("inf")
+        a, bu, bz = t1[name], tu[name], tz[name]
+        pen = bz["t"] / bu["t"] if bu["t"] > 0 else float("inf")
+        ou, oz = bu["rows"], bz["rows"]
         out_ratio = (oz / ou) if ou > 0 else float(max(oz, 1))
         # the skew penalty is judged against how much MORE true output
         # the zipf corpus demands (mega-cluster pair sets are real work)
@@ -328,20 +470,26 @@ def zipf_probe(spark, factor: int, md_path: str) -> None:
         verdict = (
             "skew-absorbed" if pen <= allowance * 1.5 else "SKEW-FRAGILE"
         )
-        note = ZIPF_NOTES.get(name, "")
         results[name] = {
-            "t1": a, "t_uniform": bu, "t_zipf": bz,
+            "t1": a["t"], "t_uniform": bu["t"], "t_zipf": bz["t"],
             "penalty": round(pen, 2), "out_uniform": ou, "out_zipf": oz,
             "verdict": verdict,
+            "samples_zipf": bz["samples"], "load_zipf": bz["load"],
+            "samples_uniform": bu["samples"], "load_uniform": bu["load"],
         }
         lines.append(
-            f"| {name} | {a} | {bu} | {bz} | {pen:.2f}x | {ou} | {oz} "
-            f"| {out_ratio:.2f}x | {verdict} | {note} |"
+            f"| {name} | {a['t']} | {bu['t']} | {bz['t']} | {pen:.2f}x "
+            f"| {ou} | {oz} | {out_ratio:.2f}x | {verdict} "
+            f"| {'/'.join(str(s) for s in bz['samples'])} "
+            f"| {'/'.join(str(x) for x in bz['load'])} |"
         )
+        note = ZIPF_NOTES.get(name)
+        if note:
+            lines.append(f"| ⮑ note | {note} | | | | | | | | | |")
     lines.append("")
     with open(md_path, "w") as f:
         f.write("\n".join(lines))
-    print(json.dumps({"factor": factor, "mode": "zipf", "results": results}))
+    print(json.dumps({**meta, "results": results}))
     shutil.rmtree(WORK, ignore_errors=True)
 
 
@@ -372,6 +520,15 @@ ZIPF_NOTES = {
         "one nation holds ~30% of customers: the 8-way salt fan-out is "
         "the designed mitigation — penalty should be ~1x"
     ),
+    "sessionize_users_stitch": (
+        "the FORCED over-gate branch: bounded-partition two-level "
+        "stitch — the plan every corpus above 256 MiB takes; its zipf "
+        "penalty is the one that matters at 100 TB"
+    ),
+    "dup_clusters_distributed": (
+        "the FORCED over-gate branch: star-contraction fixpoint with "
+        "per-round pin() — the plan any at-scale pair graph takes"
+    ),
 }
 
 
@@ -393,42 +550,71 @@ def main() -> None:
         zipf_probe(spark, factor, md_path)
         return
 
+    load_start = _loadavg()
+    idle_wait = _wait_for_idle()
     base_dir = os.path.join(WORK, "x1")
     big_dir = os.path.join(WORK, f"x{factor}")
     shutil.rmtree(WORK, ignore_errors=True)
     build_replica(spark, 1, base_dir)
     build_replica(spark, factor, big_dir)
 
+    meta: dict = {
+        "factor": factor,
+        "passes": PROBE_PASSES,
+        "loadavg_start": load_start,
+        "idle_wait_sec": idle_wait,
+        "calibration_ref": CALIBRATION_REF,
+        "gate_diag": {
+            "x1": _gate_diag(spark, base_dir),
+            f"x{factor}": _gate_diag(spark, big_dir),
+        },
+    }
+    meta.update(_calibration_envelope(spark, "start"))
     t1 = time_queries(spark, base_dir)
     tn = time_queries(spark, big_dir)
+    meta.update(_calibration_envelope(spark, "end"))
+    meta["loadavg_end"] = _loadavg()
 
+    g = meta["gate_diag"]
     lines = [
         f"# SCALE_PROBE — sf0.1 x1 vs x{factor} (expanding key space)",
         "",
         "Generated by `python tools/scale_probe.py` — wall-clock per operator",
-        f"(warm, noop sink, local[32]) at 1x and {factor}x rows. Replicas",
-        "offset every key column and lightly perturb document text, so the",
-        f"{factor}x corpus behaves like a mirror-heavy crawl: every document",
-        f"gains {factor}-1 near-copies. Pair-producing operators therefore",
-        "see their TRUE OUTPUT grow ~quadratically in the replica count —",
-        "the honest scaling reference for them is max(input growth, output",
-        "growth), shown as `work ratio`. `verdict` is SUPERLINEAR only when",
-        "time grows well beyond that.",
+        f"(median of {PROBE_PASSES} warm passes, noop sink, local[32]) at 1x",
+        f"and {factor}x rows. Replicas offset every key column and lightly",
+        f"perturb document text, so the {factor}x corpus behaves like a",
+        f"mirror-heavy crawl: every document gains {factor}-1 near-copies.",
+        "Pair-producing operators therefore see their TRUE OUTPUT grow",
+        "~quadratically in the replica count — the honest scaling reference",
+        "for them is max(input growth, output growth), shown as `work",
+        "ratio`. `verdict` is SUPERLINEAR only when time grows well beyond",
+        "that. Size-gated operators appear on BOTH branches (gated name +",
+        "forced `_distributed`/`_stitch` name).",
         "",
-        f"| operator | 1x sec | {factor}x sec | time ratio | out 1x | out {factor}x | work ratio | verdict | note |",
-        "|---|---|---|---|---|---|---|---|---|",
+        f"- loadavg start/end: {load_start} / {meta['loadavg_end']}"
+        + (f" (waited {idle_wait:.0f}s for idle)" if idle_wait else ""),
+        f"- box drift start: {meta['box_drift_start']}, end: {meta['box_drift_end']}"
+        " (pinned bench probes; 1.0 = idle anchor box)",
+        f"- sessionize gate: events estimate x1 {g['x1']['events_plan_bytes']} / "
+        f"x{factor} {g[f'x{factor}']['events_plan_bytes']} bytes vs gate "
+        f"{g['x1']['sessionize_gate_bytes']} — gated pick is "
+        f"`{g[f'x{factor}']['sessionize_gated_plan']}` at x{factor}",
+        "",
+        f"| operator | 1x sec | {factor}x sec | time ratio | out 1x | out {factor}x | work ratio | verdict | {factor}x samples | note |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     results = {}
     for name in PROBE_QUERIES:
-        (a, oa), (b, ob) = t1[name], tn[name]
-        r = b / a if a > 0 else float("inf")
+        a, b = t1[name], tn[name]
+        r = b["t"] / a["t"] if a["t"] > 0 else float("inf")
+        oa, ob = a["rows"], b["rows"]
         # profile-shaped queries return a fixed-size aggregate (out==1
         # at every scale), which hides the pair volume they actually
         # score; take the work denominator from the named proxy whose
         # OUTPUT is that pair set
         proxy = WORK_PROXY.get(name)
         if proxy and proxy in t1 and proxy in tn:
-            oa, ob = t1[proxy][1], tn[proxy][1]
+            oa, ob = t1[proxy]["rows"], tn[proxy]["rows"]
         out_ratio = (ob / oa) if oa > 0 else float(max(ob, 1))
         work = max(factor, out_ratio)
         verdict = (
@@ -438,17 +624,20 @@ def main() -> None:
         )
         note = NOTES.get(name, "")
         results[name] = {
-            "t1": a, "tn": b, "ratio": round(r, 2),
+            "t1": a["t"], "tn": b["t"], "ratio": round(r, 2),
             "out1": oa, "outn": ob, "work_ratio": round(work, 2),
             "verdict": verdict,
+            "samples_n": b["samples"], "load_n": b["load"],
         }
         lines.append(
-            f"| {name} | {a} | {b} | {r:.2f}x | {oa} | {ob} | {work:.1f}x | {verdict} | {note} |"
+            f"| {name} | {a['t']} | {b['t']} | {r:.2f}x | {oa} | {ob} "
+            f"| {work:.1f}x | {verdict} "
+            f"| {'/'.join(str(s) for s in b['samples'])} | {note} |"
         )
     lines.append("")
     with open(md_path, "w") as f:
         f.write("\n".join(lines))
-    print(json.dumps({"factor": factor, "results": results}))
+    print(json.dumps({**meta, "results": results}))
     shutil.rmtree(WORK, ignore_errors=True)
 
 
