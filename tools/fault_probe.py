@@ -283,6 +283,135 @@ def probe_stream_near_dup(spark, work: str) -> dict:
     return rec
 
 
+def probe_compaction_kill(spark, work: str) -> dict:
+    """VERDICT r10 item 5: SIGKILL an executor DURING the signature-
+    store compaction fold (``compact_signature_store``, wired in via
+    ``compact_every``). Compaction rewrites the history partitions the
+    claimant probes read — the r10 probe proved mid-micro-batch kills
+    recover, but never a kill inside the fold itself (pin() job →
+    epoch=-1 dynamic overwrite → folded-dir removal). The killer
+    watches the store for the epoch-2 sig partition landing (the
+    compaction at epoch 2 starts right after that write commits) and
+    kills on sight, so the SIGKILL lands in the compaction window, not
+    at an arbitrary batch offset. Recovery contract: the batch fails,
+    the query restarts from its checkpoint, epoch 2 replays its own
+    partitions idempotently and re-runs compaction; duplicate claimant
+    rows a half-finished fold leaves behind are harmless under min().
+    Verified: survivor set AND the effective claimant state (min rank
+    per (band, minhash) over the whole store) equal an undisturbed
+    compacting run's, and compaction really happened (epoch=-1)."""
+    from pyspark.sql import functions as F
+
+    from frontpage_spark.incremental import stream_near_dup_dedup
+
+    rec: dict = {
+        "target": "compact_signature_store [kill mid-fold, compact_every=2]"
+    }
+    src = os.path.join(work, "cc_src")
+    base = "the quick brown fox jumps over the lazy dog again and again today block"
+    rows = []
+    for i in range(400):
+        if i % 5 == 0:
+            rows.append((i, f"{base} variant {i % 7}"))
+        else:
+            rows.append((i, f"fresh document {i} about topic {i * 37 % 101} "
+                            f"with unique content {i * 13 % 997} parquet shuffles"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for f8 in range(8):
+        df.filter(F.col("doc_id") % 8 == f8).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sch = spark.read.parquet(src).schema
+
+    def claimant_state(sig: str) -> dict:
+        store = spark.read.parquet(sig)
+        return {
+            (r["band"], r["minhash"]): r["m"]
+            for r in store.groupBy("band", "minhash")
+            .agg(F.min("doc_id").alias("m"))
+            .collect()
+        }
+
+    def run(tag: str, kill: bool):
+        out = os.path.join(work, f"cc_out_{tag}")
+        sig = os.path.join(work, f"cc_sig_{tag}")
+        chk = os.path.join(work, f"cc_chk_{tag}")
+
+        def start():
+            return stream_near_dup_dedup(
+                spark, src, out, sig, chk, schema=sch,
+                max_files_per_trigger=1, compact_every=2,
+            )
+
+        krec: dict = {}
+        stop_watch = threading.Event()
+        if kill:
+            def killer():
+                # fire the moment epoch 2's sig partition lands — the
+                # compaction fold starts right after that commit
+                deadline = time.time() + 120
+                while time.time() < deadline and not stop_watch.is_set():
+                    try:
+                        dirs = set(os.listdir(sig))
+                    except OSError:
+                        dirs = set()
+                    if "epoch=2" in dirs:
+                        time.sleep(0.3)  # let the fold's first job launch
+                        pids = executor_pids()
+                        if pids:
+                            pid = sorted(pids)[0]
+                            os.kill(pid, signal.SIGKILL)
+                            krec["killed_pid"] = pid
+                            krec["n_executors_seen"] = len(pids)
+                            krec["store_dirs_at_kill"] = sorted(
+                                d for d in dirs if d.startswith("epoch=")
+                            )
+                        else:
+                            krec["note"] = "no executor JVMs found"
+                        return
+                    time.sleep(0.05)
+                krec["note"] = "epoch=2 partition never appeared before deadline"
+
+            threading.Thread(target=killer, daemon=True).start()
+        t0 = time.time()
+        restarts = _drain_stream(start)
+        stop_watch.set()
+        dt = round(time.time() - t0, 2)
+        if kill:
+            time.sleep(1)
+            rec.update(krec)
+            rec["restarts"] = restarts
+            rec["killed_run_s"] = dt
+        else:
+            rec["clean_s"] = dt
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        compacted = (
+            spark.read.parquet(sig).filter(F.col("epoch") == -1).count()
+        )
+        return kept, claimant_state(sig), compacted
+
+    kept_clean, claim_clean, comp_clean = run("clean", kill=False)
+    kept_kill, claim_kill, comp_kill = run("kill", kill=True)
+    same = kept_kill == kept_clean and claim_kill == claim_clean
+    rec["status"] = "recovered_correct" if same else "recovered_WRONG"
+    rec["rows"] = len(kept_kill)
+    rec["note_detail"] = (
+        f"survivors {len(kept_clean)}/400; claimant buckets "
+        f"{len(claim_clean)}; compacted rows clean={comp_clean} "
+        f"kill={comp_kill} (layout may differ, min-state must not)"
+    )
+    if comp_kill == 0:
+        rec["status"] = "probe_error"
+        rec["error"] = "compaction never ran in the killed run (epoch=-1 absent)"
+    if not same:
+        rec["diff"] = (
+            f"survivors clean={len(kept_clean)} kill={len(kept_kill)} "
+            f"(sym-diff {len(kept_clean ^ kept_kill)}); claimant map "
+            f"mismatches {sum(1 for k in claim_clean if claim_kill.get(k) != claim_clean[k])}"
+        )
+    return rec
+
+
 def probe_stateful_session_close(spark, work: str) -> dict:
     """SIGKILL an executor while a transformWithState (RocksDB state +
     processing-time timers) query runs; restart from the checkpoint;
@@ -481,7 +610,11 @@ def main() -> int:
 
     work = tempfile.mkdtemp(prefix="fps-fault-stream-")
     try:
-        for probe in (probe_stream_near_dup, probe_stateful_session_close):
+        for probe in (
+            probe_stream_near_dup,
+            probe_compaction_kill,
+            probe_stateful_session_close,
+        ):
             print(f"== {probe.__name__}", flush=True)
             try:
                 rec = probe(spark, work)

@@ -12,12 +12,14 @@ someone reruns the ad-hoc probe.
 
 Usage:
   python tools/gen_zipf.py [out_dir]          # default /tmp/frontpage_zipf_x10
-then:
+then (capture stdout too — it carries the Spark-window calibration the
+assemble step folds into ratio_drift_corrected, VERDICT r10 item 2):
   SPARK_GRAFT_SF_DIR=<out_dir> SPARK_GRAFT_WARM_PASSES=1 \
-      python bench.py --no-oracle 2> .bench_zipf_spark.log
+      python bench.py --no-oracle > .bench_zipf_spark.json 2> .bench_zipf_spark.log
   SF1_DIR=<out_dir> SF_NOTE="x10-zipf replica of sf0.1 (tools/gen_zipf.py)" \
       SPARK_PROTOCOL_NOTE="bench.py cold + 1 warm pass (median==the pass)" \
-      python tools/bench_sf1_assemble.py .bench_zipf_spark.log BENCH_zipf_r{N}.json
+      python tools/bench_sf1_assemble.py .bench_zipf_spark.log BENCH_zipf_r{N}.json \
+      --bench-json .bench_zipf_spark.json
 
 (The assemble step reuses the sf1 artifact tooling: one timed DuckDB
 pass per oracle with a per-query interrupt cap — at x10 data the
