@@ -39,6 +39,8 @@ _NEARGATE_DIR = "/tmp/frontpage_neargate_events"
 
 
 def _dir_bytes(path: str) -> int:
+    if os.path.isfile(path):  # single-file parquet table (the testdata shape)
+        return os.path.getsize(path)
     return sum(
         os.path.getsize(os.path.join(path, f))
         for f in os.listdir(path)
@@ -46,7 +48,7 @@ def _dir_bytes(path: str) -> int:
     )
 
 
-def build_neargate_events(spark, out_dir: str = _NEARGATE_DIR):
+def build_neargate_events(spark, out_dir: str = _NEARGATE_DIR, target_bytes: int | None = None):
     """Replicate sf0.1 events (offset keys, fresh key space) to just
     under the sessionize gate, then collapse ~30% of rows onto one
     mega user — deterministic hash coin, same shape as
@@ -62,7 +64,9 @@ def build_neargate_events(spark, out_dir: str = _NEARGATE_DIR):
     # zipf-collapsed user ids compress better than organic ones, so
     # aim at 97% of the gate; the artifact records the ACHIEVED
     # estimate either way and asserts it stayed under
-    factor = max(1, int(_SESSIONIZE_STITCH_BYTES * 0.97 / base_bytes))
+    if target_bytes is None:
+        target_bytes = int(_SESSIONIZE_STITCH_BYTES * 0.97)
+    factor = max(1, int(target_bytes / base_bytes))
     parts = []
     for i in range(factor):
         parts.append(
@@ -96,6 +100,11 @@ def main() -> int:
     neargate = "--neargate" in argv
     if neargate:
         argv.remove("--neargate")
+    target_bytes = None
+    if "--target-bytes" in argv:
+        i = argv.index("--target-bytes")
+        target_bytes = int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dirs = argv or ["/root/testdata/sf0.1"]
 
     from frontpage_spark.incremental import (
@@ -110,7 +119,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     if neargate:
-        path, factor = build_neargate_events(spark)
+        path, factor = build_neargate_events(spark, target_bytes=target_bytes)
         sf_dirs = [path]
 
     def timed(df) -> float:
