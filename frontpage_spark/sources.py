@@ -39,16 +39,28 @@ NORMALIZE_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 # calls; entries keyed by any OTHER applicationId are evicted on access
 # (a stopped session's plans must not pin JVM references for the
 # process lifetime), and the dict is hard-capped as a leak backstop.
-_plan_cache: dict[tuple[str, str, str], DataFrame] = {}
+_plan_cache: dict[tuple[str, str, str, str], DataFrame] = {}
 _plan_cache_lock = threading.Lock()
 _PLAN_CACHE_MAX = 512
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One testdata parquet table. Vectorized reader; pruning/pushdown free."""
+    """One testdata parquet table. Vectorized reader; pruning/pushdown free.
+
+    The plan cache is keyed by SESSION identity, not just application
+    (r11): a cached frame belongs to the session that built it, and a
+    temp view registered from it lands in THAT session's catalog — an
+    app-level key handed a cloned session (``spark.newSession()``, the
+    scoped-conf idiom) a default-session frame, so
+    ``register_views`` silently registered views the clone could not
+    resolve (sf1 bench: TABLE_OR_VIEW_NOT_FOUND on `customer`)."""
     try:
         app_id = spark.sparkContext.applicationId
-        key = (app_id, sf_dir, name)
+        try:
+            sess_id = str(spark._jsparkSession.sessionUUID())
+        except Exception:
+            sess_id = str(id(spark))
+        key = (app_id, sess_id, sf_dir, name)
     except Exception:
         key = None
     if key is not None:

@@ -179,6 +179,15 @@ def test_recursion_rail_scoped_to_cloned_session(spark, tmp_path):
     )
     big.select(base.columns).write.parquet(str(sf / "customer.parquet"))
 
+    # warm the shared session's load_table plan cache first — the r11
+    # sf1 bench showed the cloned-session path must NOT inherit cached
+    # frames bound to the shared session (their temp views would land
+    # in the wrong catalog: TABLE_OR_VIEW_NOT_FOUND)
+    from frontpage_spark.sources import load_table
+
+    for t in ("customer", "orders", "nation"):
+        load_table(spark, str(sf), t)
+
     before = spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
     df = QUERIES["recursive_ancestor_depths"](spark, str(sf))
     assert spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000") == before
