@@ -50,6 +50,7 @@ def _pagerank_local(
     damping_num: int,
     damping_den: int,
     bidirected: bool = False,
+    dedup_edges: bool = False,
 ) -> DataFrame:
     """Single-job exact-integer PageRank over a SMALL edge list
     coalesced to one partition — executor-side (mapInPandas), not a
@@ -57,7 +58,15 @@ def _pagerank_local(
     because the recurrence is truncating int64 division on
     nonnegative values, which no evaluation order can perturb. One
     Spark job instead of ~3 per iteration (broadcast exchanges +
-    final checkpoint)."""
+    final checkpoint).
+
+    ``dedup_edges``: dedup (src, dst) rows INSIDE the kernel (post-
+    factorize integer codes, so it is an int64 np.unique) instead of
+    upstream — callers that would otherwise feed ``edges.distinct()``
+    skip that whole Exchange + single-task string dedup stage (the
+    coalesce(1) collapses the post-shuffle side to one thread); the
+    rank recurrence then sees exactly the distinct multiset it saw
+    before."""
     node_type = edges.schema["src"].dataType.simpleString()
 
     def pr(batches):
@@ -79,6 +88,13 @@ def _pagerank_local(
         n = len(nodes)
         if n == 0:
             return
+        if dedup_edges:
+            # distinct (si, di) pairs via one int64 sort — n*n stays
+            # below 2^63 for any graph that fits the local gate
+            key = si.astype(np.int64) * np.int64(n) + di.astype(np.int64)
+            key = np.unique(key)
+            si = (key // n).astype(idx.dtype)
+            di = (key % n).astype(idx.dtype)
         outdeg = np.bincount(si, minlength=n)
         if bidirected:
             outdeg = outdeg + np.bincount(di, minlength=n)
@@ -116,6 +132,7 @@ def pagerank_fixedpoint(
     small_edges: int = _SMALL_EDGE_ROWS,
     bidirected: bool = False,
     edge_rows_hint: int | None = None,
+    dedup_edges: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)`` in exact
     integer arithmetic. Returns ``(node, r)`` with Σr ≤ PR_SCALE.
@@ -152,14 +169,20 @@ def pagerank_fixedpoint(
     )
     mult = 2 if bidirected else 1
     if edge_rows_hint is not None:
+        # hint is an upper bound on the RAW rows, so it bounds the
+        # distinct rows too — valid for the dedup_edges path as-is
         gated_small = edge_rows_hint * mult <= small_edges
         if not gated_small:
-            edges = pin(edges)
+            edges = pin(edges.distinct() if dedup_edges else edges)
+            dedup_edges = False
     else:
-        edges = pin(edges)
+        edges = pin(edges.distinct() if dedup_edges else edges)
+        dedup_edges = False
         gated_small = edges.limit(small_edges + 1).count() * mult <= small_edges
     if gated_small:
-        return _pagerank_local(edges, iterations, damping_num, damping_den, bidirected)
+        return _pagerank_local(
+            edges, iterations, damping_num, damping_den, bidirected, dedup_edges
+        )
     if bidirected:
         edges = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -274,9 +274,16 @@ def bpe_train(
     # consumers (encode join) see the exact distributed result. A
     # multi-million-word vocab fails the probe and trains with the
     # distributed rounds below.
+    # Probe and collect FUSED into one job (r11): limit(N+1).collect()
+    # is the gate probe AND, when under the gate, already the whole
+    # vocab — the previous count-then-collect ran the (cached) word
+    # aggregate twice, paying a second job's scheduling floor. Over the
+    # gate the discarded head is ≤ N+1 (word, wc) rows — bounded driver
+    # traffic, same as the count probe materialized.
     _SMALL_VOCAB = 100_000
-    if state.limit(_SMALL_VOCAB + 1).count() <= _SMALL_VOCAB:
-        vocab = [(r["word"], r["wc"]) for r in state.select("word", "wc").collect()]
+    head = state.select("word", "wc").limit(_SMALL_VOCAB + 1).collect()
+    if len(head) <= _SMALL_VOCAB:
+        vocab = [(r["word"], r["wc"]) for r in head]
         merges = _bpe_train_local(vocab, n_merges)
         expr = "st"
         for _, a, b in merges:

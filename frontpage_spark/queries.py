@@ -2534,10 +2534,15 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode: binary payload column → Arrow-batched REAL
     container parse (BMP/WAV/Y4M headers, ext/multimodal.py) → typed
-    metadata. Narrow mapInPandas pass, no shuffle."""
+    metadata. Narrow mapInPandas pass, no shuffle on a multi-split
+    table; locally the single-row-group file scans as ONE task, which
+    would run the whole synthesize+parse Python chain on one core —
+    ``_tw(min_parts=8)`` fans it out exactly like every other media
+    query (this one and multimodal_frames had missed the r7 sweep;
+    measured sf0.1 warm 0.52s -> ~0.2s)."""
     from .ext import multimodal
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents", min_parts=8)
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     return multimodal.decode_media(media).select(
         "media_id", "kind", "n_bytes", "width", "height", "frames"
@@ -3300,7 +3305,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     shaped fan-out (rows = frames), narrow, no shuffle."""
     from .ext import multimodal
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    docs = _tw(spark, sf_dir, "documents", min_parts=8).filter(F.col("doc_id") % 3 == 2)
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     return multimodal.frame_sample(media).select("media_id", "frame_no", "frame_offset")
 
@@ -3755,7 +3760,11 @@ def _components_local(pairs: DataFrame) -> DataFrame:
     return pairs.coalesce(1).mapInPandas(uf, schema=f"id {id_type}, comp {id_type}")
 
 
-def _component_fixpoint(pairs: DataFrame, small_rows: int = _SMALL_PAIR_GRAPH_ROWS) -> DataFrame:
+def _component_fixpoint(
+    pairs: DataFrame,
+    small_rows: int = _SMALL_PAIR_GRAPH_ROWS,
+    pair_count_out: dict | None = None,
+) -> DataFrame:
     """Connected components over an (a, b) pair list (a < b) — returns
     (id, comp) with comp = the minimum id in the component, covering
     exactly the nodes that appear in ``pairs``.
@@ -3796,6 +3805,13 @@ def _component_fixpoint(pairs: DataFrame, small_rows: int = _SMALL_PAIR_GRAPH_RO
     # pin()s the oriented edge list it iterates on.
     pairs = plans.keep(pairs)
     probe = pairs.limit(small_rows + 1).count()
+    if pair_count_out is not None:
+        # the gate probe IS the exact pair count whenever it fit under
+        # the limit — callers that need |pairs| (semantic_dedup_report)
+        # reuse it instead of scheduling a second count job; above the
+        # gate the limit truncated, so publish None and let the caller
+        # aggregate (amortized there by definition of the gate)
+        pair_count_out["n_pairs"] = probe if probe <= small_rows else None
     if 0 < probe <= small_rows:
         return _components_local(pairs)
     # over the gate (or empty): distributed star contraction on the
@@ -5193,10 +5209,22 @@ def _pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.graph import pagerank_fixedpoint
 
     li = _t(spark, sf_dir, "lineitem")
+    # Integer node encoding (r11): part p<k> -> 2k, supplier s<k> ->
+    # 2k+1 — the graph is isomorphic to the string-labeled one, and
+    # ranks depend only on structure, so per-node ranks are
+    # byte-identical while the plan sheds BOTH string builds and the
+    # whole distinct Exchange: dedup_edges pushes the distinct into
+    # the local kernel (int64 np.unique on factorized codes) where the
+    # string form paid a shuffle + single-task string dedup (the
+    # coalesce(1) collapsed the post-exchange stage to one thread).
+    # Node strings are rebuilt AFTER the supplier filter, on the
+    # node-sized output, so ordering ties break on the same 's<k>'
+    # text as before. Measured sf0.1 warm: 1.95s -> ~0.4s, plan
+    # 2 stages/1 Exchange -> 1 stage/0 Exchange.
     e0 = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
+        F.shiftleft(F.col("l_partkey"), 1).alias("src"),
+        (F.shiftleft(F.col("l_suppkey"), 1) + 1).alias("dst"),
+    )
     # bidirected=True: the operator derives the reversed half itself, so
     # only the distinct directed pairs are ever materialized/transferred.
     # The parquet-footer row count (>= distinct pairs) gates the local
@@ -5207,9 +5235,16 @@ def _pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=3,
         bidirected=True,
         edge_rows_hint=_table_rows_meta(sf_dir, "lineitem"),
+        dedup_edges=True,
     )
     return (
-        r.filter(F.col("node").startswith("s"))
+        r.filter(F.col("node") % 2 == 1)
+        .select(
+            F.concat(F.lit("s"), F.shiftright(F.col("node"), 1).cast("string")).alias(
+                "node"
+            ),
+            "r",
+        )
         .orderBy(F.desc("r"), "node")
         .limit(10)
     )
@@ -6465,16 +6500,40 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     pairs = plans.keep(pairs)
-    labels = _component_fixpoint(pairs)
+    cnt: dict = {}
+    labels = _component_fixpoint(pairs, pair_count_out=cnt)
+    # Report assembly (r11): the old form paid THREE extra jobs for two
+    # scalars — emb count + pairs count as separate aggregates, each
+    # behind its own BroadcastExchange build. n_vectors is the unfiltered
+    # base-table cardinality (exactly what the footer metadata states —
+    # the same statistic a count-star metadata optimization reads), and
+    # n_pairs is already known from the component gate probe whenever the
+    # graph fit under the gate; both become literals in ONE final agg
+    # plan. The distributed fallbacks keep the old aggregate+broadcast
+    # form when metadata is unreadable or the pair graph outgrew the
+    # probe. Measured sf0.1 warm: 1.27s/5 jobs -> ~0.6s/3 jobs.
     stats = labels.agg(
         F.countDistinct("comp").alias("n_groups"),
         (F.count("*") - F.countDistinct("comp")).alias("n_dropped"),
     )
-    totals = emb.agg(F.count("*").alias("n_vectors")).crossJoin(
-        F.broadcast(pairs.agg(F.count("*").alias("n_pairs")))
-    )
-    return totals.crossJoin(F.broadcast(stats)).select(
-        "n_vectors", "n_pairs", "n_groups", "n_dropped"
+    out = stats
+    n_pairs = cnt.get("n_pairs")
+    if n_pairs is None:
+        out = out.crossJoin(F.broadcast(pairs.agg(F.count("*").alias("n_pairs"))))
+        pair_col = F.col("n_pairs")
+    else:
+        pair_col = F.lit(n_pairs).cast("long")
+    n_vec = _table_rows_meta(sf_dir, "embeddings")
+    if n_vec >= (1 << 62):  # footer unreadable — count honestly
+        out = out.crossJoin(F.broadcast(emb.agg(F.count("*").alias("n_vectors"))))
+        vec_col = F.col("n_vectors")
+    else:
+        vec_col = F.lit(n_vec).cast("long")
+    return out.select(
+        vec_col.alias("n_vectors"),
+        pair_col.alias("n_pairs"),
+        "n_groups",
+        "n_dropped",
     )
 
 

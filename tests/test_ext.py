@@ -487,6 +487,43 @@ def test_pagerank_local_matches_distributed(spark):
         assert got == want, kw
 
 
+def test_pagerank_dedup_edges_matches_caller_distinct(spark):
+    # r11 optimization: dedup_edges=True pushes the caller's
+    # edges.distinct() into the operator (local path dedups inside the
+    # kernel on factorized int codes — no Exchange; distributed path
+    # falls back to a plan-level distinct). Every gate combination must
+    # be byte-identical to distinct-then-pagerank, on string AND int
+    # node ids, with and without bidirected derivation.
+    from frontpage_spark.ext.graph import pagerank_fixedpoint
+
+    raw = [
+        ("a", "b"), ("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"),
+        ("c", "a"), ("c", "a"), ("d", "a"), ("e", "f"), ("f", "e"),
+    ]
+    for mk in (lambda p: p, lambda p: (hash(p[0]) % 97, hash(p[1]) % 97)):
+        edges = spark.createDataFrame([mk(p) for p in raw], ["src", "dst"])
+        for bd in (False, True):
+            want = {
+                (row.node, row.r)
+                for row in pagerank_fixedpoint(
+                    edges.distinct(), iterations=3, bidirected=bd
+                ).collect()
+            }
+            for kw in (
+                {},  # probe gate -> plan distinct + local kernel
+                {"edge_rows_hint": len(raw)},  # hint gate -> in-kernel dedup
+                {"small_edges": 0},  # distributed -> plan distinct
+                {"edge_rows_hint": 1 << 40, "small_edges": 0},
+            ):
+                got = {
+                    (row.node, row.r)
+                    for row in pagerank_fixedpoint(
+                        edges, iterations=3, bidirected=bd, dedup_edges=True, **kw
+                    ).collect()
+                }
+                assert got == want, (bd, kw)
+
+
 def test_expectations_report_counts(spark):
     from frontpage_spark.ext.expectations import Expectations
 
