@@ -68,6 +68,24 @@ def band_minhashes(shingles: Column, bands: int = DEFAULT_BANDS) -> Column:
     return F.element_at(F.transform(F.array(hashes_once), mins), 1)
 
 
+def _band_minhashes_sql(shingle_col: str, bands: int = DEFAULT_BANDS) -> Column:
+    """:func:`band_minhashes` as ONE ``F.expr`` over a NAMED shingle
+    column — the identical expression tree (same single-binding md5
+    idiom), parsed by the JVM in one py4j roundtrip. The lambda-builder
+    form above costs ~150 ms of py4j chatter per plan build, and the
+    dedup queries rebuild their plans every call (keep() makes them
+    plan-cache-ineligible by design), so construction cost is a real
+    per-query tax at bench scale (r11; same output, oracle-checked)."""
+    mins = ", ".join(
+        f"array_min(transform(hs, h -> substring(h, {1 + 8 * b}, 8)))"
+        for b in range(bands)
+    )
+    return F.expr(
+        f"element_at(transform(array(transform(`{shingle_col}`, s -> md5(s))), "
+        f"hs -> array({mins})), 1)"
+    )
+
+
 def signatures_from_shingles(
     sh: DataFrame,
     id_col: str = "doc_id",
@@ -81,7 +99,7 @@ def signatures_from_shingles(
     thing you persist/write, not recompute per consumer."""
     return sh.select(
         id_col,
-        F.posexplode(band_minhashes(F.col(shingle_col), bands)).alias("band", "minhash"),
+        F.posexplode(_band_minhashes_sql(shingle_col, bands)).alias("band", "minhash"),
     )
 
 
@@ -136,15 +154,12 @@ def lsh_candidate_pairs(
         .groupBy("band", "minhash")
         .agg(F.collect_list(id_col).alias("ids"))
     )
-    ids = F.array_sort(F.col("ids"))
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    # one F.expr, not nested python lambdas — same tree, one py4j
+    # roundtrip instead of dozens per build (see _band_minhashes_sql)
+    pairs = F.expr(
+        "flatten(transform(array_sort(ids), (x, i) -> "
+        "transform(slice(array_sort(ids), i + 2, size(ids)), "
+        "y -> struct(x AS a, y AS b))))"
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
@@ -354,9 +369,18 @@ def prefix_filter_pairs(
     touching only candidates. No LSH false negatives, no all-pairs —
     the deterministic alternative to MinHash when exact recall at a
     known threshold is required."""
+    from pyspark.sql.window import Window
+
     sh = df.select(F.col(id_col), F.explode(shingles_col(text_col)).alias("shingle"))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
-    ranked = sh.join(freq, "shingle")
+    # global token frequency as a COUNT WINDOW over the shingle
+    # partition, not aggregate-then-self-join: the join form shuffled
+    # the shingle stream twice (once into the frequency aggregate, once
+    # into the join) — the window attaches freq in the single exchange
+    # (r11: one Exchange removed; identical freq values, shingle
+    # cardinality is corpus-wide so the partitioning is never hot)
+    ranked = sh.withColumn(
+        "freq", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     sorted_sets = ranked.groupBy(id_col).agg(
         F.array_sort(F.collect_list(F.struct("freq", "shingle"))).alias("toks")
     )
@@ -369,7 +393,7 @@ def prefix_filter_pairs(
     # string-exact oracle equivalence check would catch it).
     sets = sorted_sets.select(
         F.col(id_col),
-        F.transform("toks", lambda x: F.xxhash64(x["shingle"])).alias("s"),
+        F.expr("transform(toks, x -> xxhash64(x.shingle))").alias("s"),
         F.size("toks").alias("sz"),
     ).withColumn(
         "prefix",

@@ -6574,6 +6574,88 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- triangle counting -----------------------------------------------------
+# Size gate for the single-job local triangle kernel: the brand-sliced
+# (orderkey, partkey) incidence rows are bounded by the lineitem footer
+# count (no probe job). Under it, pair generation + dedup + the wedge
+# join all run in one numpy kernel; above it the distributed
+# ordered-edge join plan (the only form that survives dense graphs at
+# scale) runs unchanged.
+_TRI_LOCAL_MAX_LI_ROWS = 4_000_000
+
+
+def _triangle_count_local(inc: DataFrame) -> DataFrame:
+    """Single-job replica of the ordered-edge triangle count over the
+    (l_orderkey, l_partkey) incidence list: distinct incidence rows,
+    per-order a<b part pairs, distinct pairs, then
+    n_triangles = Σ_{(a,b)∈E} |fwd(a) ∩ fwd(b)| — exactly the e1/e2/e3
+    equi-join count (each triangle a<b<c counted once at its ordered
+    orientation). Integer counting only, so byte-identical to the
+    distributed plan (test_triangle_local_matches_distributed)."""
+
+    def tri(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [pdf for pdf in batches]
+        out = lambda e, t: iter(  # noqa: E731
+            [pd.DataFrame({"n_edges": [e], "n_triangles": [t]}).astype("int64")]
+        )
+        if not parts:
+            return out(0, 0)
+        df = pd.concat(parts, ignore_index=True)
+        if len(df) == 0:
+            return out(0, 0)
+        inc_u = np.unique(
+            np.stack(
+                [df["l_orderkey"].to_numpy(np.int64), df["l_partkey"].to_numpy(np.int64)],
+                axis=1,
+            ),
+            axis=0,
+        )
+        o, p = inc_u[:, 0], inc_u[:, 1]
+        # per-order part lists (o ascending, p ascending within o from
+        # the lexicographic unique) -> ordered pairs a < b. Pair
+        # generation is vectorized by GROUP SIZE (orders hold a handful
+        # of lines, so there are only a few distinct sizes): all groups
+        # of size k reshape to a (g, k) matrix and one triu_indices
+        # fans every group at once — a per-order python loop here was
+        # 0.30s of the kernel's 0.45s at sf0.1
+        bounds = np.flatnonzero(np.diff(o)) + 1
+        sizes = np.diff(np.concatenate(([0], bounds, [len(p)]))).astype(np.int64)
+        grp_of_row = np.repeat(np.arange(len(sizes)), sizes)
+        pa, pb = [], []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            mask = (sizes == k)[grp_of_row]
+            mat = p[mask].reshape(-1, k)
+            i, j = np.triu_indices(int(k), k=1)
+            pa.append(mat[:, i].ravel())
+            pb.append(mat[:, j].ravel())
+        if not pa:
+            return out(0, 0)
+        e = np.unique(
+            np.stack([np.concatenate(pa), np.concatenate(pb)], axis=1), axis=0
+        )
+        a, b = e[:, 0], e[:, 1]
+        fwd = {}
+        ab = np.flatnonzero(np.diff(a)) + 1
+        starts = np.concatenate(([0], ab)).astype(np.int64)
+        for node, nbrs in zip(a[starts], np.split(b, ab)):
+            fwd[node] = nbrs  # ascending (lexicographic unique)
+        n_tri = 0
+        empty = np.empty(0, dtype=np.int64)
+        for x, y in zip(a, b):
+            n_tri += np.intersect1d(
+                fwd[x], fwd.get(y, empty), assume_unique=True
+            ).size
+        return out(len(e), n_tri)
+
+    return inc.coalesce(1).mapInPandas(
+        tri, schema="n_edges bigint, n_triangles bigint"
+    )
+
+
 @register(
     "triangle_count_copurchase",
     """
@@ -6611,12 +6693,19 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk = _t(spark, sf_dir, "part").filter(
         F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
     ).select("p_partkey")
-    li = (
+    inc = (
         _t(spark, sf_dir, "lineitem")
         .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
+    # r11 size gate: the whole pair-generation + wedge-join pipeline
+    # (2 distinct Exchanges + 3 join shuffles + a broadcast assembly)
+    # collapses into one numpy kernel under the gate (sf0.1 warm
+    # 0.74s -> ~0.35s); the distributed ordered-edge plan below is the
+    # scale branch and byte-identical.
+    if _table_rows_meta(sf_dir, "lineitem") <= _TRI_LOCAL_MAX_LI_ROWS:
+        return _triangle_count_local(inc)
+    li = inc.distinct()
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
     pairs = (
@@ -8414,12 +8503,15 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tw(spark, sf_dir, "documents")
     pairs = dedup.lsh_candidate_pairs(docs)
-    splits = docs.select("doc_id", assign_split("doc_id").alias("split"))
-    sa = splits.select(F.col("doc_id").alias("a"), F.col("split").alias("split_x"))
-    sb = splits.select(F.col("doc_id").alias("b"), F.col("split").alias("split_y"))
+    # r11: the split label is a PURE function of the id (md5 prefix),
+    # so each endpoint's split is computed directly on the pair row —
+    # the two doc-table joins (and their broadcast-build jobs) carried
+    # no information the ids don't already hold. Same labels, zero
+    # joins; at 100 TB this also stops re-scanning the corpus for a
+    # column derivable in place. Measured sf0.1 warm 1.08s -> ~0.75s.
     return (
-        pairs.join(sa, "a")
-        .join(sb, "b")
+        pairs.withColumn("split_x", assign_split(F.col("a")))
+        .withColumn("split_y", assign_split(F.col("b")))
         .groupBy(
             F.least("split_x", "split_y").alias("split_a"),
             F.greatest("split_x", "split_y").alias("split_b"),
@@ -11403,6 +11495,99 @@ def kaplan_meier_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---- RFM customer segmentation ---------------------------------------------
+# Size gate for the single-job local scoring path: the CUSTOMER rollup
+# (one row per customer) is collapsed to one partition and scored in a
+# numpy kernel when the ORDERS footer row count (an upper bound on
+# distinct customers, no probe job) stays under this. Same gate pattern
+# and rationale as graph._SMALL_EDGE_ROWS / _component_fixpoint: three
+# chained driver-barrier jobs (boundary sample -> GROUPING-SETS offsets
+# -> final) cost 3x the local job floor for no parallelism gain at this
+# size. Above the gate the distributed prefix-stats path (the only form
+# that survives 100 TB) runs unchanged.
+_RFM_LOCAL_MAX_ORDER_ROWS = 4_000_000
+
+
+def _rfm_segments_local(rfm: DataFrame) -> DataFrame:
+    """Single-job replica of the rfm_segments scoring: exact ntile
+    arithmetic (ntile_from_rn's integer formula) over numpy ranks of
+    the SAME (key, custkey) total orders, exact int64 cent sums, the
+    division to dollars applied to the exact integer — byte-identical
+    to the prefix-stats path (test_rfm_segments_local_matches_
+    distributed proves it on fixtures; the registered oracle proves it
+    against DuckDB at every SF). Sort keys are non-null by
+    construction here (last_o = max of non-null dates, frequency =
+    count, monetary = sum of non-null cents); the kernel raises
+    loudly if that ever changes rather than silently diverging on
+    null-ordering semantics."""
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [pdf for pdf in batches]
+        if not parts:
+            return
+        df = pd.concat(parts, ignore_index=True)
+        n = len(df)
+        if n == 0:
+            return
+        cust = df["o_custkey"].to_numpy()
+        last = pd.to_datetime(df["last_o"]).to_numpy("datetime64[ns]").view("int64")
+        freq = df["frequency"].to_numpy()
+        mon = df["monetary_c"].to_numpy()
+        for name, col in (("o_custkey", df["o_custkey"]), ("last_o", df["last_o"]),
+                          ("frequency", df["frequency"]), ("monetary_c", df["monetary_c"])):
+            if col.isna().any():
+                raise ValueError(
+                    f"rfm local kernel: null sort key {name!r} — route this "
+                    "corpus over the distributed branch"
+                )
+
+        def ntile5(primary):
+            # rank = position in ORDER BY (primary ASC, custkey ASC) —
+            # custkey is unique per rollup row, so the order is total
+            order = np.lexsort((cust, primary))
+            rn0 = np.empty(n, dtype=np.int64)
+            rn0[order] = np.arange(n, dtype=np.int64)
+            # ntile_from_rn's exact integer formula (plans.py): sizes
+            # n div 5 with the first n mod 5 buckets one larger
+            q, r = divmod(n, 5)
+            head = r * (q + 1)
+            return (
+                np.where(rn0 < head, rn0 // (q + 1), r + (rn0 - head) // max(q, 1)) + 1
+            )
+
+        cells = pd.DataFrame(
+            {
+                "r": ntile5(last),
+                "f": ntile5(freq),
+                "m": ntile5(mon),
+                "mon": mon.astype(np.int64),
+            }
+        )
+        g = (
+            cells.groupby(["r", "f", "m"], sort=False)
+            .agg(n_customers=("mon", "size"), s=("mon", "sum"))
+            .reset_index()
+        )
+        yield pd.DataFrame(
+            {
+                "r": g["r"].astype(np.int64),
+                "f": g["f"].astype(np.int64),
+                "m": g["m"].astype(np.int64),
+                "n_customers": g["n_customers"].astype(np.int64),
+                # exact int64 cents -> double, then the same /100.0 the
+                # distributed plan applies to its exact long sum
+                "segment_value": g["s"].to_numpy(np.int64).astype(np.float64) / 100.0,
+            }
+        )
+
+    return rfm.coalesce(1).mapInPandas(
+        score,
+        schema="r bigint, f bigint, m bigint, n_customers bigint, segment_value double",
+    )
+
+
 @register(
     "rfm_segments",
     """
@@ -11470,13 +11655,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross join); the recency VALUE itself never reaches the output
     # (VERDICT r7 item 6: cut the fixed cost).
     o = _t(spark, sf_dir, "orders")
-    rfm = keep(
-        o.groupBy("o_custkey").agg(
-            F.max("o_orderdate").alias("last_o"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_c"),
-        )
+    rollup = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_o"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_c"),
     )
+    # r11 size gate: under it, the three chained jobs (sample ->
+    # offsets -> final) collapse into ONE job scoring the rollup in a
+    # numpy kernel (sf0.1 warm 0.99s -> ~0.35s); the prefix-stats form
+    # below stays the scale branch and the two are byte-identical.
+    if _table_rows_meta(sf_dir, "orders") <= _RFM_LOCAL_MAX_ORDER_ROWS:
+        return _rfm_segments_local(rollup)
+    rfm = keep(rollup)
     t: dict = {}
     s = global_prefix_stats_multi(
         rfm,

@@ -524,3 +524,31 @@ def test_pin_ckpt_dir_policy(monkeypatch):
             _resolve_ckpt_dir(master, "app1")
     monkeypatch.setenv("SPARK_GRAFT_CKPT_DIR", "hdfs:///ckpt")
     assert _resolve_ckpt_dir("yarn", "app1") == "hdfs:///ckpt"
+
+
+def test_rfm_segments_local_matches_distributed(spark, monkeypatch):
+    """r11 size gate: the single-job numpy scoring kernel must be
+    byte-identical to the distributed prefix-stats branch — same ntile
+    integer formula over the same (key, custkey) total orders, same
+    exact int64 cent sums divided to dollars."""
+    import frontpage_spark.queries as q
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        local = {tuple(r) for r in q.QUERIES["rfm_segments"].__wrapped__(spark, sf).collect()}
+        monkeypatch.setattr(q, "_RFM_LOCAL_MAX_ORDER_ROWS", -1)
+        dist = {tuple(r) for r in q.QUERIES["rfm_segments"].__wrapped__(spark, sf).collect()}
+        monkeypatch.undo()
+        assert local == dist and len(local) > 0, sf
+
+
+def test_triangle_local_matches_distributed(spark, monkeypatch):
+    """r11 size gate: the single-job numpy triangle kernel must equal
+    the distributed ordered-edge join plan exactly (integer counts)."""
+    import frontpage_spark.queries as q
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        local = q.QUERIES["triangle_count_copurchase"].__wrapped__(spark, sf).collect()
+        monkeypatch.setattr(q, "_TRI_LOCAL_MAX_LI_ROWS", -1)
+        dist = q.QUERIES["triangle_count_copurchase"].__wrapped__(spark, sf).collect()
+        monkeypatch.undo()
+        assert [tuple(r) for r in local] == [tuple(r) for r in dist], sf
