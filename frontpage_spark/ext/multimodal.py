@@ -219,7 +219,12 @@ def read_media_dir(
         ).alias("meta"),
     )
 
-def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+_KIND_MOD = {"image": 0, "audio": 1, "video": 2}
+
+
+def synthesize_media(
+    df: DataFrame, id_col: str, text_col: str, only: str | None = None
+) -> DataFrame:
     """Deterministic media table from any string column — *spec-valid*
     BMP/WAV/Y4M payloads whose dimensions are pure functions of the text
     byte length L (so an independent oracle can predict the decoded
@@ -229,7 +234,19 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     - id % 3 == 1 → audio: WAV, mono 16-bit, n_samples = L%1024+1
     - id % 3 == 2 → video: y4m, w = (L%16+1)*2, h = (L%8+1)*2,
       frames = L%4+1 (even dims: 4:2:0 chroma subsampling)
+
+    ``only`` restricts synthesis to one kind by filtering rows BEFORE
+    the Arrow pass on the same ``pmod(id, 3)`` the kind dispatch uses
+    (Python ``%`` with a positive modulus == Spark ``pmod``, for every
+    long). Single-kind consumers (dHash, RMS, luma) drop the other
+    kinds anyway — the pre-filter just stops their payloads from being
+    built and shipped through Arrow at all, and it pushes down to the
+    parquet scan as an ordinary deterministic predicate.
     """
+    if only is not None:
+        df = df.filter(
+            F.pmod(F.col(id_col).cast("long"), F.lit(3)) == _KIND_MOD[only]
+        )
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd

@@ -8900,7 +8900,7 @@ def audio_rms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8)
-    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    media = multimodal.synthesize_media(docs, "doc_id", "text", only="audio")
     return multimodal.audio_rms_windows(media, window=256)
 
 
@@ -8999,7 +8999,7 @@ def image_dhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8)
-    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    media = multimodal.synthesize_media(docs, "doc_id", "text", only="image")
     return multimodal.image_dhash(media)
 
 
@@ -9026,7 +9026,7 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8)
-    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    media = multimodal.synthesize_media(docs, "doc_id", "text", only="image")
     return dedup.hamming_near_dup(multimodal.image_dhash(media), max_hamming=3)
 
 
@@ -9220,7 +9220,7 @@ def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8)
-    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    media = multimodal.synthesize_media(docs, "doc_id", "text", only="image")
     pairs = dedup.hamming_near_dup(multimodal.image_dhash(media)).select("a", "b")
     labels = _component_fixpoint(pairs)
     return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
@@ -9411,7 +9411,7 @@ def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8)
-    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    media = multimodal.synthesize_media(docs, "doc_id", "text", only="audio")
     w = multimodal.audio_rms_windows(media, window=256)
     flagged = (
         w.filter(F.col("sumsq") < F.lit(358000000).cast("long") * F.col("n_samples"))

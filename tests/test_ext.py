@@ -167,6 +167,28 @@ def test_multimodal_plumbing(spark):
     assert resized[1]["width"] == -1  # pass-through for non-image kinds
 
 
+def test_synthesize_media_only_prefilter(spark):
+    # `only=` must equal full synthesis + kind filter, byte for byte,
+    # including negative ids (Spark pmod == Python % for positive mod).
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " * (i % 7 + 1)) for i in range(-5, 10)],
+        ["doc_id", "text"],
+    )
+    full = multimodal.synthesize_media(docs, "doc_id", "text")
+    for kind in ("image", "audio", "video"):
+        want = {
+            r["media_id"]: bytes(r["payload"])
+            for r in full.filter(F.col("kind") == kind).collect()
+        }
+        got = {
+            r["media_id"]: bytes(r["payload"])
+            for r in multimodal.synthesize_media(
+                docs, "doc_id", "text", only=kind
+            ).collect()
+        }
+        assert got == want, kind
+
+
 def test_read_media_dir_binary_file_source(spark, tmp_path):
     """binaryFile ingestion: raw files on disk → MEDIA_SCHEMA rows with
     JVM-side magic-byte classification, then the normal decode path."""
