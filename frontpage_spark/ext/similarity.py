@@ -115,6 +115,7 @@ def cosine_pairs_blocked(
     vec_col: str = "embedding",
     n_blocks: int = 8,
     threshold: float | None = None,
+    values_only: bool = False,
 ) -> DataFrame:
     """All a<b embedding pairs with their cosine, computed as blocked
     matrix products — the scale path for the verify stage of
@@ -136,7 +137,13 @@ def cosine_pairs_blocked(
     and each block pair is an independent task, so the stage scales
     linearly with executors. ``threshold`` prunes the Arrow return
     traffic inside the UDF (near-dup keeps ~0 of the pairs at 0.9+).
-    Output: (a, b, cosine).
+    Output: (a, b, cosine) — or just (cosine) with ``values_only``
+    (r11, guide §4.1): an aggregate-only consumer (the near-dup count
+    profile) never reads the ids, but Catalyst cannot prune columns
+    through an opaque Python map, so the kernel itself must skip the
+    id gather/min/max and ship 1/3 of the Arrow bytes. The cosine
+    multiset is identical by construction (same gemm, same i<j / cross
+    pair selection).
     """
     import pandas as pd
 
@@ -189,13 +196,21 @@ def cosine_pairs_blocked(
                     i, j = np.triu_indices(len(ids_a), k=1)
                 else:
                     i, j = map(np.ravel, np.indices((len(ids_a), len(ids_b))))
-                u, v, c = ids_a[i], ids_b[j], cos[i, j]
+                c = cos[i, j]
+                if values_only:
+                    if threshold is not None:
+                        c = c[c >= threshold]
+                    yield pd.DataFrame({"cosine": c})
+                    continue
+                u, v = ids_a[i], ids_b[j]
                 if threshold is not None:
                     keep = c >= threshold
                     u, v, c = u[keep], v[keep], c[keep]
                 lo, hi = np.minimum(u, v), np.maximum(u, v)
                 yield pd.DataFrame({"a": lo, "b": hi, "cosine": c})
 
+    if values_only:
+        return bp.mapInPandas(score, schema="cosine double")
     return bp.mapInPandas(score, schema=f"a {id_type}, b {id_type}, cosine double")
 
 

@@ -273,6 +273,17 @@ def test_cosine_pairs_blocked_matches_expr(spark):
         for r in similarity.cosine_pairs_blocked(df, n_blocks=3, threshold=0.5).collect()
     }
     assert thr == {k for k, v in want.items() if v >= 0.5}
+    # values_only (r11): identical cosine MULTISET, no id columns,
+    # including under a threshold
+    for kw in ({}, {"threshold": 0.5}):
+        vo = similarity.cosine_pairs_blocked(df, n_blocks=3, values_only=True, **kw)
+        assert vo.columns == ["cosine"]
+        got_vals = sorted(r["cosine"] for r in vo.collect())
+        want_vals = sorted(
+            v for v in want.values() if "threshold" not in kw or v >= 0.5
+        )
+        assert len(got_vals) == len(want_vals)
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got_vals, want_vals))
 
 
 def test_cosine_pairs_within_matches_expr(spark):

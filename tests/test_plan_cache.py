@@ -1,8 +1,11 @@
-"""Prepared-plan cache (round-5): pure builds are reused per
-(application, sf_dir, name); builds that execute Spark jobs or register
-plans.keep() frames self-exclude, so their per-call work stays real.
-Also covers the round-5 session/jdbc hardening: BLAS pinning conf and
-SQL identifier validation."""
+"""Prepared-plan cache (round-5, extended r11): pure builds are reused
+per (application, sf_dir, name); builds that execute Spark jobs
+self-exclude, so their per-call work stays real. Builds that register
+plans.keep() frames ARE cached (r11): the kept frames are remembered
+with the plan and re-persist()ed on every hit, restoring the
+CacheManager registration a clearCache() dropped — the data is still
+recomputed per action. Also covers the round-5 session/jdbc hardening:
+BLAS pinning conf and SQL identifier validation."""
 
 import pytest
 
@@ -40,12 +43,24 @@ def test_driver_loop_query_never_cached(spark):
     assert "pagerank_part_supplier" in _cache_names()
 
 
-def test_keep_using_query_never_cached(spark):
-    # near_dup_verified registers keep() frames; a cached plan would
-    # lose its persist registration at the next clearCache()
-    QUERIES["near_dup_verified"](spark, SF_DIR)
-    QUERIES["near_dup_verified"](spark, SF_DIR)
-    assert "near_dup_verified" not in _cache_names()
+def test_keep_using_query_cached_with_relink(spark):
+    # near_dup_verified registers keep() frames; its build runs zero
+    # jobs, so the plan is cached (r11) and every hit re-persist()s the
+    # kept frames — without the re-link, a clearCache() between calls
+    # would silently drop the shared-stage sharing
+    n1 = QUERIES["near_dup_verified"](spark, SF_DIR).count()
+    df1 = QUERIES["near_dup_verified"](spark, SF_DIR)
+    assert "near_dup_verified" in _cache_names()
+    spark.catalog.clearCache()  # kills the persist registration
+    df2 = QUERIES["near_dup_verified"](spark, SF_DIR)
+    assert df2 is df1  # the exact prepared plan is handed back
+    key = next(k for k in _QPLAN_CACHE if k[2] == "near_dup_verified")
+    kept = _QPLAN_CACHE[key][1]
+    # the hit re-registered every kept frame in the live FIFO
+    assert kept
+    assert all(any(k is f for f in plans._KEPT) for k in kept)
+    # and the reused plan still computes the same result from parquet
+    assert df2.count() == n1 > 0
     plans.release_kept()
 
 
