@@ -371,29 +371,38 @@ def prefix_filter_pairs(
     known threshold is required."""
     from pyspark.sql.window import Window
 
-    sh = df.select(F.col(id_col), F.explode(shingles_col(text_col)).alias("shingle"))
-    # global token frequency as a COUNT WINDOW over the shingle
+    # The 64-bit token dictionary is applied AT THE EXPLODE (r11): every
+    # downstream stage — the frequency window's exchange, the per-doc
+    # array_sort, the prefix joins, array_intersect — then moves and
+    # compares 8-byte longs instead of ~20-byte shingle text (the
+    # standard set-sim-join token dictionary, hash-based so it needs no
+    # global id assignment). A collision only matters when two distinct
+    # shingles inside ONE pair's union collide (~|union|²/2⁶⁴ per pair —
+    # vanishing, and the string-exact oracle equivalence check would
+    # catch it); a collision in the freq window merely merges two
+    # tokens' frequencies, which only perturbs the (still total, still
+    # globally shared) sort order — every PPJoin filter below is
+    # lossless under ANY shared total order, so the verified output is
+    # unchanged by construction.
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(text_col)).alias("shingle"),
+    ).select(F.col(id_col), F.xxhash64("shingle").alias("tok"))
+    # global token frequency as a COUNT WINDOW over the token
     # partition, not aggregate-then-self-join: the join form shuffled
-    # the shingle stream twice (once into the frequency aggregate, once
+    # the token stream twice (once into the frequency aggregate, once
     # into the join) — the window attaches freq in the single exchange
-    # (r11: one Exchange removed; identical freq values, shingle
+    # (r11: one Exchange removed; identical freq values, token
     # cardinality is corpus-wide so the partitioning is never hot)
     ranked = sh.withColumn(
-        "freq", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        "freq", F.count(F.lit(1)).over(Window.partitionBy("tok"))
     )
     sorted_sets = ranked.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("freq", "shingle"))).alias("toks")
+        F.array_sort(F.collect_list(F.struct("freq", "tok"))).alias("toks")
     )
-    # Verify-side sets carry 64-bit shingle hashes, not strings: the
-    # candidate join and array_intersect then move/compare 8-byte longs
-    # instead of ~20-byte shingle text — the standard set-sim-join token
-    # dictionary, hash-based so it needs no global id assignment. A
-    # collision only matters when two distinct shingles inside ONE
-    # pair's union collide (~|union|²/2⁶⁴ per pair — vanishing, and the
-    # string-exact oracle equivalence check would catch it).
     sets = sorted_sets.select(
         F.col(id_col),
-        F.expr("transform(toks, x -> xxhash64(x.shingle))").alias("s"),
+        F.expr("transform(toks, x -> x.tok)").alias("s"),
         F.size("toks").alias("sz"),
     ).withColumn(
         "prefix",

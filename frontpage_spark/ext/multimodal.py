@@ -247,6 +247,15 @@ def synthesize_media(
         df = df.filter(
             F.pmod(F.col(id_col).cast("long"), F.lit(3)) == _KIND_MOD[only]
         )
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(_synth_run(id_col, text_col), MEDIA_SCHEMA)
+
+
+def _synth_run(id_col: str, text_col: str):
+    """Batch function of :func:`synthesize_media` — factored out so the
+    fused single-pass operators (:func:`synthesize_then`) can compose it
+    with a consumer's batch function inside ONE Python worker."""
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -268,9 +277,38 @@ def synthesize_media(
                 out.append((int(media_id), kind, payload, {"src": "synthetic"}))
             yield pd.DataFrame(out, columns=["media_id", "kind", "payload", "meta"])
 
+    return run
+
+
+def synthesize_then(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    consumer_run,
+    out_schema,
+    only: str | None = None,
+) -> DataFrame:
+    """FUSED synthesize→consume in ONE Arrow pass (r11, guide §4.1/§8):
+    the consumer's batch function runs on the synthesizer's output
+    batches inside the same Python worker, so payload bytes never cross
+    the JVM boundary at all — the previous two chained ``mapInPandas``
+    stages serialized every payload Python→JVM→Python within the task.
+    Byte-identical outputs by construction (the consumer sees exactly
+    the frames ``synthesize_media`` would have produced; equivalence
+    tested per consumer). On a REAL media table (payloads from storage,
+    not synthesized) the unfused consumers apply unchanged."""
+    if only is not None:
+        df = df.filter(
+            F.pmod(F.col(id_col).cast("long"), F.lit(3)) == _KIND_MOD[only]
+        )
+    synth = _synth_run(id_col, text_col)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        yield from consumer_run(synth(batches))
+
     return df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(text_col)
-    ).mapInPandas(run, MEDIA_SCHEMA)
+    ).mapInPandas(run, out_schema)
 
 
 _DECODERS = {"image": decode_bmp, "audio": decode_wav, "video": decode_y4m}
@@ -287,12 +325,7 @@ def _decode_one(payload: bytes, kind: str) -> dict[str, int | str]:
     }
 
 
-def decode_media(df: DataFrame) -> DataFrame:
-    """Arrow-batched decode/feature-extract over a media DataFrame: parse
-    each payload's real container header (BMP/WAV/Y4M) into typed
-    metadata. `mapInPandas` streams Arrow batches through Python once —
-    no per-row Python round trips. Narrow (no shuffle)."""
-
+def _decode_run():
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
 
@@ -308,7 +341,25 @@ def decode_media(df: DataFrame) -> DataFrame:
                 columns=["media_id", "kind", "n_bytes", "width", "height", "frames", "checksum"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(run, DECODED_SCHEMA)
+    return run
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over a media DataFrame: parse
+    each payload's real container header (BMP/WAV/Y4M) into typed
+    metadata. `mapInPandas` streams Arrow batches through Python once —
+    no per-row Python round trips. Narrow (no shuffle)."""
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        _decode_run(), DECODED_SCHEMA
+    )
+
+
+def synthesize_decoded(
+    df: DataFrame, id_col: str, text_col: str, only: str | None = None
+) -> DataFrame:
+    """Fused ``decode_media(synthesize_media(df))`` — see
+    :func:`synthesize_then`."""
+    return synthesize_then(df, id_col, text_col, _decode_run(), DECODED_SCHEMA, only)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -377,15 +428,22 @@ def video_luma_profile(df: DataFrame) -> DataFrame:
     cycle) and any byte the parser mis-addresses breaks the match.
     Non-video rows are skipped. Narrow mapInPandas, no shuffle; row
     fan-out = frames."""
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("frame_no", T.IntegerType()),
-            T.StructField("luma_sum", T.LongType()),
-            T.StructField("y_bytes", T.IntegerType()),
-        ]
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        _luma_run(), _LUMA_SCHEMA
     )
 
+
+_LUMA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("luma_sum", T.LongType()),
+        T.StructField("y_bytes", T.IntegerType()),
+    ]
+)
+
+
+def _luma_run():
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
 
@@ -408,7 +466,13 @@ def video_luma_profile(df: DataFrame) -> DataFrame:
                 out, columns=["media_id", "frame_no", "luma_sum", "y_bytes"]
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(run, out_schema)
+    return run
+
+
+def synthesize_luma(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fused ``video_luma_profile(synthesize_media(df, only='video'))``
+    — see :func:`synthesize_then`."""
+    return synthesize_then(df, id_col, text_col, _luma_run(), _LUMA_SCHEMA, "video")
 
 
 def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
@@ -416,15 +480,22 @@ def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
     one row per kept frame with its REAL byte offset (every ``every_n``-th
     frame); non-video rows emit a single frame 0 at offset 0. The
     explode-shaped (UDTF-like) media op — row fan-out = frames kept."""
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("kind", T.StringType()),
-            T.StructField("frame_no", T.IntegerType()),
-            T.StructField("frame_offset", T.IntegerType()),
-        ]
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        _frame_run(every_n), _FRAME_SCHEMA
     )
 
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_offset", T.IntegerType()),
+    ]
+)
+
+
+def _frame_run(every_n: int):
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
 
@@ -447,7 +518,15 @@ def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
                 out, columns=["media_id", "kind", "frame_no", "frame_offset"]
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(run, out_schema)
+    return run
+
+
+def synthesize_frames(
+    df: DataFrame, id_col: str, text_col: str, every_n: int = 1
+) -> DataFrame:
+    """Fused ``frame_sample(synthesize_media(df))`` — see
+    :func:`synthesize_then`. All kinds (non-video rows emit frame 0)."""
+    return synthesize_then(df, id_col, text_col, _frame_run(every_n), _FRAME_SCHEMA)
 
 
 AUDIO_RMS_SCHEMA = T.StructType(
@@ -509,7 +588,12 @@ def audio_rms_windows(df: DataFrame, window: int = 256) -> DataFrame:
     (``frombuffer`` + ``ufunc.reduceat`` per window start), so the
     Python cost per payload is O(#windows) bookkeeping, not
     O(#samples) interpreter loops."""
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        _rms_run(window), AUDIO_RMS_SCHEMA
+    )
 
+
+def _rms_run(window: int):
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import numpy as np
         import pandas as pd
@@ -545,7 +629,17 @@ def audio_rms_windows(df: DataFrame, window: int = 256) -> DataFrame:
             else:
                 yield pd.DataFrame({c: [] for c in cols})
 
-    return df.select("media_id", "kind", "payload").mapInPandas(run, AUDIO_RMS_SCHEMA)
+    return run
+
+
+def synthesize_rms(
+    df: DataFrame, id_col: str, text_col: str, window: int = 256
+) -> DataFrame:
+    """Fused ``audio_rms_windows(synthesize_media(df, only='audio'))``
+    — see :func:`synthesize_then`."""
+    return synthesize_then(
+        df, id_col, text_col, _rms_run(window), AUDIO_RMS_SCHEMA, "audio"
+    )
 
 
 DHASH_SCHEMA = T.StructType(
@@ -597,7 +691,12 @@ def image_dhash(df: DataFrame) -> DataFrame:
     the 100 TB contract for image dedup: reduce each image to 8 bytes
     in place, then run set operations on signatures only. Non-image
     rows are dropped inside the pass."""
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        _dhash_run(), DHASH_SCHEMA
+    )
 
+
+def _dhash_run():
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
 
@@ -612,4 +711,10 @@ def image_dhash(df: DataFrame) -> DataFrame:
                 out, columns=["media_id", "dhash_hi", "dhash_lo", "width", "height"]
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(run, DHASH_SCHEMA)
+    return run
+
+
+def synthesize_dhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fused ``image_dhash(synthesize_media(df, only='image'))`` — see
+    :func:`synthesize_then`."""
+    return synthesize_then(df, id_col, text_col, _dhash_run(), DHASH_SCHEMA, "image")

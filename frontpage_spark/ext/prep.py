@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..plans import keep as _keep
+from ..plans import keep as _keep, take_wide as _take_wide
 from . import dedup
 from .sampling import assign_split
 from .textstats import distinct_ratio, with_char_entropy
@@ -279,9 +279,12 @@ def bpe_train(
     # vocab — the previous count-then-collect ran the (cached) word
     # aggregate twice, paying a second job's scheduling floor. Over the
     # gate the discarded head is ≤ N+1 (word, wc) rows — bounded driver
-    # traffic, same as the count probe materialized.
+    # traffic, same as the count probe materialized. take_wide scans
+    # all partitions in ONE job instead of executeTake's 1-then-4x ramp
+    # (a gate probe nearly always exhausts the input, so the ramp paid
+    # 2 extra scheduling floors for the same scan).
     _SMALL_VOCAB = 100_000
-    head = state.select("word", "wc").limit(_SMALL_VOCAB + 1).collect()
+    head = _take_wide(state.select("word", "wc"), _SMALL_VOCAB + 1)
     if len(head) <= _SMALL_VOCAB:
         vocab = [(r["word"], r["wc"]) for r in head]
         merges = _bpe_train_local(vocab, n_merges)

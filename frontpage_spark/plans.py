@@ -158,6 +158,38 @@ def pin(df: DataFrame) -> DataFrame:
         df.unpersist()
 
 
+def take_wide(df: DataFrame, n: int) -> list:
+    """``df.limit(n).collect()`` that scans every partition in ONE job.
+
+    ``executeTake`` ramps incrementally (1 partition, then
+    ``spark.sql.limit.scaleUpFactor``x more per retry) — the right
+    trade when a head probably fits in the first partition, but a
+    size-GATE probe (limit(cap+1) over a table expected to be near or
+    under the cap) almost always exhausts the input, so the ramp just
+    pays 2-3 job-scheduling floors for the same scan (r11). Scoping
+    ``spark.sql.limit.initialNumPartitions`` to "all" turns the probe
+    into one parallel job; the conf is restored afterwards so ordinary
+    small limits elsewhere keep the incremental behavior. Driver
+    traffic stays bounded by ``n`` exactly as before."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(1 << 20))
+    try:
+        return df.limit(n).collect()
+    finally:
+        if old is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(key, old)
+
+
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Input-split compensation for CPU-bound narrow stages.
 

@@ -1473,8 +1473,11 @@ _RH_WIN_SQL = (
 )
 def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Karp-Rabin rolling-hash fingerprint histogram (min window hash per
-    doc) — content-defined fingerprinting for shift-robust dedup."""
-    docs = _t(spark, sf_dir, "documents")
+    doc) — content-defined fingerprinting for shift-robust dedup.
+    ``_tw``: the per-char rolling hash is pure narrow CPU that would
+    serialize on the local single-split file (r11; no-op on a
+    production multi-split table)."""
+    docs = _tw(spark, sf_dir, "documents")
     fp = docs.select(
         "doc_id", textstats.rolling_hash_fingerprint("text").alias("fingerprint")
     )
@@ -1751,8 +1754,10 @@ def sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-k (k=5) content fingerprints for every document."""
-    docs = _t(spark, sf_dir, "documents")
+    """Min-k (k=5) content fingerprints for every document.
+    ``_tw``: the shingle+hash pass is per-row CPU on a single-split
+    local file (r11; no-op on multi-split tables)."""
+    docs = _tw(spark, sf_dir, "documents")
     return docs.select("doc_id", textstats.doc_fingerprint("text").alias("fingerprint"))
 
 
@@ -2559,8 +2564,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8)
-    media = multimodal.synthesize_media(docs, "doc_id", "text")
-    return multimodal.decode_media(media).select(
+    return multimodal.synthesize_decoded(docs, "doc_id", "text").select(
         "media_id", "kind", "n_bytes", "width", "height", "frames"
     )
 
@@ -3322,8 +3326,9 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8).filter(F.col("doc_id") % 3 == 2)
-    media = multimodal.synthesize_media(docs, "doc_id", "text")
-    return multimodal.frame_sample(media).select("media_id", "frame_no", "frame_offset")
+    return multimodal.synthesize_frames(docs, "doc_id", "text").select(
+        "media_id", "frame_no", "frame_offset"
+    )
 
 
 # ---- sliding-window counts ------------------------------------------------
@@ -3524,8 +3529,9 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     many characters scrubbing removes (negative = placeholders longer
     than the match). All JVM codegen regexps in ONE scan with map-side
     partial aggregation; the scrubbed text itself is a regexp_replace
-    chain, never a Python UDF."""
-    docs = _t(spark, sf_dir, "documents")
+    chain, never a Python UDF. ``_tw``: four regex passes per row is
+    the classic per-row-CPU map (r11; no-op on multi-split tables)."""
+    docs = _tw(spark, sf_dir, "documents")
     t = F.col("text")
     scrubbed = F.regexp_replace(
         F.regexp_replace(
@@ -6997,8 +7003,7 @@ def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8).filter(F.col("doc_id") % 3 == 2)
-    media = multimodal.synthesize_media(docs, "doc_id", "text")
-    lum = multimodal.video_luma_profile(media)
+    lum = multimodal.synthesize_luma(docs, "doc_id", "text")
     w = Window.partitionBy("media_id").orderBy("frame_no")
     diffs = lum.select(
         "media_id",
@@ -8335,13 +8340,19 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = per_score.withColumn(
         "negs_below", F.coalesce(F.sum("n_s").over(w), F.lit(0))
     )
-    tot = per_score.agg(
-        F.sum("p_s").cast("long").alias("p"), F.sum("n_s").cast("long").alias("ng")
-    )
+    # totals fall out of the SAME aggregation as the numerator (r11):
+    # the previous crossJoin(broadcast(totals)) re-scanned and
+    # re-grouped the corpus just to attach Σp_s/Σn_s — one global agg
+    # over cum carries all three sums, removing a job and a scan. The
+    # empty-input filter preserves the old 0-row output on an empty
+    # corpus (a global agg would otherwise emit one all-null row).
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .groupBy("p", "ng")
-        .agg(F.sum(F.col("p_s") * (2 * F.col("negs_below") + F.col("n_s"))).alias("num2"))
+        cum.agg(
+            F.sum("p_s").cast("long").alias("p"),
+            F.sum("n_s").cast("long").alias("ng"),
+            F.sum(F.col("p_s") * (2 * F.col("negs_below") + F.col("n_s"))).alias("num2"),
+        )
+        .filter(F.col("p").isNotNull())
         .select(
             F.col("p").alias("n_pos"),
             F.col("ng").alias("n_neg"),
@@ -8923,8 +8934,7 @@ def audio_rms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8)
-    media = multimodal.synthesize_media(docs, "doc_id", "text", only="audio")
-    return multimodal.audio_rms_windows(media, window=256)
+    return multimodal.synthesize_rms(docs, "doc_id", "text", window=256)
 
 
 # ---- PPJoin prefix-filtered similarity join --------------------------------
@@ -9022,8 +9032,7 @@ def image_dhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8)
-    media = multimodal.synthesize_media(docs, "doc_id", "text", only="image")
-    return multimodal.image_dhash(media)
+    return multimodal.synthesize_dhash(docs, "doc_id", "text")
 
 
 @register(
@@ -9049,8 +9058,9 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8)
-    media = multimodal.synthesize_media(docs, "doc_id", "text", only="image")
-    return dedup.hamming_near_dup(multimodal.image_dhash(media), max_hamming=3)
+    return dedup.hamming_near_dup(
+        multimodal.synthesize_dhash(docs, "doc_id", "text"), max_hamming=3
+    )
 
 
 # ---- TPC-H Q13 shape: order-count distribution ------------------------------
@@ -9243,8 +9253,9 @@ def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8)
-    media = multimodal.synthesize_media(docs, "doc_id", "text", only="image")
-    pairs = dedup.hamming_near_dup(multimodal.image_dhash(media)).select("a", "b")
+    pairs = dedup.hamming_near_dup(
+        multimodal.synthesize_dhash(docs, "doc_id", "text")
+    ).select("a", "b")
     labels = _component_fixpoint(pairs)
     return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members")
@@ -9434,8 +9445,7 @@ def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext import multimodal
 
     docs = _tw(spark, sf_dir, "documents", min_parts=8)
-    media = multimodal.synthesize_media(docs, "doc_id", "text", only="audio")
-    w = multimodal.audio_rms_windows(media, window=256)
+    w = multimodal.synthesize_rms(docs, "doc_id", "text", window=256)
     flagged = (
         w.filter(F.col("sumsq") < F.lit(358000000).cast("long") * F.col("n_samples"))
         .withColumn(
@@ -10916,6 +10926,12 @@ def segment_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", (F.col("pos") + 1).cast("long").alias("seg_no"), "seg")
     )
+    # NOT keep()ed (r11, measured): the segment table feeds both the
+    # dup decision and the verdict join, but persisting the exploded
+    # corpus costs more than re-running the codegen'd explode twice
+    # (0.53 s -> 0.76 s with keep() at sf0.1 — columnar serialization
+    # of ~1 row per 8 tokens beats two pipelined passes only when the
+    # explode is expensive relative to its output, which it is not)
     dup = (
         segs.groupBy("seg")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -11081,8 +11097,10 @@ def luhn_cc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (aggregate over sequence()), NOT a UDF: the whole audit stays in
     whole-stage codegen, one narrow pass + a 5-row rollup. The corpus
     plants PAN-shaped runs derived from integer keys (engine-exact
-    string forms), of which ~10% pass Luhn by construction."""
-    c = _t(spark, sf_dir, "customer")
+    string forms), of which ~10% pass Luhn by construction. ``_tw``: the per-digit
+    aggregate() fold is per-row CPU on a single-split local file
+    (r11; no-op on multi-split tables)."""
+    c = _tw(spark, sf_dir, "customer")
     body = F.concat(
         F.col("c_name"),
         F.lit(" card "),

@@ -189,6 +189,40 @@ def test_synthesize_media_only_prefilter(spark):
         assert got == want, kind
 
 
+def test_synthesize_then_fused_equals_two_pass(spark):
+    # the fused single-Arrow-pass operators must return exactly the
+    # rows the synthesize->consume two-pass composition returns (r11)
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body " * (i % 9 + 1)) for i in range(24)],
+        ["doc_id", "text"],
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    media_all = multimodal.synthesize_media(docs, "doc_id", "text")
+    pairs = [
+        (multimodal.synthesize_decoded(docs, "doc_id", "text"),
+         multimodal.decode_media(media_all)),
+        (multimodal.synthesize_frames(docs, "doc_id", "text"),
+         multimodal.frame_sample(media_all)),
+        (multimodal.synthesize_dhash(docs, "doc_id", "text"),
+         multimodal.image_dhash(
+             multimodal.synthesize_media(docs, "doc_id", "text", only="image"))),
+        (multimodal.synthesize_rms(docs, "doc_id", "text", window=64),
+         multimodal.audio_rms_windows(
+             multimodal.synthesize_media(docs, "doc_id", "text", only="audio"),
+             window=64)),
+        (multimodal.synthesize_luma(docs, "doc_id", "text"),
+         multimodal.video_luma_profile(
+             multimodal.synthesize_media(docs, "doc_id", "text", only="video"))),
+    ]
+    for fused, two_pass in pairs:
+        assert fused.columns == two_pass.columns
+        got, want = rows(fused), rows(two_pass)
+        assert got == want and got
+
+
 def test_read_media_dir_binary_file_source(spark, tmp_path):
     """binaryFile ingestion: raw files on disk → MEDIA_SCHEMA rows with
     JVM-side magic-byte classification, then the normal decode path."""
