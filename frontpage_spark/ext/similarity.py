@@ -1044,13 +1044,28 @@ def kmeans_lloyd(
     so centroid doubles — and therefore every downstream similarity —
     are bit-identical across partitionings and engines; the unrolled
     SQL oracle in queries.kmeans_lloyd_counts replays the same
-    recurrence."""
-    cents = df.orderBy(id_col).limit(k).select(
+    recurrence.
+
+    The (id, vector) projection is keep()-persisted across passes
+    (r12, guide §5): every Lloyd round re-reads the corpus — the seed
+    limit, then one assignment per pass — and without the persist each
+    round re-scans and re-decodes the vector column from storage.
+    Recompute-on-eviction is safe (plain persist, lineage intact), the
+    cached projection is exactly the two columns every pass touches,
+    and multi-pass reuse is the textbook case where caching beats
+    re-reading. Float semantics are untouched — the same rows feed the
+    same folds, only their source changes (cache vs re-scan)."""
+    from .. import plans
+
+    feat = df.select(F.col(id_col), F.col(vec_col))
+    if assign_passes > 1:
+        feat = plans.keep(feat)
+    cents = feat.orderBy(id_col).limit(k).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("ce")
     )
-    assigned = assign_cosine(df, cents, id_col, vec_col)
+    assigned = assign_cosine(feat, cents, id_col, vec_col)
     for _ in range(assign_passes - 1):
         upd = mean_pool(assigned, "cent_id", "e")
         cents = upd.select("cent_id", F.col("centroid").alias("ce"))
-        assigned = assign_cosine(df, cents, id_col, vec_col)
+        assigned = assign_cosine(feat, cents, id_col, vec_col)
     return assigned, cents

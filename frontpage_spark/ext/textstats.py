@@ -90,23 +90,30 @@ def char_entropy(text: Column | str) -> Column:
 def with_char_entropy(
     df: DataFrame, text_col: str = "text", out_col: str = "char_entropy"
 ) -> DataFrame:
-    """Fast-path char entropy: discover the corpus alphabet (a tiny
-    global aggregate — bounded by charset size, one short shuffle),
-    broadcast it, then count each alphabet char per row as
-    ``length(text) - length(replace(text, ch))`` — two JVM string
-    intrinsics per (row, char) instead of a per-character interpreted
-    fold. 35x faster than the general ``char_entropy`` fold on the
-    benchmark corpus and bit-identical to it at 1e-6 (equivalence
-    pinned in test_ext). Use the fold only for one-off Column contexts
-    where a corpus pass isn't available."""
+    """Fast-path char entropy, ONE narrow pass (r12): each row's own
+    sorted distinct-char set is its alphabet, and every alphabet char
+    is counted as ``length(text) - length(replace(text, ch))`` — two
+    JVM string intrinsics per (row, char) instead of a per-character
+    interpreted fold. 35x faster than the general ``char_entropy``
+    fold on the benchmark corpus and bit-identical to it at 1e-6
+    (equivalence pinned in test_ext). Use the fold only for one-off
+    Column contexts where a corpus pass isn't available.
+
+    r11 and earlier discovered the CORPUS alphabet first (a full
+    corpus scan + explode + distinct, broadcast back — 2 jobs, and at
+    100 TB a second pass over every byte). That pass carried no
+    information the row doesn't already hold: a char absent from the
+    row has k = 0 and contributes exactly +0.0 to the entropy fold
+    (an IEEE no-op), so restricting the fold to the row's own chars —
+    in the SAME sorted order the corpus alphabet was folded in —
+    performs the identical sequence of effective float additions and
+    produces a BIT-IDENTICAL double (asserted against the fold by the
+    existing equivalence test). One corpus pass, zero shuffles, no
+    broadcast."""
     c = F.col(text_col)
-    alpha = (
-        df.select(F.explode(F.array_distinct(F.split(c, ""))).alias("ch"))
-        .distinct()
-        .agg(F.sort_array(F.collect_list("ch")).alias("__alpha"))
-    )
+    alpha = F.array_sort(F.array_distinct(F.split(c, "")))
     counts = F.transform(
-        F.col("__alpha"),
+        alpha,
         lambda a: (F.length(c) - F.length(F.replace(c, a, F.lit("")))).cast("long"),
     )
     n = F.length(c).cast("long")
@@ -116,7 +123,7 @@ def with_char_entropy(
         lambda acc, k: acc + F.when(k > 1, k * F.log2(k)).otherwise(F.lit(0.0)),
     )
     ent = F.when(n > 0, F.log2(n) - s / n).otherwise(F.lit(0.0))
-    return df.crossJoin(F.broadcast(alpha)).withColumn(out_col, ent).drop("__alpha")
+    return df.withColumn(out_col, ent)
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:

@@ -158,6 +158,9 @@ def pin(df: DataFrame) -> DataFrame:
         df.unpersist()
 
 
+_TAKE_WIDE_LOCK = threading.Lock()
+
+
 def take_wide(df: DataFrame, n: int) -> list:
     """``df.limit(n).collect()`` that scans every partition in ONE job.
 
@@ -170,24 +173,35 @@ def take_wide(df: DataFrame, n: int) -> list:
     ``spark.sql.limit.initialNumPartitions`` to "all" turns the probe
     into one parallel job; the conf is restored afterwards so ordinary
     small limits elsewhere keep the incremental behavior. Driver
-    traffic stays bounded by ``n`` exactly as before."""
+    traffic stays bounded by ``n`` exactly as before.
+
+    The save/set/restore is serialized under a module lock (ADVICE
+    r11): without it an interleaved take_wide on the same session could
+    'restore' the temporary 2^20 value as the permanent one, and a
+    concurrent query's small limits would run under the wide setting.
+    Limits submitted by OTHER driver threads while a take_wide holds
+    the lock still see the session-global conf — callers running
+    concurrent query threads on one session should expect the wide
+    ramp for the duration (a performance nuance, never a correctness
+    one: initialNumPartitions only changes job granularity)."""
     spark = df.sparkSession
     key = "spark.sql.limit.initialNumPartitions"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, str(1 << 20))
-    try:
-        return df.limit(n).collect()
-    finally:
-        if old is None:
-            try:
-                spark.conf.unset(key)
-            except Exception:
-                pass
-        else:
-            spark.conf.set(key, old)
+    with _TAKE_WIDE_LOCK:
+        try:
+            old = spark.conf.get(key)
+        except Exception:
+            old = None
+        spark.conf.set(key, str(1 << 20))
+        try:
+            return df.limit(n).collect()
+        finally:
+            if old is None:
+                try:
+                    spark.conf.unset(key)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(key, old)
 
 
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -3782,6 +3782,47 @@ def _components_local(pairs: DataFrame) -> DataFrame:
     return pairs.coalesce(1).mapInPandas(uf, schema=f"id {id_type}, comp {id_type}")
 
 
+def _components_from_rows(spark: SparkSession, rows: list, id_type: str) -> DataFrame:
+    """Union-find over an already-collected (gate-bounded) pair list —
+    the fused fast path of ``_component_fixpoint`` (r12): the gate
+    probe's collect IS the component input, so the probe job and the
+    component pass are ONE action instead of probe + a second
+    (coalesce(1) + Python-worker) job whose task replays the same
+    union-find executor-side. Labels return as a LOCAL relation:
+    downstream consumers (groupBy / broadcast join) read it without
+    re-touching the pair lineage at all. Same union-by-min + path
+    compression as ``_components_local`` — byte-identical labels.
+    Driver traffic is bounded by the gate (≤ _SMALL_PAIR_GRAPH_ROWS
+    pair rows — the same bytes the old count probe already scanned,
+    now returned instead of discarded)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    schema = f"id {id_type}, comp {id_type}"
+    if not parent:
+        return spark.createDataFrame([], schema)
+    ids = list(parent)
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids, "comp": [find(x) for x in ids]}), schema
+    )
+
+
 def _component_fixpoint(
     pairs: DataFrame,
     small_rows: int = _SMALL_PAIR_GRAPH_ROWS,
@@ -3826,7 +3867,18 @@ def _component_fixpoint(
     # all; only the over-gate round loop, which must CUT lineage,
     # pin()s the oriented edge list it iterates on.
     pairs = plans.keep(pairs)
-    probe = pairs.limit(small_rows + 1).count()
+    # r12 (VERDICT r11 item 2): the gate probe CHANGED from
+    # limit(cap+1).count() to take_wide (limit(cap+1).collect(), one
+    # parallel job): the probe already had to execute the pair
+    # discovery — returning the gate-bounded rows instead of a count
+    # lets the under-gate union-find run on the DRIVER over the rows
+    # the probe just paid for, fusing probe + component pass into one
+    # action. Driver bytes are bounded by the gate (≤100k 2-column
+    # rows, the same order as the bpe vocab gate collect); over the
+    # gate the collected head is discarded and the distributed star
+    # contraction reads the persisted pairs exactly as before.
+    head = plans.take_wide(pairs, small_rows + 1)
+    probe = len(head)
     if pair_count_out is not None:
         # the gate probe IS the exact pair count whenever it fit under
         # the limit — callers that need |pairs| (semantic_dedup_report)
@@ -3834,8 +3886,14 @@ def _component_fixpoint(
         # gate the limit truncated, so publish None and let the caller
         # aggregate (amortized there by definition of the gate)
         pair_count_out["n_pairs"] = probe if probe <= small_rows else None
-    if 0 < probe <= small_rows:
-        return _components_local(pairs)
+    if probe <= small_rows:
+        # includes the EMPTY graph: the collect proved there are no
+        # pairs, so return the empty local labels relation directly
+        # instead of paying the distributed loop's pin + probe jobs
+        # just to discover emptiness
+        return _components_from_rows(
+            pairs.sparkSession, head, pairs.schema["a"].dataType.simpleString()
+        )
     # over the gate (or empty): distributed star contraction on the
     # naturally-partitioned edge list (orientation only, no collapse)
     edges = plans.pin(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
