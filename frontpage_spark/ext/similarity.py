@@ -606,7 +606,23 @@ def lsh_band_candidates(
     bucket sizes are geometrically small (2^-planes) so no salt is
     needed."""
     if sig_impl == "arrow":
-        exploded = _band_sigs_arrow(corpus, id_col, vec_col, bands, planes, dim)
+        # fan_out (r12, VERDICT r11 item 4): the signature pass is the
+        # one Python stage in this pipeline, and on a single-split scan
+        # (the local single-row-group files) it runs as ONE task — a
+        # serialization point the rest of the plan then inherits.
+        # 8-way, not full width: per-row signature cost is microseconds
+        # so the per-task fixed cost (worker fork + Arrow handshake)
+        # dominates past ~8 tasks at bench scale — the same measured
+        # trade as the media codec queries (_tw min_parts=8). No-op on
+        # a production multi-split table. The candidate SET is
+        # partitioning-independent: bucket membership is a pure row
+        # function and the per-bucket id list is array_sort()ed before
+        # pair expansion.
+        from .. import plans
+
+        exploded = _band_sigs_arrow(
+            plans.fan_out(corpus, 8), id_col, vec_col, bands, planes, dim
+        )
     else:
         total = bands * planes
         # ONE nested-lambda expression computes all bands*planes sign
@@ -684,12 +700,27 @@ def lsh_near_dup_pairs(
     Output: (a, b, cosine) with cosine >= threshold, approximate in the
     LSH sense (recall < 1 near the threshold, -> 1.0 for true
     duplicates, which collide in every band)."""
+    from .. import plans
+
     cand = lsh_band_candidates(corpus, id_col, vec_col, bands, planes, dim)
-    x = corpus.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("ea"), _norm2(vec_col).alias("na")
+    # ONE kept (id, vector, norm) projection feeds BOTH verify sides
+    # (r12): the x and y joins previously each re-scanned the corpus
+    # and re-folded the norms; the persisted projection computes
+    # scan + norm once and both joins read the cache (eviction-safe —
+    # lineage intact). Identical pairs by construction: the same rows
+    # feed the same sequential folds, only their source changes.
+    proj = plans.keep(
+        corpus.select(
+            F.col(id_col).alias("__i"),
+            F.col(vec_col).alias("__e"),
+            _norm2(vec_col).alias("__n"),
+        )
     )
-    y = corpus.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("eb"), _norm2(vec_col).alias("nb")
+    x = proj.select(
+        F.col("__i").alias("a"), F.col("__e").alias("ea"), F.col("__n").alias("na")
+    )
+    y = proj.select(
+        F.col("__i").alias("b"), F.col("__e").alias("eb"), F.col("__n").alias("nb")
     )
     return (
         cand.join(x, "a")

@@ -46,6 +46,35 @@ _KEPT: list[DataFrame] = []
 _KEPT_MAX = 8
 _KEPT_LOCK = threading.Lock()
 
+# Active keep() listeners (ADVICE r11): a caller that needs to know
+# which frames were kept during a code region (the prepared-plan
+# cache's kept_new detection) registers a list here and every keep()
+# appends to it. This replaces the old id()-snapshot diff of _KEPT,
+# which could silently MISS a new keep when a pre-existing frame was
+# FIFO-evicted and garbage-collected mid-build (a recycled id()), and
+# lost early keeps whenever a build registered more than _KEPT_MAX
+# frames.
+_KEEP_LISTENERS: list[list] = []
+
+
+def keep_capture_start() -> list:
+    """Begin capturing keep() registrations; returns the capture list.
+    Pair with :func:`keep_capture_stop`."""
+    captured: list = []
+    with _KEPT_LOCK:
+        _KEEP_LISTENERS.append(captured)
+    return captured
+
+
+def keep_capture_stop(captured: list) -> list:
+    """Stop a capture started by :func:`keep_capture_start`."""
+    with _KEPT_LOCK:
+        for i, ex in enumerate(_KEEP_LISTENERS):
+            if ex is captured:
+                del _KEEP_LISTENERS[i]
+                break
+    return captured
+
 
 def keep(df: DataFrame) -> DataFrame:
     """Persist ``df`` for reuse across plan branches / fixpoint rounds,
@@ -54,6 +83,8 @@ def keep(df: DataFrame) -> DataFrame:
     df = df.persist()
     evict: list[DataFrame] = []
     with _KEPT_LOCK:
+        for listener in _KEEP_LISTENERS:
+            listener.append(df)
         # identity scan, not list.remove(): DataFrame.__eq__ builds a
         # Column, so equality-based membership would be nonsense here
         for i, ex in enumerate(_KEPT):

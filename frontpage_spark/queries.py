@@ -56,9 +56,14 @@ ORACLES: dict[str, str] = {}
 # (r11): a kept intermediate's CacheManager registration dies at the
 # next clearCache(), after which the reused plan would silently
 # recompute the shared stage per branch — re-persisting the same frame
-# handle restores the sharing without rebuilding the plan (the DATA is
-# still recomputed per action; only the py4j plan construction is
-# amortized, exactly as for keep()-free queries).
+# handle restores the sharing without rebuilding the plan. The DATA is
+# recomputed per action ONLY under the bench/checker discipline of a
+# clearCache() between actions (ADVICE r11): in a long-lived session
+# without that discipline a second action on a cache-hit query reads
+# the warm persisted blocks — the ordinary persist() semantics every
+# keep() already had (CacheManager canonical-plan matching exposed the
+# same reuse before the relink). bench.py clearCache()s after EVERY
+# timed run, so measurements never reuse data.
 _QPLAN_CACHE: dict[tuple[str, str, str], tuple[DataFrame, list[DataFrame]]] = {}
 _QPLAN_MAX = 512
 
@@ -75,10 +80,18 @@ def _last_job_id(tracker) -> int:
 def _build_cacheable(spark: SparkSession, fn, name: str, sf_dir: str):
     tracker = spark.sparkContext.statusTracker()
     jobs_before = _last_job_id(tracker)
-    kept_before = {id(k) for k in plans._KEPT}
-    df = fn(spark, sf_dir)
+    # capture keeps via a plans-level listener, not an id()-snapshot
+    # diff of the live FIFO (ADVICE r11: an evicted-and-GC'd frame's
+    # recycled id() could mask a genuinely new keep, and builds keeping
+    # more than _KEPT_MAX frames lost their early keeps)
+    captured = plans.keep_capture_start()
+    try:
+        df = fn(spark, sf_dir)
+    finally:
+        plans.keep_capture_stop(captured)
     pure = _last_job_id(tracker) == jobs_before
-    kept_new = [k for k in plans._KEPT if id(k) not in kept_before]
+    # de-dup re-keeps of the same frame handle within one build
+    kept_new = list({id(k): k for k in captured}.values())
     return df, pure, kept_new
 
 

@@ -312,10 +312,20 @@ def test_cosine_pairs_blocked_matches_expr(spark):
     for kw in ({}, {"threshold": 0.5}):
         vo = similarity.cosine_pairs_blocked(df, n_blocks=3, values_only=True, **kw)
         assert vo.columns == ["cosine"]
-        got_vals = sorted(r["cosine"] for r in vo.collect())
+        # round BEFORE thresholding on both sides (ADVICE r11): the two
+        # paths compute the cosines with different summation orders, so
+        # a value within float noise of 0.5 could otherwise be kept by
+        # one side and dropped by the other, flaking the length assert —
+        # the production consumer (embedding_near_dup) rounds to 12
+        # decimals before its threshold for exactly this reason
+        got_vals = sorted(round(r["cosine"], 12) for r in vo.collect())
         want_vals = sorted(
-            v for v in want.values() if "threshold" not in kw or v >= 0.5
+            round(v, 12)
+            for v in want.values()
+            if "threshold" not in kw or round(v, 12) >= 0.5
         )
+        if "threshold" in kw:
+            got_vals = [v for v in got_vals if v >= 0.5]
         assert len(got_vals) == len(want_vals)
         assert all(abs(a - b) < 1e-12 for a, b in zip(got_vals, want_vals))
 
