@@ -167,6 +167,18 @@ def cosine_pairs_blocked(
             "blk", F.col("rows.id").alias("ids"), F.col("rows.v").alias("vs")
         )
     )
+    # Task width for the gemm stage (r12): one partition per block pair
+    # put B(B+1)/2 = 36 single-gemm tasks on the executor — with fresh
+    # Python workers per task (spark.python.worker.reuse=false) the
+    # fork + Arrow handshake dominates sub-second gemms, and 36 tasks
+    # on 32 local cores ran as a full wave plus a 4-task straggler
+    # wave. Capping at half the parallelism packs >=2 gemms per task
+    # exactly when cores are scarce (interleaved sweep at sf0.1:
+    # rep36 0.920 / rep32 0.906 / rep16 0.833 s); on a real cluster
+    # where cores exceed 2x the block-pair count the cap is inactive
+    # and every block pair keeps its own task.
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     bp = (
         blocks.select(
             F.col("blk").alias("bi"), F.col("ids").alias("ids_a"), F.col("vs").alias("vs_a")
@@ -177,7 +189,7 @@ def cosine_pairs_blocked(
             ),
             F.col("bi") <= F.col("bj"),
         )
-        .repartition(n_blocks * (n_blocks + 1) // 2)
+        .repartition(min(n_pairs, max(1, par // 2)))
     )
 
     def score(batches):

@@ -6085,6 +6085,13 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- recursive CTE (Spark 4 WITH RECURSIVE) -------------------------------
+# Cached raised-rail session clones for recursive_ancestor_depths,
+# keyed by (applicationId, sf_dir) — see its docstring. Sessions are
+# cheap driver objects sharing the SparkContext; the bound only guards
+# a pathological many-sf_dir harness.
+_RECURSION_SESSIONS: dict[tuple[str, str], SparkSession] = {}
+
+
 @register(
     "recursive_ancestor_depths",
     """
@@ -6121,16 +6128,38 @@ def recursive_ancestor_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     session (``spark.newSession()`` — same SparkContext and cached
     data, isolated SQL conf + temp-view catalog; ADVICE r10): only
     this frame sees the higher limit, and every other recursive query
-    in the long-lived session keeps the default runaway rail."""
+    in the long-lived session keeps the default runaway rail.
+
+    The clone is CACHED per (application, sf_dir) and reused across
+    calls (r12): a fresh newSession() + view re-registration per call
+    cost ~0.9 s of driver work at sf1 and, because the clone also
+    started from the INITIAL session options rather than the
+    runtime-tuned profile, the recursion silently ran under the
+    default profile (AQE on, parallelism-wide shuffle partitions) —
+    BENCH_sf1 regression r10 0.81 s -> 2.65 s. The cached clone is
+    tuned once (tune(clone, sf_dir)) and keeps its raised rail; the
+    caller's session still never sees the raised limit."""
     from .sql_api import register_views
 
     n_cust = _table_rows_meta(sf_dir, "customer")
     need = max(1_000_000, (n_cust + 1) * 22)
     cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
     if need > cur:
-        spark = spark.newSession()
-        spark.conf.set("spark.sql.cteRecursionRowLimit", str(need))
-    register_views(spark, sf_dir)
+        key = (spark.sparkContext.applicationId, sf_dir)
+        clone = _RECURSION_SESSIONS.get(key)
+        if clone is None or int(
+            clone.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
+        ) < need:
+            if len(_RECURSION_SESSIONS) >= 16:  # bounded (cache-hygiene rule)
+                _RECURSION_SESSIONS.clear()
+            clone = spark.newSession()
+            clone.conf.set("spark.sql.cteRecursionRowLimit", str(need))
+            tune(clone, sf_dir)
+            register_views(clone, sf_dir)
+            _RECURSION_SESSIONS[key] = clone
+        spark = clone
+    else:
+        register_views(spark, sf_dir)
     return spark.sql(
         """
         WITH RECURSIVE anc(start, cur, d) AS (

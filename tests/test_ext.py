@@ -1191,6 +1191,20 @@ def test_prefix_filter_pairs_lossless_and_pruning(spark, docs):
     }
     assert pref == naive and naive  # identical pairs AND values, non-empty
 
+    # r12: the verify filter takes the single-intersect integer form
+    # for DYADIC thresholds (0.5 above) and keeps the division form
+    # otherwise — both branches must agree with the naive join. 0.3 is
+    # non-dyadic, so this exercises the division branch explicitly.
+    naive_03 = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    pref_03 = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.prefix_filter_pairs(docs, threshold=0.3).collect()
+    }
+    assert pref_03 == naive_03 and naive_03
+
     # pruning effect: docs that share ONLY a globally-frequent shingle.
     # Each doc: 2 unique words + "alpha beta gamma" + 2 unique words →
     # 5 shingles, exactly one shared (freq 6). Prefix length at t=0.5 is
