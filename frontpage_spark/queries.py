@@ -11278,12 +11278,22 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape = a per-user interval join + an argmax per purchase + a
     LEFT join back so untouched purchases survive.
 
-    Scale shape: the interval join shuffles both sides once on
-    user_id (per-user touch lists are small; a mega-user is the AQE
-    skew case); the per-purchase argmax is a WindowGroupLimit-able
-    rank over each purchase's candidate touches; revenue stays in
-    integer cents until the final divide. Deterministic tie-break by
-    (ts, event_id) on both engines."""
+    Scale shape (r12): the interval join runs on (user_id, 3-day
+    time band) — each purchase probes its own band and the preceding
+    one, then the exact range predicate filters inside the join. A
+    touch in [ts-3d, ts) provably lives in one of those two bands
+    (UTC timestamps, fixed 259200 s bands, floor is monotone), so the
+    banding is LOSSLESS — and it bounds the join work per key by the
+    touches of TWO bands instead of the user's whole history: the
+    plain user_id equi-join was QUADRATIC in a hot user (a zipf
+    mega-user owning ~30% of events put ~1.8e9 candidate evaluations
+    in one task — 189 s on the x10-zipf corpus, the standard §2.5
+    hot-key shape that AQE cannot split when it is off). The
+    per-purchase argmax is a WindowGroupLimit-able rank over each
+    purchase's candidate touches; revenue stays in integer cents
+    until the final divide. Deterministic tie-break by (ts, event_id)
+    on both engines."""
+    _BAND_S = 3 * 86400  # the attribution window, in seconds
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
@@ -11296,10 +11306,14 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("t_ts"),
         F.col("event_id").alias("t_id"),
         F.col("event_type").alias("channel"),
+        F.floor(F.col("ts").cast("double") / _BAND_S).alias("t_band"),
     )
-    cand = purchases.join(
+    pband = F.floor(F.col("ts").cast("double") / _BAND_S)
+    pb = purchases.withColumn("p_band", F.explode(F.array(pband, pband - 1)))
+    cand = pb.join(
         touches,
         (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_band") == F.col("p_band"))
         & (F.col("t_ts") < F.col("ts"))
         & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 3 DAYS")),
     )
